@@ -1,0 +1,458 @@
+"""Top-level application: the reference ``main.py train()`` orchestrator.
+
+One entry point serving every CLI mode of the reference (`main.py:888-1547`):
+
+  * ``--model_name nerf``           -> teacher training (volumetric)
+  * ``--model_name R2L/nerf_v3.2``  -> student distillation (rays data mode)
+  * ``--render_only [--render_test]`` -> inference / video
+  * ``--benchmark``                  -> frame-latency benchmark
+  * ``--convert_to_onnx``            -> model export + parity check
+    (StableHLO via jax.export on this framework, vs ONNX in the reference)
+  * ``--test_pretrained``            -> evaluate a checkpoint
+
+Dataset types: blender / llff / deepvoxels (reference `main.py:890-954`),
+with the same near/far defaults and pose/video conventions.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt
+from . import metrics as M
+from .configs import args_to_r2l_config, parse_mesh_spec
+from .data.rayshards import RayBatchLoader, RayShardDataset
+from .encoding import nerf_embed_dim
+from .evaluate import (EvalResult, make_nerf_frame_fn, make_r2l_frame_fn,
+                       render_path, to8b, write_video)
+from .hardmine import parse_hard_ratio
+from .logging_ import Logger, Timer, check_path
+from .models.nerf import NeRFConfig, init_nerf
+from .models.r2l import init_r2l
+from .rays import get_novel_poses, pose_spherical
+from .render import VolRenderConfig
+from .sampler import PointSampler
+from .train import (DistillConfig, TeacherTrainConfig, TrainState,
+                    init_teacher_state, init_train_state, make_distill_step,
+                    make_teacher_step)
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (reference main.py:890-960)
+# ---------------------------------------------------------------------------
+
+def load_dataset(args, logger):
+    """Returns a SimpleNamespace with images/poses/H/W/focal/near/far/splits
+    plus video render poses, matching reference defaults."""
+    ns = SimpleNamespace()
+    if args.dataset_type == "blender":
+        from .data.blender import load_blender_data
+        data = load_blender_data(args.datadir, half_res=args.half_res,
+                                 testskip=args.testskip)
+        ns.images = (data.white_bkgd_rgb() if args.white_bkgd
+                     else data.black_bkgd_rgb())
+        ns.poses = data.poses[:, :3, :4]
+        ns.H, ns.W, ns.focal = data.H, data.W, data.focal
+        ns.i_train, ns.i_val, ns.i_test = data.i_split
+        ns.near, ns.far = 2.0, 6.0
+        n_pose = args.n_pose_video if args.n_pose_video else 40
+        ns.video_poses = get_novel_poses(
+            n_pose if isinstance(n_pose, int) else [int(x) for x in n_pose]
+        )[:, :3, :4]
+    elif args.dataset_type == "llff":
+        from .data.llff import load_llff_data
+        data = load_llff_data(args.datadir, factor=args.factor,
+                              spherify=args.spherify)
+        ns.images = data.images
+        ns.poses = data.poses[:, :3, :4]
+        ns.H, ns.W, ns.focal = data.H, data.W, data.focal
+        ns.i_train, ns.i_test = data.splits(args.llffhold)
+        ns.i_val = ns.i_test
+        ns.near, ns.far = data.near_far(args.no_ndc)
+        ns.video_poses = data.render_poses[:, :3, :4]
+        ns.ndc = not args.no_ndc
+    elif args.dataset_type == "deepvoxels":
+        from .data.deepvoxels import load_dv_data
+        data = load_dv_data(args.datadir, scene=args.shape,
+                            testskip=args.testskip)
+        ns.images = data.images
+        ns.poses = data.poses
+        ns.H, ns.W, ns.focal = data.H, data.W, data.focal
+        ns.i_train, ns.i_val, ns.i_test = data.i_split
+        ns.near, ns.far = data.near_far()
+        ns.video_poses = data.render_poses
+    else:
+        raise ValueError(f"unknown dataset_type {args.dataset_type!r}")
+
+    trial = getattr(args, "trial", None)
+    if trial is not None:  # trial.near/far override (`main.py:957-960`)
+        if getattr(trial, "near", -1) > 0:
+            ns.near = trial.near
+        if getattr(trial, "far", -1) > 0:
+            ns.far = trial.far
+    if not hasattr(ns, "ndc"):
+        ns.ndc = False
+    logger.print(f"Loaded {args.dataset_type}: images {ns.images.shape}, "
+                 f"H/W/focal {ns.H}/{ns.W}/{ns.focal:.2f}, "
+                 f"near/far {ns.near}/{ns.far}")
+    return ns
+
+
+def _render_downsample(args, H, W, focal):
+    if args.render_factor and args.render_factor > 0:
+        f = args.render_factor
+        return int(H / f), int(W / f), focal / f
+    return H, W, focal
+
+
+# ---------------------------------------------------------------------------
+# Model factories (reference create_nerf, main.py:407-553)
+# ---------------------------------------------------------------------------
+
+def build_r2l(args, logger):
+    cfg = args_to_r2l_config(args)
+    params = init_r2l(jax.random.key(args.seed), cfg)
+    start_step, meta = 0, {}
+    if args.pretrained_ckpt:
+        path = check_path(args.pretrained_ckpt)
+        if args.ckpt_format == "torch" or path.endswith(".tar"):
+            blob = ckpt.load_torch_tar(path)
+            sd = blob.get("network_fn_state_dict", blob)
+            cfg = ckpt.infer_r2l_config_from_state_dict(
+                sd, compute_dtype=cfg.compute_dtype, precision=cfg.precision,
+                use_residual=args.use_residual or True,
+                act=cfg.act, inact=cfg.inact, outact=cfg.outact,
+                res_scale=cfg.res_scale)
+            params = ckpt.torch_r2l_to_params(sd, cfg)
+            if args.resume:
+                start_step = int(blob.get("global_step", 0))
+        else:
+            params, meta = ckpt.load_params(path, params)
+            if args.resume:
+                start_step = int(meta.get("global_step", 0))
+        logger.print(f"Loaded pretrained ckpt {path} (step {start_step})")
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    flops_per_ray = 2 * (cfg.input_dim * cfg.netwidth
+                         + cfg.num_blocks * cfg.n_learnable
+                         * cfg.netwidth ** 2
+                         + cfg.netwidth * cfg.output_dim)
+    logger.print(f"R2L model: {n_params/1e6:.2f}M params, "
+                 f"{flops_per_ray/1e6:.2f}M FLOPs/pixel")
+    return cfg, params, start_step
+
+
+def build_teacher(args, logger, key=None):
+    use_vdirs = args.use_viewdirs
+    ncfg = NeRFConfig(
+        D=args.netdepth, W=args.netwidth,
+        input_ch=nerf_embed_dim(3, args.multires),
+        input_ch_views=nerf_embed_dim(3, args.multires_views),
+        output_ch=5 if args.N_importance > 0 else 4,
+        skips=tuple(int(s) for s in str(args.skips).split(",") if s != ""),
+        use_viewdirs=use_vdirs)
+    key = key if key is not None else jax.random.key(args.seed)
+    k1, k2 = jax.random.split(key)
+    pc = init_nerf(k1, ncfg)
+    pf = init_nerf(k2, ncfg) if args.N_importance > 0 else {}
+    start_step = 0
+    path = args.teacher_ckpt or args.pretrained_ckpt
+    if path:
+        path = check_path(path)
+        if args.ckpt_format == "torch" or path.endswith(".tar"):
+            blob = ckpt.load_torch_tar(path)
+            pc = ckpt.torch_nerf_to_params(
+                blob["network_fn_state_dict"], ncfg)
+            if "network_fine_state_dict" in blob and args.N_importance > 0:
+                pf = ckpt.torch_nerf_to_params(
+                    blob["network_fine_state_dict"], ncfg)
+            if args.resume:
+                start_step = int(blob.get("global_step", 0))
+        else:
+            tree, meta = ckpt.load_checkpoint(path, {"coarse": pc,
+                                                     "fine": pf})
+            pc, pf = tree["coarse"], tree["fine"]
+            if args.resume:
+                start_step = int(meta.get("global_step", 0))
+        logger.print(f"Loaded teacher ckpt {path} (step {start_step})")
+    return ncfg, pc, pf, start_step
+
+
+def vol_config(args, ns) -> VolRenderConfig:
+    return VolRenderConfig(
+        n_coarse=args.N_samples, n_fine=args.N_importance,
+        perturb=args.perturb > 0, lindisp=args.lindisp,
+        white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
+        use_viewdirs=args.use_viewdirs, multires=args.multires,
+        multires_views=args.multires_views, near=ns.near, far=ns.far,
+        ray_chunk=args.chunk)
+
+
+# ---------------------------------------------------------------------------
+# Modes
+# ---------------------------------------------------------------------------
+
+def run_render_only(args, ns, logger) -> EvalResult:
+    H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
+    savedir = os.path.join(
+        logger.exp_dir,
+        f"render_only_{'test' if args.render_test else 'path'}")
+    os.makedirs(savedir, exist_ok=True)
+
+    if args.model_name in ("R2L", "nerf_v3.2"):
+        cfg, params, _ = build_r2l(args, logger)
+        sampler = PointSampler(H=H, W=W, focal=focal,
+                               n_sample=args.n_sample_per_ray,
+                               near=ns.near, far=ns.far)
+        frame_fn = make_r2l_frame_fn(
+            params, cfg, sampler, embed_L=args.multires,
+            plucker=args.plucker, use_pallas=args.use_pallas,
+            pallas_tile=args.pallas_tile)
+    else:
+        ncfg, pc, pf, _ = build_teacher(args, logger)
+        vcfg = vol_config(args, ns)
+        sampler = PointSampler(H=H, W=W, focal=focal,
+                               n_sample=args.N_samples,
+                               near=ns.near, far=ns.far)
+        ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
+        frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
+                                      ndc_params)
+
+    if args.render_test:
+        poses = ns.poses[ns.i_test]
+        gt = ns.images[ns.i_test]
+        if args.render_factor and args.render_factor > 0:
+            import cv2
+            gt = np.stack([cv2.resize(g, (W, H),
+                                      interpolation=cv2.INTER_AREA)
+                           for g in gt])
+    else:
+        poses, gt = ns.video_poses, None
+
+    res = render_path(frame_fn, poses, gt_images=gt, savedir=savedir,
+                      logger=logger)
+    if res.test_psnr is not None:
+        logger.print(f"render_only: PSNR {res.test_psnr:.4f} "
+                     f"PSNRv2 {res.test_psnr_v2:.4f} "
+                     f"SSIM {res.test_ssim:.4f} FLIP {res.test_flip:.4f} "
+                     f"({res.ms_per_frame:.1f} ms/frame)")
+    write_video(os.path.join(savedir, "video.mp4"), res.frames)
+    return res
+
+
+def run_benchmark(args, ns, logger) -> float:
+    """Frame-latency benchmark (reference `main.py:1124-1133`, 100 reps)."""
+    H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
+    cfg, params, _ = build_r2l(args, logger)
+    sampler = PointSampler(H=H, W=W, focal=focal,
+                           n_sample=args.n_sample_per_ray,
+                           near=ns.near, far=ns.far)
+    frame_fn = make_r2l_frame_fn(params, cfg, sampler,
+                                 embed_L=args.multires,
+                                 plucker=args.plucker,
+                                 use_pallas=args.use_pallas,
+                                 pallas_tile=args.pallas_tile)
+    pose = jnp.asarray(ns.poses[0][:3, :4])
+    jax.block_until_ready(frame_fn(pose))
+    n = 100
+    t0 = time.perf_counter()
+    outs = [frame_fn(pose) for _ in range(n)]
+    for o in outs[-4:]:
+        jax.block_until_ready(o)
+    dt = (time.perf_counter() - t0) / n
+    logger.print(f"benchmark: {dt*1e3:.3f} ms/frame = {1/dt:.1f} FPS "
+                 f"({H}x{W}, {args.model_name})")
+    return 1.0 / dt
+
+
+def run_export(args, ns, logger) -> str:
+    """Export the student via jax.export (StableHLO) + parity check —
+    the TPU-world analog of the reference's ONNX export
+    (`main.py:831-885`)."""
+    from .export import export_r2l
+    cfg, params, _ = build_r2l(args, logger)
+    out_dir = args.export_dir or os.path.join(logger.exp_dir, "export")
+    path = export_r2l(params, cfg, out_dir, sample_batch=4096)
+    logger.print(f"exported StableHLO to {path} (parity check passed)")
+    return path
+
+
+def run_distill(args, ns, logger):
+    """R2L distillation training (reference `main.py:1175-1513`,
+    data_mode='rays')."""
+    cfg, params, start = build_r2l(args, logger)
+    batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
+    n_hard_in, n_hard_out = parse_hard_ratio(args.hard_ratio, batch_size)
+    dcfg = DistillConfig(
+        batch_size=batch_size, lrate=args.lrate, lrate_decay=args.lrate_decay,
+        warmup_lr=args.warmup_lr or None, lw_rgb=args.lw_rgb,
+        lw_depth=args.lw_depth if args.learn_depth else 0.0,
+        n_hard_in=n_hard_in, n_hard_out=n_hard_out, hard_mul=args.hard_mul,
+        perturb=args.perturb > 0, embed_L=args.multires,
+        plucker=args.plucker, learn_depth=bool(args.learn_depth))
+    sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
+                           n_sample=args.n_sample_per_ray,
+                           near=ns.near, far=ns.far)
+
+    # Multi-chip: shard the ray batch over the mesh 'data' axis, params
+    # replicated (or width-sharded over 'model'); XLA inserts the psums.
+    mesh_axes = parse_mesh_spec(args.mesh)
+    batch_shd = None
+    if mesh_axes or len(jax.devices()) > 1:
+        from .parallel import (batch_sharding, make_mesh,
+                               r2l_param_shardings, shard_pytree)
+        mesh = make_mesh(mesh_axes)
+        params = shard_pytree(params, r2l_param_shardings(mesh, params))
+        batch_shd = batch_sharding(mesh)
+        logger.print(f"mesh: {dict(mesh.shape)}")
+
+    datadir = args.datadir_kd or args.datadir
+    dataset = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
+                              hold_ratio=args.pseudo_data_hold_ratio)
+    loader = RayBatchLoader(dataset, batch_size - n_hard_out,
+                            seed=args.seed)
+    logger.print(f"ray dataset: {len(dataset)} rays "
+                 f"({dataset.n_real} real / {dataset.n_pseudo} pseudo), "
+                 f"batch {batch_size}")
+
+    state, tx = init_train_state(jax.random.key(args.seed), params, dcfg,
+                                 record_dim=dataset.record_dim)
+    if start > 0:
+        state = state._replace(step=jnp.asarray(start, jnp.int32))
+    step_fn = make_distill_step(cfg, dcfg, sampler, tx)
+
+    # Eval renderer rebuilt whenever params change materially (cheap jit
+    # cache; params are donated so pass them explicitly).
+    test_poses = ns.poses[ns.i_test]
+    test_gt = ns.images[ns.i_test]
+
+    best_psnr, best_step = -1.0, -1
+    timer = Timer(max((args.N_iters - start) // max(args.i_testset, 1), 1))
+    from .logging_ import LossLine
+    lossline = LossLine(ema=0.95)
+    key = jax.random.key(args.seed + 1)
+
+    for i in range(start + 1, args.N_iters + 1):
+        batch = next(loader)
+        batch = (jax.device_put(batch, batch_shd) if batch_shd is not None
+                 else jnp.asarray(batch))
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+
+        if i % args.i_print == 0:
+            loss = lossline.update("loss", float(metrics["loss"]))
+            psnr = lossline.update("train_psnr", float(metrics["psnr"]))
+            logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
+                         f"psnr {psnr:.4f}")
+
+        if i % args.i_testset == 0 or i == args.N_iters:
+            frame_fn = make_r2l_frame_fn(
+                state.params, cfg, sampler, embed_L=args.multires,
+                plucker=args.plucker, use_pallas=args.use_pallas,
+                pallas_tile=args.pallas_tile)
+            res = render_path(frame_fn, test_poses, gt_images=test_gt)
+            logger.print(
+                f"[eval] iter {i} PSNR {res.test_psnr:.4f} "
+                f"PSNRv2 {res.test_psnr_v2:.4f} SSIM {res.test_ssim:.4f} "
+                f"FLIP {res.test_flip:.4f} ETA {timer()}")
+            if res.test_psnr_v2 > best_psnr:  # best on v2 (`main.py:1458`)
+                best_psnr, best_step = res.test_psnr_v2, i
+                _save(logger, "ckpt_best.msgpack", state, i, best_psnr,
+                      best_step)
+                logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
+
+        if i % args.i_weights == 0 or i == args.N_iters:
+            name = (f"ckpt_{i:07d}.msgpack"
+                    if args.save_intermediate_models else "ckpt.msgpack")
+            _save(logger, name, state, i, best_psnr, best_step)
+
+    loader.close()
+    return state, best_psnr
+
+
+def _save(logger, name: str, state: TrainState, step: int,
+          best_psnr: float, best_step: int):
+    ckpt.save_checkpoint(
+        os.path.join(logger.weights_dir, name),
+        {"params": state.params, "opt_state": state.opt_state},
+        meta={"global_step": step, "best_psnr": best_psnr,
+              "best_psnr_step": best_step})
+
+
+def run_teacher_train(args, ns, logger):
+    """NeRF teacher training (reference §3.2 call stack)."""
+    ncfg, pc, pf, start = build_teacher(args, logger)
+    vcfg = vol_config(args, ns)
+    tcfg = TeacherTrainConfig(
+        n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
+        precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac)
+    state, tx = init_teacher_state(pc, pf, tcfg)
+    step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx, ns.H, ns.W, ns.focal)
+
+    images = jnp.asarray(ns.images[ns.i_train])
+    poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
+    test_poses = ns.poses[ns.i_test]
+    test_gt = ns.images[ns.i_test]
+
+    from .logging_ import LossLine
+    lossline = LossLine(ema=0.95)
+    key = jax.random.key(args.seed)
+    best_psnr = -1.0
+    for i in range(start + 1, args.N_iters + 1):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, images, poses, sub)
+        if i % args.i_print == 0:
+            loss = lossline.update("loss", float(metrics["loss"]))
+            psnr = lossline.update("psnr", float(metrics["psnr"]))
+            logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
+                         f"psnr {psnr:.4f}")
+        if i % args.i_testset == 0 or i == args.N_iters:
+            sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
+                                   n_sample=args.N_samples,
+                                   near=ns.near, far=ns.far)
+            ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
+            frame_fn = make_nerf_frame_fn(
+                state.params_coarse, state.params_fine or None, ncfg,
+                vcfg, sampler, ndc_params)
+            res = render_path(frame_fn, test_poses[:3],
+                              gt_images=test_gt[:3], compute_flip=False)
+            logger.print(f"[eval] iter {i} PSNR {res.test_psnr:.4f}")
+            best_psnr = max(best_psnr, res.test_psnr)
+        if i % args.i_weights == 0 or i == args.N_iters:
+            ckpt.save_checkpoint(
+                os.path.join(logger.weights_dir, "teacher.msgpack"),
+                {"coarse": state.params_coarse, "fine": state.params_fine},
+                meta={"global_step": i})
+    return state, best_psnr
+
+
+# ---------------------------------------------------------------------------
+# Entry
+# ---------------------------------------------------------------------------
+
+def train(args) -> None:
+    logger = Logger(
+        experiment_name=args.experiment_name or args.expname or "r2l",
+        experiments_dir=args.experiments_dir, debug=args.debug,
+        resume_time_id=args.resume_TimeID, args=args,
+        main_process=jax.process_index() == 0)
+    logger.print(f"devices: {jax.devices()}")
+
+    ns = load_dataset(args, logger)
+
+    if args.render_only:
+        run_render_only(args, ns, logger)
+    elif args.benchmark:
+        run_benchmark(args, ns, logger)
+    elif args.convert_to_onnx:
+        run_export(args, ns, logger)
+    elif args.model_name == "nerf":
+        run_teacher_train(args, ns, logger)
+    else:
+        run_distill(args, ns, logger)
+    logger.close()

@@ -1,0 +1,177 @@
+"""Checkpointing: native msgpack pytree checkpoints + torch ``.tar`` importer.
+
+The reference saves torch pickles with keys ``global_step``, ``best_psnr``,
+``network_fn_state_dict``, ``optimizer_state_dict`` (`main.py:1516-1542`).
+Here the native format is a flax-serialization msgpack of numpy pytrees plus
+a JSON sidecar of scalar metadata — portable, mmap-friendly, no pickle.
+
+``load_torch_r2l`` / ``load_torch_nerf`` convert released reference
+checkpoints (state_dict naming per `model/nerf_raybased.py:443-544` for R2L,
+`:337-375` for NeRF, with optional ``module.`` DataParallel prefixes per
+`helpers:408-425`) into this framework's [in, out]-layout pytrees.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .models.nerf import NeRFConfig
+from .models.r2l import R2LConfig, r2l_num_blocks
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, pytree: Any, meta: dict | None = None) -> None:
+    """Save a pytree (params/opt state) to ``path`` (+ ``path.meta.json``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    host = jax.tree.map(np.asarray, pytree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host))
+    os.replace(tmp, path)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+
+def load_checkpoint(path: str, target: Any = None) -> tuple[Any, dict]:
+    """Load a pytree checkpoint; returns (pytree, meta)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        tree = serialization.from_bytes(target, data)
+    else:
+        tree = serialization.msgpack_restore(data)
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def load_params(path: str, target: Any) -> tuple[Any, dict]:
+    """Load just the params from a checkpoint that may wrap them as
+    ``{"params": ..., "opt_state": ...}`` (the trainer's save layout) or
+    store them bare. Restores list/tuple structure against ``target``."""
+    raw, meta = load_checkpoint(path)
+    if isinstance(raw, dict) and "params" in raw:
+        raw = raw["params"]
+    return serialization.from_state_dict(target, raw), meta
+
+
+# ---------------------------------------------------------------------------
+# Torch state-dict conversion
+# ---------------------------------------------------------------------------
+
+def _to_np(t) -> np.ndarray:
+    """torch tensor -> numpy (no torch import at module scope)."""
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def strip_module_prefix(state_dict: dict) -> dict:
+    """Remove DataParallel ``module.`` prefixes (reference `helpers:408-425`)."""
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in state_dict.items()}
+
+
+def torch_r2l_to_params(state_dict: dict, cfg: R2LConfig) -> dict:
+    """Reference ``NeRF_v3_2`` state_dict -> r2l_tpu param pytree.
+
+    Reference module naming: ``head.0.{weight,bias}``,
+    ``body.<i>.body.<2j>.{weight,bias}`` (ResMLP: Linear at even indices,
+    activations between), ``tail.0.{weight,bias}`` (or ``tail.{weight,bias}``
+    with --linear_tail). torch Linear weights are [out, in] -> transposed.
+    """
+    sd = strip_module_prefix(state_dict)
+    nb, nl = cfg.num_blocks, cfg.n_learnable
+
+    def w(name):
+        return _to_np(sd[name + ".weight"]).T.astype(np.float32)
+
+    def b(name):
+        return _to_np(sd[name + ".bias"]).astype(np.float32)
+
+    params: dict = {"head": {"w": w("head.0"), "b": b("head.0")}}
+    ws = np.stack([
+        np.stack([w(f"body.{i}.body.{2 * j}") for j in range(nl)])
+        for i in range(nb)])
+    bs = np.stack([
+        np.stack([b(f"body.{i}.body.{2 * j}") for j in range(nl)])
+        for i in range(nb)])
+    params["body"] = {"w": ws, "b": bs}
+    tail_name = "tail" if "tail.weight" in sd else "tail.0"
+    params["tail"] = {"w": w(tail_name), "b": b(tail_name)}
+    return params
+
+
+def params_to_torch_r2l(params: dict, cfg: R2LConfig) -> dict:
+    """Inverse of ``torch_r2l_to_params`` (numpy arrays, reference naming)."""
+    host = jax.tree.map(np.asarray, params)
+    sd = {
+        "head.0.weight": host["head"]["w"].T,
+        "head.0.bias": host["head"]["b"],
+    }
+    nb, nl = cfg.num_blocks, cfg.n_learnable
+    for i in range(nb):
+        for j in range(nl):
+            sd[f"body.{i}.body.{2 * j}.weight"] = host["body"]["w"][i, j].T
+            sd[f"body.{i}.body.{2 * j}.bias"] = host["body"]["b"][i, j]
+    tail_name = "tail" if cfg.linear_tail else "tail.0"
+    sd[tail_name + ".weight"] = host["tail"]["w"].T
+    sd[tail_name + ".bias"] = host["tail"]["b"]
+    return sd
+
+
+def torch_nerf_to_params(state_dict: dict, cfg: NeRFConfig) -> dict:
+    """Reference ``NeRF`` state_dict -> r2l_tpu teacher param pytree."""
+    sd = strip_module_prefix(state_dict)
+
+    def lin(name):
+        return {"w": _to_np(sd[name + ".weight"]).T.astype(np.float32),
+                "b": _to_np(sd[name + ".bias"]).astype(np.float32)}
+
+    params: dict = {
+        "pts_linears": [lin(f"pts_linears.{i}") for i in range(cfg.D)]}
+    if cfg.use_viewdirs:
+        params["views_linears"] = [lin("views_linears.0")]
+        params["feature_linear"] = lin("feature_linear")
+        params["alpha_linear"] = lin("alpha_linear")
+        params["rgb_linear"] = lin("rgb_linear")
+    else:
+        params["output_linear"] = lin("output_linear")
+    return params
+
+
+def infer_r2l_config_from_state_dict(state_dict: dict, **overrides) -> R2LConfig:
+    """Derive architecture hyper-params from a torch state_dict's shapes."""
+    sd = strip_module_prefix(state_dict)
+    input_dim = int(sd["head.0.weight"].shape[1])
+    W = int(sd["head.0.weight"].shape[0])
+    block_ids = sorted({int(k.split(".")[1]) for k in sd
+                        if k.startswith("body.")})
+    nb = len(block_ids)
+    layer_ids = sorted({int(k.split(".")[3]) for k in sd
+                        if k.startswith("body.0.body.") and k.endswith("weight")})
+    nl = len(layer_ids)
+    linear_tail = "tail.weight" in sd
+    tail_w = sd["tail.weight" if linear_tail else "tail.0.weight"]
+    kw = dict(input_dim=input_dim, netwidth=W, n_block=nb, n_learnable=nl,
+              netdepth=2 + 2 * nb, output_dim=int(tail_w.shape[0]),
+              linear_tail=linear_tail)
+    kw.update(overrides)
+    return R2LConfig(**kw)
+
+
+def load_torch_tar(path: str) -> dict:
+    """Load a reference ``.tar`` torch checkpoint (CPU, weights only off)."""
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=False)

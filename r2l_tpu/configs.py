@@ -1,0 +1,352 @@
+"""CLI / config system with full flag parity to the reference.
+
+The reference drives everything through a configargparse singleton
+(`/root/reference/option.py:6-358`, plus the logging flags of
+`smilelogging/__init__.py:9-40`) where every flag is settable on the CLI or
+via ``--config <file.txt>`` scene files (57 of them in `configs/`). This
+module reproduces that exact surface with stdlib argparse plus a small
+``key = value`` config-file reader (configargparse is not vendored), and the
+reference's post-parse normalization (`option.py:360-386`):
+
+  * ``--trial.xxx`` dotted flags collapse into an ``args.trial`` namespace
+    when ``--trial.ON`` is set (`smilelogging/slutils.py:176-188`);
+  * ``n_pose_kd`` / ``n_pose_video``: int or comma list;
+  * ``hard_ratio``: scalar or ``in,out`` pair;
+  * ``video_tag`` default derived from ``n_pose_video``.
+
+TPU-specific additions are grouped at the bottom (mesh axes, compute dtype,
+Pallas toggle) — all optional with reference-faithful defaults.
+"""
+from __future__ import annotations
+
+import argparse
+import shlex
+import sys
+from typing import Sequence
+
+
+class TrialNamespace:
+    """Attribute bag for the collapsed ``--trial.*`` flags."""
+    def __repr__(self):
+        return f"TrialNamespace({self.__dict__})"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("r2l_tpu",
+                                fromfile_prefix_chars=None)
+    add = p.add_argument
+
+    add('--config', type=str, default='', help='config file path')
+    add('--expname', type=str, default='', help='experiment name')
+    add('--basedir', type=str, default='./logs/')
+    add('--datadir', type=str, default='./data/llff/fern')
+
+    # training options
+    add('--netdepth', type=int, default=8)
+    add('--netwidth', type=int, default=256)
+    add('--netdepth_fine', type=int, default=8)
+    add('--netwidth_fine', type=int, default=256)
+    add('--N_rand', type=int, default=32 * 32 * 4)
+    add('--lrate', type=float, default=5e-4)
+    add('--lrate_decay', type=int, default=250)
+    add('--chunk', type=int, default=1024 * 32)
+    add('--netchunk', type=int, default=1024 * 64)
+    add('--no_batching', type=_bool, nargs='?', const=True, default=False)
+    add('--no_reload', type=_bool, nargs='?', const=True, default=False)
+    add('--ft_path', type=str, default=None)
+
+    # rendering options
+    add('--N_samples', type=int, default=64)
+    add('--N_importance', type=int, default=0)
+    add('--perturb', type=float, default=1.)
+    add('--perturb_test', type=float, default=0.)
+    add('--use_viewdirs', type=_bool, nargs='?', const=True, default=False)
+    add('--i_embed', type=int, default=0)
+    add('--multires', type=int, default=10)
+    add('--multires_views', type=int, default=4)
+    add('--raw_noise_std', type=float, default=0.)
+    add('--render_only', type=_bool, nargs='?', const=True, default=False)
+    add('--render_test', type=_bool, nargs='?', const=True, default=False)
+    add('--render_factor', type=float, default=0)
+
+    add('--precrop_iters', type=int, default=0)
+    add('--precrop_frac', type=float, default=.5)
+
+    # dataset options
+    add('--dataset_type', type=str, default='llff',
+        choices=['llff', 'blender', 'deepvoxels'])
+    add('--testskip', type=int, default=8)
+    add('--shape', type=str, default='greek')
+    add('--white_bkgd', type=_bool, nargs='?', const=True, default=False)
+    add('--half_res', type=_bool, nargs='?', const=True, default=False)
+    add('--factor', type=int, default=8)
+    add('--no_ndc', type=_bool, nargs='?', const=True, default=False)
+    add('--lindisp', type=_bool, nargs='?', const=True, default=False)
+    add('--spherify', type=_bool, nargs='?', const=True, default=False)
+    add('--llffhold', type=int, default=8)
+
+    # logging/saving
+    add('--i_print', type=int, default=100)
+    add('--i_img', type=int, default=500)
+    add('--i_weights', type=int, default=10000)
+    add('--i_testset', type=int, default=2000)
+    add('--i_video', type=int, default=10000)
+
+    # R2L related
+    add('--model_name', type=str, default='R2L',
+        choices=['nerf', 'nerf_v3.2', 'R2L'])
+    add('--N_iters', type=int, default=200000)
+    add('--skips', type=str, default='4')
+    add('--D_head', type=int, default=4)
+    add('--n_sample_per_ray', type=int, default=192)
+    add('--encode_input', type=_bool, nargs='?', const=True, default=False)
+    add('--pretrained_ckpt', type=str, default='')
+    add('--test_pretrained', type=_bool, nargs='?', const=True, default=False)
+    add('--resume', type=_bool, nargs='?', const=True, default=False)
+    add('--lw_kd', type=float, default=0.001)
+    add('--split_layer', type=int, default=-1)
+    add('--dropout_layer', type=str, default='')
+    add('--dropout_ratio', type=float, default=0.5)
+    add('--n_pose_video', type=str, default='40')
+    add('--n_pose_kd', type=str, default='100')
+    add('--video_tag', type=str, default='')
+    add('--video_poses_perturb', type=_bool, nargs='?', const=True,
+        default=False)
+    add('--datadir_kd', type=str, default='')
+    add('--create_data_chunk', type=int, default=100)
+    add('--create_data', type=str, default='spiral_evenly_spaced')
+    add('--no_rand_focal', dest='use_rand_focal', action='store_false',
+        default=True)
+    add('--max_save', type=int, default=40000)
+    add('--i_update_data', type=int, default=1000000000)
+    add('--pseudo_ratio', type=float, default=-1.)
+    add('--trans_origin', type=str, default='')
+    add('--select_pixel_mode', type=str, default='rand_pixel',
+        choices=['rand_pixel', 'rand_patch'])
+    add('--freeze_pretrained', type=_bool, nargs='?', const=True,
+        default=False)
+    add('--focal_scale', type=float, default=1.)
+    add('--data_mode', type=str, default='images', choices=['images', 'rays'])
+    add('--rm_existing_data', type=_bool, nargs='?', const=True,
+        default=False)
+    add('--num_workers', type=int, default=8)
+    add('--hard_ratio', type=str, default='')
+    add('--hard_mul', type=float, default=1)
+    add('--use_residual', type=_bool, nargs='?', const=True, default=False)
+    add('--linear_tail', type=_bool, nargs='?', const=True, default=False)
+    add('--layerwise_netwidths', type=str, default='')
+    add('--layerwise_netwidths2', type=str, default='')
+    add('--render_iters', type=int, default=1)
+    add('--convert_to_onnx', type=_bool, nargs='?', const=True,
+        default=False, help='export the model (StableHLO/TF SavedModel '
+        'on this framework) + run the numerical parity check')
+    add('--benchmark', type=_bool, nargs='?', const=True, default=False)
+    add('--use_bn', type=_bool, nargs='?', const=True, default=False)
+    add('--shuffle_input', type=_bool, nargs='?', const=True, default=False)
+    add('--kernel_size', type=int, default=1)
+    add('--padding', type=int, default=0)
+    add('--body_arch', type=str, default='conv', choices=['conv', 'resblock'])
+    add('--lw_rgb', type=float, default=1)
+    add('--lw_rgb1', type=float, default=1)
+    add('--act', type=str, default='relu', choices=['relu', 'lrelu'])
+    add('--warmup_lr', type=str, default='')
+    add('--lpips_net', type=str, default='alex')
+    add('--pseudo_data_hold_ratio', type=float, default=0)
+    add('--given_render_path_rays', type=str, default='')
+    add('--learn_depth', type=str, default='',
+        choices=['', 'depth', 'surface'])
+    add('--lw_depth', type=float, default=0.1)
+    add('--save_intermediate_models', type=_bool, nargs='?', const=True,
+        default=False)
+    add('--plucker', type=_bool, nargs='?', const=True, default=False)
+
+    # create data
+    add('--teacher_ckpt', type=str, default=None)
+    add('--test_teacher', type=_bool, nargs='?', const=True, default=False)
+
+    # trial.* dotted sub-namespace
+    add('--trial.ON', type=_bool, nargs='?', const=True, default=False)
+    add('--trial.body_arch', type=str, default='mlp',
+        choices=['mlp', 'resmlp'])
+    add('--trial.res_scale', type=float, default=1.)
+    add('--trial.n_learnable', type=int, default=2)
+    add('--trial.inact', type=str, default='relu',
+        choices=['none', 'relu', 'lrelu'])
+    add('--trial.outact', type=str, default='none',
+        choices=['none', 'relu', 'lrelu'])
+    add('--trial.n_block', type=int, default=-1)
+    add('--trial.near', type=float, default=-1)
+    add('--trial.far', type=float, default=-1)
+
+    # logging-runtime flags (reference smilelogging surface)
+    add('--experiment_name', type=str, default='')
+    add('--experiments_dir', type=str, default='Experiments')
+    add('--debug', type=_bool, nargs='?', const=True, default=False)
+    add('--no_cache', type=_bool, nargs='?', const=True, default=False)
+    add('--cache_code', type=str, default='')
+    add('--no_scp', type=_bool, nargs='?', const=True, default=False)
+    add('--resume_TimeID', type=str, default='')
+
+    # --- TPU-native extensions (not in the reference) ---
+    add('--mesh', type=str, default='',
+        help="mesh axes, e.g. 'data:8' or 'data:4,model:2'; '' = all "
+             "devices on one data axis")
+    add('--compute_dtype', type=str, default='float32',
+        choices=['float32', 'bfloat16'],
+        help='activation dtype for the R2L student')
+    add('--use_pallas', type=_bool, nargs='?', const=True, default=True,
+        help='use the fused Pallas inference kernel when rendering R2L')
+    add('--pallas_tile', type=int, default=512)
+    add('--seed', type=int, default=0)
+    add('--ckpt_format', type=str, default='native',
+        choices=['native', 'torch'],
+        help='checkpoint format for --pretrained_ckpt / --teacher_ckpt')
+    add('--export_dir', type=str, default='',
+        help='output dir for --convert_to_onnx (StableHLO export)')
+    return p
+
+
+def _bool(v: str | bool) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("1", "true", "yes", "y", "on")
+
+
+def read_config_file(path: str) -> dict[str, str]:
+    """Parse a reference-style ``key = value`` config file.
+
+    Inline ``#`` comments and blank lines are ignored
+    (configargparse semantics, e.g. `configs/lego.txt`).
+    """
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split('#', 1)[0].strip()
+            if not line:
+                continue
+            if '=' in line:
+                k, v = line.split('=', 1)
+            elif ':' in line:
+                k, v = line.split(':', 1)
+            else:
+                k, v = line, 'True'
+            out[k.strip()] = v.strip()
+    return out
+
+
+def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
+    """Parse CLI args with ``--config`` file support + post-parse fixups."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+
+    # First pass: find --config and fold the file's values in as defaults
+    # (CLI always wins, as with configargparse).
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument('--config', type=str, default='')
+    known, _ = pre.parse_known_args(argv)
+    if known.config:
+        file_vals = read_config_file(known.config)
+        by_dest = {a.dest: a for a in parser._actions}
+        by_flag = {}
+        for a in parser._actions:
+            for s in a.option_strings:
+                by_flag[s.lstrip('-')] = a
+        defaults = {}
+        for k, v in file_vals.items():
+            action = by_flag.get(k) or by_dest.get(k)
+            if action is None:
+                raise SystemExit(f"unknown config key {k!r} in {known.config}")
+            if action.const is True or isinstance(action.default, bool):
+                defaults[action.dest] = _bool(v)
+            elif action.type is not None:
+                defaults[action.dest] = action.type(v)
+            else:
+                defaults[action.dest] = v
+        parser.set_defaults(**defaults)
+
+    args = parser.parse_args(argv)
+    return normalize_args(args)
+
+
+def _check_n_pose(n_pose):
+    """int string -> int; comma list -> list; 'none' -> None
+    (reference `option.py:366-373`)."""
+    if n_pose is None or str(n_pose).lower() == 'none':
+        return None
+    s = str(n_pose)
+    if s.isdigit():
+        return int(s)
+    return s.split(',')
+
+
+def normalize_args(args: argparse.Namespace) -> argparse.Namespace:
+    """Reference post-parse normalization (`option.py:360-386` +
+    `slutils.py:176-188` update_args)."""
+    if args.video_tag == '':
+        args.video_tag = f'pose{args.n_pose_video}'
+    args.n_pose_kd = _check_n_pose(args.n_pose_kd)
+    args.n_pose_video = _check_n_pose(args.n_pose_video)
+
+    if args.hard_ratio != '':
+        if ',' not in str(args.hard_ratio):
+            args.hard_ratio = float(args.hard_ratio)
+        else:
+            args.hard_ratio = [float(x)
+                               for x in str(args.hard_ratio).split(',')]
+
+    # Collapse dotted trial.* flags into args.trial when trial.ON.
+    dotted = {k: v for k, v in vars(args).items() if '.' in k}
+    for k in dotted:
+        delattr(args, k)
+    if dotted.get('trial.ON'):
+        trial = TrialNamespace()
+        for k, v in dotted.items():
+            setattr(trial, k.split('.', 1)[1], v)
+        args.trial = trial
+    return args
+
+
+def args_to_r2l_config(args):
+    """Map parsed flags -> R2LConfig (reference create_nerf semantics,
+    `main.py:455-462`: input_dim from n_sample_per_ray x 3 x (2L+1), or
+    6x(2L+1) for Plücker)."""
+    import jax.numpy as jnp
+
+    from .models.r2l import R2LConfig
+
+    L = args.multires
+    per = 2 * L + 1
+    input_dim = (6 * per if args.plucker
+                 else args.n_sample_per_ray * 3 * per)
+    trial = getattr(args, 'trial', None)
+    body_arch = getattr(trial, 'body_arch', 'mlp') if trial else 'mlp'
+    return R2LConfig(
+        input_dim=input_dim,
+        output_dim=3 + (1 if args.learn_depth else 0),
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        n_block=getattr(trial, 'n_block', -1) if trial else -1,
+        n_learnable=getattr(trial, 'n_learnable', 2) if trial else 2,
+        act=args.act,
+        inact=getattr(trial, 'inact', 'relu') if trial else 'relu',
+        outact=getattr(trial, 'outact', 'none') if trial else 'none',
+        res_scale=getattr(trial, 'res_scale', 1.0) if trial else 1.0,
+        body_arch=body_arch if body_arch in ('resmlp', 'mlp') else 'mlp',
+        use_residual=args.use_residual,
+        linear_tail=args.linear_tail,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == 'bfloat16'
+                       else jnp.float32),
+        precision=('default' if args.compute_dtype == 'bfloat16'
+                   else 'highest'),
+    )
+
+
+def parse_mesh_spec(spec: str) -> dict[str, int] | None:
+    """'data:4,model:2' -> {'data': 4, 'model': 2}; '' -> None."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(','):
+        name, _, size = part.partition(':')
+        out[name.strip()] = int(size) if size else -1
+    return out

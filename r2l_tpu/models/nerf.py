@@ -1,0 +1,83 @@
+"""NeRF teacher MLP (classic 8x256 with skip concat + view branch).
+
+Functional JAX re-implementation of the reference ``NeRF``
+(`/root/reference/model/nerf_raybased.py:337-401`): D linears with ReLU,
+input re-concatenated after layers in ``skips``; with viewdirs a sigma head
+(``alpha_linear``), feature linear, one W/2 view layer, RGB head.
+
+The teacher is small (D=8) so layers stay an explicit pytree list —
+simple, and weight shapes differ at skip layers anyway.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    D: int = 8
+    W: int = 256
+    input_ch: int = 63          # nerf_embed(3, L=10)
+    input_ch_views: int = 27    # nerf_embed(3, L=4)
+    output_ch: int = 4
+    skips: tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    precision: str = "highest"  # matmul precision
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
+    keys = iter(jax.random.split(key, cfg.D + 8))
+    pts = [_linear_init(next(keys), cfg.input_ch, cfg.W)]
+    for i in range(cfg.D - 1):
+        fan_in = cfg.W + cfg.input_ch if i in cfg.skips else cfg.W
+        pts.append(_linear_init(next(keys), fan_in, cfg.W))
+    params: dict = {"pts_linears": pts}
+    if cfg.use_viewdirs:
+        params["views_linears"] = [
+            _linear_init(next(keys), cfg.input_ch_views + cfg.W, cfg.W // 2)]
+        params["feature_linear"] = _linear_init(next(keys), cfg.W, cfg.W)
+        params["alpha_linear"] = _linear_init(next(keys), cfg.W, 1)
+        params["rgb_linear"] = _linear_init(next(keys), cfg.W // 2, 3)
+    else:
+        params["output_linear"] = _linear_init(next(keys), cfg.W, cfg.output_ch)
+    return params
+
+
+def _linear(h: Array, p: dict, precision: str = "highest") -> Array:
+    return jnp.dot(h, p["w"], preferred_element_type=jnp.float32,
+                   precision=precision) + p["b"]
+
+
+def apply_nerf(params: dict, cfg: NeRFConfig, x: Array) -> Array:
+    """x: [..., input_ch (+ input_ch_views)] -> [..., 4] (rgb logits, sigma)."""
+    input_pts = x[..., :cfg.input_ch]
+    h = input_pts
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(_linear(h, layer, cfg.precision))
+        if i in cfg.skips:
+            h = jnp.concatenate([input_pts, h], axis=-1)
+
+    if cfg.use_viewdirs:
+        input_views = x[..., cfg.input_ch:cfg.input_ch + cfg.input_ch_views]
+        alpha = _linear(h, params["alpha_linear"], cfg.precision)
+        feature = _linear(h, params["feature_linear"], cfg.precision)
+        h = jnp.concatenate([feature, input_views], axis=-1)
+        for layer in params["views_linears"]:
+            h = jax.nn.relu(_linear(h, layer, cfg.precision))
+        rgb = _linear(h, params["rgb_linear"], cfg.precision)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+    return _linear(h, params["output_linear"], cfg.precision)

@@ -1,0 +1,151 @@
+"""Ray generation and camera pose math (pure jnp, batched, static shapes).
+
+Functional equivalents of the reference's ray helpers
+(`/root/reference/utils/run_nerf_raybased_helpers.py:231-279` ``get_rays`` /
+``ndc_rays``, `model/nerf_raybased.py:170-188` Plücker variants) and the
+Blender pose synthesis utilities (`dataset/load_blender.py:10-28,327-368`).
+
+Conventions (identical to the reference so checkpoints are interchangeable):
+  * pixel (i, j) -> camera-frame direction [(i - W/2)/f, -(j - H/2)/f, -1]
+  * c2w is a [3, 4] (or [4, 4]) camera-to-world matrix; rays_d = R @ dir,
+    rays_o = t broadcast to every pixel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def camera_ray_dirs(H: int, W: int, focal: float) -> Array:
+    """Per-pixel camera-frame ray directions, shape [H, W, 3]."""
+    i = jnp.arange(W, dtype=jnp.float32)[None, :]  # [1, W]
+    j = jnp.arange(H, dtype=jnp.float32)[:, None]  # [H, 1]
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to((i - W * 0.5) / focal, (H, W)),
+            jnp.broadcast_to(-(j - H * 0.5) / focal, (H, W)),
+            -jnp.ones((H, W), dtype=jnp.float32),
+        ],
+        axis=-1,
+    )
+    return dirs  # [H, W, 3]
+
+
+def get_rays(H: int, W: int, focal: float, c2w: Array,
+             focal_scale: float = 1.0) -> tuple[Array, Array]:
+    """Full-frame rays for camera-to-world pose ``c2w``.
+
+    Returns (rays_o, rays_d), each [H, W, 3]. Mirrors reference
+    `helpers:231-257` (without the vestigial origin-translation hacks).
+    """
+    dirs = camera_ray_dirs(H, W, focal * focal_scale)  # [H, W, 3]
+    rays_d = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3], precision="highest")
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def ndc_rays(H: int, W: int, focal: float, near: float, rays_o: Array,
+             rays_d: Array) -> tuple[Array, Array]:
+    """Warp rays into NDC space (LLFF forward-facing scenes).
+
+    Mirrors reference `helpers:260-279`.
+    """
+    # Shift ray origins to the near plane.
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    o0 = -1.0 / (W / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = -1.0 / (H / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+
+    d0 = -1.0 / (W / (2.0 * focal)) * (
+        rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    d1 = -1.0 / (H / (2.0 * focal)) * (
+        rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    d2 = -2.0 * near / rays_o[..., 2]
+
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def plucker(rays_o: Array, rays_d: Array) -> Array:
+    """Plücker ray coordinates [..., 6] = (d, o x d).
+
+    Mirrors reference `model/nerf_raybased.py:170-176`.
+    """
+    m = jnp.cross(rays_o, rays_d)
+    return jnp.concatenate([rays_d, m], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pose synthesis (Blender-style spherical cameras).
+# Numpy (host-side): poses are tiny and feed the device pipeline.
+# ---------------------------------------------------------------------------
+
+def trans_t(t: float) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    m[2, 3] = t
+    return m
+
+
+def rot_phi(phi: float) -> np.ndarray:
+    c, s = np.cos(phi), np.sin(phi)
+    m = np.eye(4, dtype=np.float32)
+    m[1, 1], m[1, 2] = c, -s
+    m[2, 1], m[2, 2] = s, c
+    return m
+
+
+def rot_theta(th: float) -> np.ndarray:
+    c, s = np.cos(th), np.sin(th)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0], m[0, 2] = c, -s
+    m[2, 0], m[2, 2] = s, c
+    return m
+
+
+_FLIP = np.array(
+    [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    dtype=np.float32)
+
+
+def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """Camera-to-world [4,4] on a sphere (Blender convention).
+
+    Mirrors reference `dataset/load_blender.py:22-28`.
+    """
+    c2w = trans_t(radius)
+    c2w = rot_phi(phi_deg / 180.0 * np.pi) @ c2w
+    c2w = rot_theta(theta_deg / 180.0 * np.pi) @ c2w
+    return _FLIP @ c2w
+
+
+def get_rand_pose(rng: np.random.Generator, radius: float = 4.0) -> np.ndarray:
+    """Uniform random spherical pose: theta in [-180,180], phi in [-90,0].
+
+    Mirrors reference `dataset/load_blender.py:359-368`.
+    """
+    theta = rng.uniform(-180.0, 180.0)
+    phi = rng.uniform(-90.0, 0.0)
+    return pose_spherical(theta, phi, radius)
+
+
+def get_novel_poses(n_pose, phi: float = -30.0, radius: float = 4.0) -> np.ndarray:
+    """Evenly spaced novel video poses.
+
+    ``n_pose`` int -> a theta ring at fixed (phi, radius);
+    ``n_pose`` [n_theta, n_phi, n_radius] -> the full grid over
+    theta in [-180,180), phi in [-90,0], r in [3,5] — the same grid family
+    as reference `dataset/load_blender.py:327-356`.
+    """
+    if isinstance(n_pose, int):
+        thetas = np.linspace(-180.0, 180.0, n_pose + 1)[:-1]
+        return np.stack([pose_spherical(t, phi, radius) for t in thetas])
+    n_theta, n_phi, n_radius = [int(x) for x in n_pose]
+    thetas = np.linspace(-180.0, 180.0, n_theta + 1)[:-1]
+    phis = np.linspace(-90.0, 0.0, n_phi + 1)[:-1] if n_phi > 1 else [phi]
+    radii = np.linspace(3.0, 5.0, n_radius) if n_radius > 1 else [radius]
+    poses = [pose_spherical(t, p, r) for r in radii for p in phis for t in thetas]
+    return np.stack(poses)

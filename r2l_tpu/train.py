@@ -1,0 +1,249 @@
+"""Training engines: R2L distillation + NeRF teacher (jit'd, donated state).
+
+TPU design: ONE jitted/pjit'd ``train_step`` per workload, state donated so
+buffers update in place, data/batch axis sharded over the mesh 'data' axis,
+params replicated (or tensor-sharded), gradient reductions inserted by XLA.
+Hard-ray mining lives inside the step (see hardmine.py) — no host syncs in
+the hot loop. Mirrors the reference loop semantics (`main.py:1175-1513`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .encoding import r2l_embed
+from .hardmine import HardPool, init_pool, sample_hard, update_pool
+from .models.nerf import NeRFConfig, apply_nerf
+from .models.r2l import R2LConfig, apply_r2l
+from .render import VolRenderConfig, render_rays_nerf
+from .sampler import PointSampler
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# LR schedule: linear warmup + exponential decay
+# (reference `main.py:1181-1195`: lrate * 0.1^(step/(decay*1000)),
+#  optional --warmup_lr 'start,end_iter')
+# ---------------------------------------------------------------------------
+
+def make_lr_schedule(lrate: float, lrate_decay: int,
+                     warmup: str | tuple | None = None):
+    w_start, w_end = 0.0, 0
+    if warmup:
+        if isinstance(warmup, str):
+            a, b = warmup.split(",")
+            w_start, w_end = float(a), int(b)
+        else:
+            w_start, w_end = float(warmup[0]), int(warmup[1])
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        decay = lrate * jnp.power(0.1, step / (lrate_decay * 1000.0))
+        if w_end > 0:
+            warm = w_start + (lrate - w_start) * step / w_end
+            return jnp.where(step < w_end, warm, decay)
+        return decay
+
+    return schedule
+
+
+def make_optimizer(lrate: float, lrate_decay: int,
+                   warmup: str | tuple | None = None) -> optax.GradientTransformation:
+    return optax.adam(make_lr_schedule(lrate, lrate_decay, warmup),
+                      b1=0.9, b2=0.999)
+
+
+# ---------------------------------------------------------------------------
+# R2L distillation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    batch_size: int = 81920          # N_rand(20) * 4096 rays/step
+    lrate: float = 5e-4
+    lrate_decay: int = 250
+    warmup_lr: str | None = None     # 'start,end_iter'
+    lw_rgb: float = 1.0
+    lw_depth: float = 0.0            # >0 with learn_depth data
+    n_hard_in: int = 0
+    n_hard_out: int = 0
+    hard_mul: float = 1.0
+    perturb: bool = True
+    embed_L: int = 10                # --multires for the R2L input PE
+    plucker: bool = False
+    learn_depth: bool = False        # records carry a depth column
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+    pool: HardPool
+
+
+def init_train_state(key: jax.Array, params: Any, dcfg: DistillConfig,
+                     record_dim: int = 9) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(dcfg.lrate, dcfg.lrate_decay, dcfg.warmup_lr)
+    pool_cap = max(int(dcfg.batch_size * dcfg.hard_mul), 1)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32),
+                      pool=init_pool(pool_cap, record_dim)), tx
+
+
+def _r2l_inputs(batch: Array, sampler: PointSampler, dcfg: DistillConfig,
+                key: jax.Array | None):
+    """Split records into (model_input, rgb_target, depth_target)."""
+    rays_o, rays_d = batch[:, 0:3], batch[:, 3:6]
+    rgb = batch[:, 6:9]
+    depth = batch[:, 9:] if (dcfg.learn_depth and batch.shape[1] > 9) else None
+    if dcfg.plucker:
+        pts = sampler.sample_train_plucker(rays_o, rays_d)
+    else:
+        pts = sampler.sample_train(rays_o, rays_d,
+                                   key if dcfg.perturb else None)
+    return r2l_embed(pts, dcfg.embed_L), rgb, depth
+
+
+def distill_loss_fn(params: Any, cfg: R2LConfig, dcfg: DistillConfig,
+                    sampler: PointSampler, batch: Array,
+                    key: jax.Array | None):
+    x, rgb_t, depth_t = _r2l_inputs(batch, sampler, dcfg, key)
+    pred = apply_r2l(params, cfg, x)
+    per_ray = jnp.mean((pred - rgb_t) ** 2, axis=-1)  # [B]
+    loss = dcfg.lw_rgb * jnp.mean(per_ray)
+    if depth_t is not None and dcfg.lw_depth > 0:
+        # learn_depth: extra output channels regress ray depth
+        # (reference `main.py:1389-1396`).
+        loss = loss + dcfg.lw_depth * jnp.mean((pred[..., 3:] - depth_t) ** 2)
+    return loss, per_ray
+
+
+def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
+                      sampler: PointSampler,
+                      tx: optax.GradientTransformation):
+    """Build the jitted distillation train step.
+
+    Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
+               (state, metrics dict). State buffers are donated.
+    """
+
+    def step(state: TrainState, fresh: Array, key: jax.Array):
+        k_hard, k_perturb = jax.random.split(key)
+        if dcfg.n_hard_out > 0:
+            hard, idx = sample_hard(state.pool, k_hard, dcfg.n_hard_out,
+                                    fresh)
+            batch = jnp.concatenate([fresh, hard], axis=0)
+        else:
+            idx = jnp.zeros((1,), jnp.int32)
+            batch = fresh
+
+        (loss, per_ray), grads = jax.value_and_grad(
+            distill_loss_fn, has_aux=True)(
+                state.params, cfg, dcfg, sampler, batch, k_perturb)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        pool = state.pool
+        if dcfg.n_hard_in > 0:
+            _, hard_ids = jax.lax.top_k(per_ray, dcfg.n_hard_in)
+            pool = update_pool(pool, batch[hard_ids], idx)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, pool=pool)
+        metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(loss / dcfg.lw_rgb)}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# NeRF teacher training
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TeacherTrainConfig:
+    n_rand: int = 1024               # rays per step (--N_rand for nerf)
+    lrate: float = 5e-4
+    lrate_decay: int = 250
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+
+
+class TeacherState(NamedTuple):
+    params_coarse: Any
+    params_fine: Any                 # may equal a dummy {} when n_fine == 0
+    opt_state: Any
+    step: Array
+
+
+def init_teacher_state(params_coarse: Any, params_fine: Any,
+                       tcfg: TeacherTrainConfig):
+    tx = make_optimizer(tcfg.lrate, tcfg.lrate_decay)
+    both = {"coarse": params_coarse, "fine": params_fine}
+    return TeacherState(params_coarse, params_fine, tx.init(both),
+                        jnp.zeros((), jnp.int32)), tx
+
+
+def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
+                      tcfg: TeacherTrainConfig,
+                      tx: optax.GradientTransformation,
+                      H: int, W: int, focal: float):
+    """Jitted teacher step over on-device images [N, H, W, 3] + poses.
+
+    Per step: random training image, random pixel subset (central crop for
+    the first ``precrop_iters``), volumetric render, MSE(+coarse MSE)
+    (reference `main.py:1267-1406`).
+    """
+    from .rays import get_rays
+
+    def step(state: TeacherState, images: Array, poses: Array,
+             key: jax.Array):
+        k_img, k_coord, k_render = jax.random.split(key, 3)
+        img_i = jax.random.randint(k_img, (), 0, images.shape[0])
+        target = images[img_i]                      # [H, W, 3]
+        c2w = poses[img_i]
+
+        rays_o, rays_d = get_rays(H, W, focal, c2w)  # [H, W, 3]
+
+        # Pixel selection: precrop keeps the central crop early on.
+        use_crop = state.step < tcfg.precrop_iters
+        fH = int(H * tcfg.precrop_frac / 2)
+        fW = int(W * tcfg.precrop_frac / 2)
+        hs = jnp.where(use_crop, H // 2 - fH, 0)
+        ws = jnp.where(use_crop, W // 2 - fW, 0)
+        hn = jnp.where(use_crop, 2 * fH, H)
+        wn = jnp.where(use_crop, 2 * fW, W)
+        u = jax.random.uniform(k_coord, (tcfg.n_rand, 2))
+        hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
+        ww = (ws + (u[:, 1] * wn).astype(jnp.int32)).clip(0, W - 1)
+
+        ro = rays_o[hh, ww]
+        rd = rays_d[hh, ww]
+        tgt = target[hh, ww]
+
+        def loss_fn(both):
+            out = render_rays_nerf(both["coarse"],
+                                   both["fine"] if both["fine"] else None,
+                                   ncfg, vcfg, ro, rd, key=k_render)
+            loss = jnp.mean((out.rgb_map - tgt) ** 2)
+            if out.rgb0 is not None:
+                loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)
+            return loss
+
+        both = {"coarse": state.params_coarse, "fine": state.params_fine}
+        loss, grads = jax.value_and_grad(loss_fn)(both)
+        updates, opt_state = tx.update(grads, state.opt_state, both)
+        both = optax.apply_updates(both, updates)
+        new_state = TeacherState(both["coarse"], both["fine"], opt_state,
+                                 state.step + 1)
+        return new_state, {"loss": loss,
+                           "psnr": -10.0 * jnp.log10(loss)}
+
+    return jax.jit(step, donate_argnums=(0,))

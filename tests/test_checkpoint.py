@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from r2l_tpu import checkpoint as ckpt
+from r2l_tpu.models import (NeRFConfig, R2LConfig, apply_nerf, apply_r2l,
+                            init_nerf, init_r2l)
+
+
+def test_save_load_roundtrip(tmp_path, key):
+    cfg = R2LConfig(input_dim=12, netwidth=16, netdepth=6)
+    params = init_r2l(key, cfg)
+    path = str(tmp_path / "ck.msgpack")
+    ckpt.save_checkpoint(path, params, meta={"global_step": 7})
+    loaded, meta = ckpt.load_checkpoint(path, target=params)
+    assert meta["global_step"] == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_r2l_torch_roundtrip(key):
+    cfg = R2LConfig(input_dim=12, netwidth=16, netdepth=6)
+    params = init_r2l(key, cfg)
+    sd = ckpt.params_to_torch_r2l(params, cfg)
+    assert "head.0.weight" in sd and "tail.0.weight" in sd
+    assert sd["head.0.weight"].shape == (16, 12)  # torch [out, in]
+    back = ckpt.torch_r2l_to_params(sd, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+
+def test_r2l_module_prefix_stripped(key):
+    cfg = R2LConfig(input_dim=12, netwidth=16, netdepth=6)
+    params = init_r2l(key, cfg)
+    sd = {"module." + k: v for k, v in
+          ckpt.params_to_torch_r2l(params, cfg).items()}
+    back = ckpt.torch_r2l_to_params(sd, cfg)
+    np.testing.assert_allclose(np.asarray(back["head"]["w"]),
+                               np.asarray(params["head"]["w"]))
+
+
+def test_infer_r2l_config(key):
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=10)
+    sd = ckpt.params_to_torch_r2l(init_r2l(key, cfg), cfg)
+    inferred = ckpt.infer_r2l_config_from_state_dict(sd)
+    assert inferred.input_dim == 24
+    assert inferred.netwidth == 32
+    assert inferred.num_blocks == cfg.num_blocks
+    assert not inferred.linear_tail
+
+
+def test_torch_forward_parity(key):
+    """Real torch forward of the reference architecture vs apply_r2l."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=10)
+    params = init_r2l(key, cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in ckpt.params_to_torch_r2l(params, cfg).items()}
+
+    # Independent torch construction of the same architecture (from the
+    # published R2L spec: head Linear+ReLU, ResMLP blocks, tail
+    # Linear+Sigmoid, global residual).
+    class Block(nn.Module):
+        def __init__(self, w):
+            super().__init__()
+            self.body = nn.Sequential(nn.Linear(w, w), nn.ReLU(),
+                                      nn.Linear(w, w))
+
+        def forward(self, x):
+            return self.body(x) + x
+
+    class Net(nn.Module):
+        def __init__(self, din, w, nb):
+            super().__init__()
+            self.head = nn.Sequential(nn.Linear(din, w), nn.ReLU())
+            self.body = nn.Sequential(*[Block(w) for _ in range(nb)])
+            self.tail = nn.Sequential(nn.Linear(w, 3), nn.Sigmoid())
+
+        def forward(self, x):
+            x = self.head(x)
+            return self.tail(self.body(x) + x)
+
+    net = Net(24, 32, cfg.num_blocks)
+    net.load_state_dict(sd)
+    x = np.random.default_rng(1).normal(size=(16, 24)).astype(np.float32)
+    with torch.no_grad():
+        yt = net(torch.from_numpy(x)).numpy()
+    yj = np.asarray(apply_r2l(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, rtol=1e-4, atol=1e-5)
+
+
+def test_nerf_torch_conversion(key):
+    cfg = NeRFConfig(D=2, W=16, input_ch=9, input_ch_views=6, skips=())
+    params = init_nerf(key, cfg)
+    # Fabricate a torch-style state_dict from our params (torch layout).
+    sd = {}
+    for i, layer in enumerate(params["pts_linears"]):
+        sd[f"pts_linears.{i}.weight"] = np.asarray(layer["w"]).T
+        sd[f"pts_linears.{i}.bias"] = np.asarray(layer["b"])
+    for name in ["feature_linear", "alpha_linear", "rgb_linear"]:
+        sd[f"{name}.weight"] = np.asarray(params[name]["w"]).T
+        sd[f"{name}.bias"] = np.asarray(params[name]["b"])
+    sd["views_linears.0.weight"] = np.asarray(params["views_linears"][0]["w"]).T
+    sd["views_linears.0.bias"] = np.asarray(params["views_linears"][0]["b"])
+
+    back = ckpt.torch_nerf_to_params(sd, cfg)
+    x = jnp.ones((3, 15))
+    np.testing.assert_allclose(np.asarray(apply_nerf(back, cfg, x)),
+                               np.asarray(apply_nerf(params, cfg, x)),
+                               rtol=1e-6)

@@ -1,0 +1,105 @@
+"""CLI/config-system parity tests (reference `option.py` surface)."""
+import os
+
+from r2l_tpu.configs import (args_to_r2l_config, parse_args, parse_mesh_spec,
+                             read_config_file)
+
+CANONICAL = ("--model_name R2L --n_sample_per_ray 16 --netwidth 256 "
+             "--netdepth 88 --use_residual --trial.ON "
+             "--trial.body_arch resmlp --trial.n_block -1").split()
+
+
+def test_defaults_match_reference():
+    args = parse_args([])
+    assert args.netdepth == 8 and args.netwidth == 256
+    assert args.N_rand == 4096 and args.lrate == 5e-4
+    assert args.lrate_decay == 250 and args.chunk == 32768
+    assert args.N_samples == 64 and args.N_importance == 0
+    assert args.dataset_type == "llff" and args.testskip == 8
+    assert args.model_name == "R2L" and args.N_iters == 200000
+    assert args.n_sample_per_ray == 192
+    assert args.pseudo_ratio == -1.0 and args.hard_mul == 1
+    assert args.use_rand_focal is True
+
+
+def test_trial_namespace_collapse():
+    args = parse_args(CANONICAL)
+    assert args.trial.body_arch == "resmlp"
+    assert args.trial.n_learnable == 2
+    assert not hasattr(args, "trial.ON")
+
+
+def test_trial_off_means_no_namespace():
+    args = parse_args([])
+    assert not hasattr(args, "trial")
+
+
+def test_hard_ratio_parsing():
+    assert parse_args(["--hard_ratio", "0.2"]).hard_ratio == 0.2
+    assert parse_args(["--hard_ratio", "0.1,0.3"]).hard_ratio == [0.1, 0.3]
+
+
+def test_n_pose_parsing():
+    args = parse_args(["--n_pose_kd", "100", "--n_pose_video", "9,2,1"])
+    assert args.n_pose_kd == 100
+    assert args.n_pose_video == ["9", "2", "1"]
+    assert parse_args(["--n_pose_kd", "None"]).n_pose_kd is None
+
+
+def test_video_tag_default():
+    assert parse_args([]).video_tag == "pose40"
+
+
+def test_config_file_roundtrip(tmp_path):
+    cfg = tmp_path / "lego.txt"
+    cfg.write_text(
+        "expname = blender_paper_lego\n"
+        "dataset_type = blender\n"
+        "no_batching = True  # comment\n"
+        "use_viewdirs = False\n"
+        "white_bkgd = True\n"
+        "lrate_decay = 500\n"
+        "N_samples = 64\nN_importance = 128\nN_rand = 1024\n"
+        "precrop_iters = 500\nprecrop_frac = 0.5\nhalf_res = True\n")
+    args = parse_args(["--config", str(cfg)])
+    assert args.expname == "blender_paper_lego"
+    assert args.dataset_type == "blender"
+    assert args.no_batching is True and args.use_viewdirs is False
+    assert args.white_bkgd is True and args.half_res is True
+    assert args.lrate_decay == 500 and args.N_importance == 128
+
+
+def test_cli_overrides_config_file(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("N_rand = 1024\n")
+    args = parse_args(["--config", str(cfg), "--N_rand", "2048"])
+    assert args.N_rand == 2048
+
+
+def test_reference_configs_all_parse():
+    """Every shipped scene config of the reference must parse cleanly."""
+    cfg_dir = "/root/reference/configs"
+    if not os.path.isdir(cfg_dir):
+        return
+    for f in sorted(os.listdir(cfg_dir)):
+        args = parse_args(["--config", os.path.join(cfg_dir, f)])
+        assert args.dataset_type in ("llff", "blender", "deepvoxels"), f
+
+
+def test_args_to_r2l_config_canonical():
+    args = parse_args(CANONICAL)
+    cfg = args_to_r2l_config(args)
+    assert cfg.input_dim == 16 * 3 * 21 == 1008
+    assert cfg.netwidth == 256 and cfg.num_blocks == 43
+    assert cfg.body_arch == "resmlp" and cfg.use_residual
+
+
+def test_plucker_input_dim():
+    args = parse_args(CANONICAL + ["--plucker"])
+    assert args_to_r2l_config(args).input_dim == 6 * 21
+
+
+def test_mesh_spec():
+    assert parse_mesh_spec("") is None
+    assert parse_mesh_spec("data:8") == {"data": 8}
+    assert parse_mesh_spec("data:4,model:2") == {"data": 4, "model": 2}

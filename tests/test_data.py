@@ -1,0 +1,117 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from r2l_tpu.data.blender import load_blender_data
+from r2l_tpu.data.rayshards import (RayBatchLoader, RayShardDataset,
+                                    get_pseudo_ratio, shuffle_rays,
+                                    write_ray_shards)
+
+
+def make_fake_blender(tmp_path, H=8, W=8, n_train=3, n_test=2):
+    """Procedural tiny blender-format dataset."""
+    import imageio.v2 as imageio
+    rng = np.random.default_rng(0)
+    base = str(tmp_path / "lego")
+    os.makedirs(base, exist_ok=True)
+    for split, n in [("train", n_train), ("val", 1), ("test", n_test)]:
+        frames = []
+        os.makedirs(os.path.join(base, split), exist_ok=True)
+        for i in range(n):
+            rel = f"./{split}/r_{i}"
+            img = (rng.uniform(0, 255, (H, W, 4))).astype(np.uint8)
+            imageio.imwrite(os.path.join(base, split, f"r_{i}.png"), img)
+            pose = np.eye(4)
+            pose[2, 3] = 4.0
+            frames.append({"file_path": rel,
+                           "transform_matrix": pose.tolist()})
+        with open(os.path.join(base, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+    return base
+
+
+def test_load_blender(tmp_path):
+    base = make_fake_blender(tmp_path)
+    d = load_blender_data(base)
+    assert d.images.shape == (6, 8, 8, 4)
+    assert d.poses.shape == (6, 4, 4)
+    assert len(d.i_split[0]) == 3 and len(d.i_split[2]) == 2
+    expect_focal = 0.5 * 8 / np.tan(0.5 * 0.6911)
+    np.testing.assert_allclose(d.focal, expect_focal, rtol=1e-6)
+    white = d.white_bkgd_rgb()
+    assert white.shape == (6, 8, 8, 3)
+    assert white.max() <= 1.0
+
+
+def test_load_blender_half_res(tmp_path):
+    base = make_fake_blender(tmp_path, H=8, W=8)
+    d = load_blender_data(base, half_res=True)
+    assert d.images.shape[1:3] == (4, 4)
+
+
+def test_load_blender_testskip(tmp_path):
+    base = make_fake_blender(tmp_path, n_test=4)
+    d = load_blender_data(base, testskip=2)
+    assert len(d.i_split[2]) == 2
+
+
+def test_write_and_read_shards(tmp_path, rng):
+    rays = rng.normal(size=(1000, 9)).astype(np.float32)
+    paths = write_ray_shards(str(tmp_path), rays, prefix="pseudo",
+                             shard_size=300)
+    assert len(paths) == 4
+    ds = RayShardDataset(str(tmp_path))
+    assert len(ds) == 1000 and ds.record_dim == 9
+    batch = ds.sample_batch(rng, 128, chunk=64)
+    assert batch.shape == (128, 9)
+
+
+def test_shards_append_numbering(tmp_path, rng):
+    rays = rng.normal(size=(100, 9)).astype(np.float32)
+    write_ray_shards(str(tmp_path), rays, shard_size=100)
+    p2 = write_ray_shards(str(tmp_path), rays, shard_size=100)
+    assert p2[0].endswith("pseudo_000001.npy")
+
+
+def test_real_pseudo_mixing(tmp_path, rng):
+    real = np.zeros((500, 9), np.float32)
+    pseudo = np.ones((500, 9), np.float32)
+    write_ray_shards(str(tmp_path), real, prefix="train", shuffle=False)
+    write_ray_shards(str(tmp_path), pseudo, prefix="pseudo", shuffle=False)
+    ds = RayShardDataset(str(tmp_path), pseudo_ratio=0.9)
+    frac = np.mean([ds.sample_batch(rng, 256, chunk=32)[:, 0].mean()
+                    for _ in range(20)])
+    assert 0.75 < frac < 1.0  # ~90% pseudo
+    ds2 = RayShardDataset(str(tmp_path), pseudo_ratio=0.1)
+    frac2 = np.mean([ds2.sample_batch(rng, 256, chunk=32)[:, 0].mean()
+                     for _ in range(20)])
+    assert frac2 < frac
+
+
+def test_pseudo_ratio_schedule():
+    s = "1:0.2,500000:0.9"
+    np.testing.assert_allclose(get_pseudo_ratio(s, 1), 0.2, atol=1e-6)
+    np.testing.assert_allclose(get_pseudo_ratio(s, 500000), 0.9, atol=1e-6)
+    mid = get_pseudo_ratio(s, 250000)
+    assert 0.5 < mid < 0.6
+
+
+def test_ray_batch_loader(tmp_path, rng):
+    rays = rng.normal(size=(2000, 9)).astype(np.float32)
+    write_ray_shards(str(tmp_path), rays, shard_size=1000)
+    loader = RayBatchLoader(RayShardDataset(str(tmp_path)), batch_size=256,
+                            chunk=128)
+    b1 = next(loader)
+    b2 = next(loader)
+    assert b1.shape == (256, 9)
+    assert not np.array_equal(b1, b2)
+    loader.close()
+
+
+def test_shuffle_rays_permutes(rng):
+    rays = np.arange(100, dtype=np.float32)[:, None].repeat(9, 1)
+    out = shuffle_rays(rng, rays.copy())
+    assert not np.array_equal(out[:, 0], rays[:, 0])
+    assert sorted(out[:, 0].tolist()) == rays[:, 0].tolist()

@@ -1,0 +1,79 @@
+"""Evaluation engine + export parity tests (tiny models, CPU)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2l_tpu.evaluate import make_r2l_frame_fn, render_path, to8b
+from r2l_tpu.export import check_export, export_r2l
+from r2l_tpu.models import R2LConfig, apply_r2l, init_r2l
+from r2l_tpu.sampler import PointSampler
+
+
+def _tiny(key):
+    cfg = R2LConfig(input_dim=4 * 3 * 21, netwidth=32, netdepth=6)
+    params = init_r2l(key, cfg)
+    sampler = PointSampler(H=8, W=8, focal=10.0, n_sample=4,
+                           near=2.0, far=6.0)
+    return cfg, params, sampler
+
+
+def test_render_path_metrics_and_files(key, tmp_path):
+    cfg, params, sampler = _tiny(key)
+    fn = make_r2l_frame_fn(params, cfg, sampler, use_pallas=False)
+    poses = [np.eye(4, dtype=np.float32)[:3, :4]] * 3
+    gt = np.asarray(fn(jnp.asarray(poses[0])))
+    res = render_path(fn, poses, gt_images=np.stack([gt] * 3),
+                      savedir=str(tmp_path))
+    assert res.frames.shape == (3, 8, 8, 3)
+    assert res.test_psnr > 60  # identical frames
+    assert res.test_ssim > 0.999
+    assert os.path.exists(tmp_path / "000.png")
+    assert os.path.exists(tmp_path / "000_err.png")
+
+
+def test_render_path_pallas_matches_jnp(key):
+    cfg, params, sampler = _tiny(key)
+    pose = np.eye(4, dtype=np.float32)[:3, :4]
+    a = make_r2l_frame_fn(params, cfg, sampler, use_pallas=False)(
+        jnp.asarray(pose))
+    b = make_r2l_frame_fn(params, cfg, sampler, use_pallas=True,
+                          pallas_tile=16)(jnp.asarray(pose))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_to8b():
+    x = np.array([-0.5, 0.0, 0.5, 1.0, 2.0])
+    np.testing.assert_array_equal(to8b(x), [0, 0, 127, 255, 255])
+
+
+def test_export_roundtrip_parity(key, tmp_path):
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=4)
+    params = init_r2l(key, cfg)
+    path = export_r2l(params, cfg, str(tmp_path), sample_batch=16)
+    assert os.path.exists(path)
+    # check_export runs inside export_r2l; run again vs perturbed params
+    # to prove the check actually detects mismatch.
+    bad = jax.tree.map(lambda p: p + 0.1, params)
+    try:
+        check_export(path, bad, cfg, sample_batch=16)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
+
+
+def test_export_dynamic_batch(key, tmp_path):
+    from jax import export as jexport
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=4)
+    params = init_r2l(key, cfg)
+    path = export_r2l(params, cfg, str(tmp_path), sample_batch=8)
+    with open(path, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    for n in (1, 7, 32):
+        x = jax.random.normal(jax.random.key(n), (n, 24))
+        got = np.asarray(restored.call(x))
+        want = np.asarray(apply_r2l(params, cfg, x))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2l_tpu.hardmine import (init_pool, parse_hard_ratio, sample_hard,
+                              update_pool)
+
+
+def test_parse_hard_ratio():
+    assert parse_hard_ratio("", 100) == (0, 0)
+    assert parse_hard_ratio(0.2, 100) == (20, 20)
+    assert parse_hard_ratio("0.2", 100) == (20, 20)
+    assert parse_hard_ratio("0.1,0.3", 100) == (10, 30)
+    assert parse_hard_ratio([0.1, 0.3], 100) == (10, 30)
+
+
+def test_pool_fills_then_replaces(key):
+    pool = init_pool(8, 3)
+    assert int(pool.size) == 0
+    # Fill in two chunks of 4.
+    r1 = jnp.arange(12.0).reshape(4, 3)
+    pool = update_pool(pool, r1, jnp.zeros((2,), jnp.int32))
+    assert int(pool.size) == 4 and int(pool.ptr) == 4
+    r2 = r1 + 100
+    pool = update_pool(pool, r2, jnp.zeros((2,), jnp.int32))
+    assert int(pool.size) == 8
+    np.testing.assert_array_equal(np.asarray(pool.rays[:4]), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(pool.rays[4:]), np.asarray(r2))
+    # Full: new rays land in the sampled slots.
+    r3 = jnp.full((2, 3), -1.0)
+    pool = update_pool(pool, r3, jnp.array([1, 6], jnp.int32))
+    assert int(pool.size) == 8
+    np.testing.assert_array_equal(np.asarray(pool.rays[1]), [-1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(pool.rays[6]), [-1, -1, -1])
+
+
+def test_sample_hard_fallback_when_empty(key):
+    pool = init_pool(8, 3)
+    fallback = jnp.arange(9.0).reshape(3, 3)
+    rays, idx = sample_hard(pool, key, 2, fallback)
+    np.testing.assert_array_equal(np.asarray(rays), np.asarray(fallback[:2]))
+
+
+def test_sample_hard_draws_from_filled_region(key):
+    pool = init_pool(8, 3)
+    pool = update_pool(pool, jnp.ones((4, 3)) * 7, jnp.zeros((1,), jnp.int32))
+    fallback = jnp.zeros((4, 3))
+    for k in jax.random.split(key, 5):
+        rays, idx = sample_hard(pool, k, 4, fallback)
+        assert (np.asarray(idx) < 4).all()
+        np.testing.assert_array_equal(np.asarray(rays), np.full((4, 3), 7.0))
+
+
+def test_update_pool_jit_donation():
+    pool = init_pool(16, 9)
+
+    @jax.jit
+    def step(p, rays, idx):
+        return update_pool(p, rays, idx)
+
+    pool = step(pool, jnp.ones((4, 9)), jnp.zeros((2,), jnp.int32))
+    assert int(pool.size) == 4

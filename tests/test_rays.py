@@ -1,0 +1,89 @@
+import jax.numpy as jnp
+import numpy as np
+
+from r2l_tpu import rays
+
+
+def _golden_rays(H, W, focal, c2w):
+    """Independent numpy ray generation for cross-checking."""
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i - W * 0.5) / focal, -(j - H * 0.5) / focal,
+                     -np.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def test_get_rays_matches_golden(rng):
+    H, W, focal = 5, 7, 10.0
+    c2w = rays.pose_spherical(33.0, -40.0, 4.0).astype(np.float32)
+    ro, rd = rays.get_rays(H, W, focal, jnp.asarray(c2w))
+    go, gd = _golden_rays(H, W, focal, c2w)
+    np.testing.assert_allclose(np.asarray(ro), go, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd), gd, rtol=1e-5, atol=1e-6)
+
+
+def test_get_rays_center_pixel_points_forward():
+    H = W = 4
+    c2w = jnp.eye(4)[:3]
+    _, rd = rays.get_rays(H, W, 100.0, c2w)
+    # With identity pose, central dirs are ~[0, 0, -1].
+    assert float(rd[2, 2, 2]) == -1.0
+
+
+def test_focal_scale_shrinks_fov():
+    H = W = 8
+    c2w = jnp.eye(4)[:3]
+    _, rd1 = rays.get_rays(H, W, 10.0, c2w)
+    _, rd2 = rays.get_rays(H, W, 10.0, c2w, focal_scale=2.0)
+    np.testing.assert_allclose(np.asarray(rd2[..., :2]),
+                               np.asarray(rd1[..., :2]) / 2.0, rtol=1e-6)
+
+
+def test_ndc_rays_on_near_plane():
+    H, W, focal = 10, 10, 12.0
+    ro = jnp.array([[0.2, -0.1, -0.5]])
+    rd = jnp.array([[0.01, 0.02, -1.0]])
+    no, nd = rays.ndc_rays(H, W, focal, 1.0, ro, rd)
+    # After the warp, origin z = 1 + 2*near/oz with oz = -near -> -1.
+    np.testing.assert_allclose(float(no[0, 2]), -1.0, rtol=1e-6)
+    # Golden scalar check of the projection formula.
+    oz = -1.0  # shifted origin z equals -near
+    t = -(1.0 + float(ro[0, 2])) / float(rd[0, 2])
+    ox = float(ro[0, 0]) + t * float(rd[0, 0])
+    np.testing.assert_allclose(
+        float(no[0, 0]), -1.0 / (W / (2 * focal)) * ox / oz, rtol=1e-5)
+
+
+def test_plucker_moment_orthogonal():
+    o = jnp.array([[1.0, 2.0, 3.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    p = rays.plucker(o, d)
+    assert p.shape == (1, 6)
+    m = np.asarray(p[0, 3:])
+    # moment = o x d is orthogonal to both o and d
+    assert abs(np.dot(m, np.asarray(o[0]))) < 1e-6
+    assert abs(np.dot(m, np.asarray(d[0]))) < 1e-6
+
+
+def test_pose_spherical_is_rigid():
+    c2w = rays.pose_spherical(45.0, -30.0, 4.0)
+    R = c2w[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]), 4.0, rtol=1e-6)
+
+
+def test_get_rand_pose_ranges(rng):
+    for _ in range(20):
+        c2w = rays.get_rand_pose(rng)
+        np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]), 4.0, rtol=1e-5)
+        # phi in [-90, 0] keeps the camera at or above the equator: after
+        # the blender flip (new_y = old_z, new_z = old_y) the height is
+        # world z = -sin(phi) * r >= 0.
+        assert c2w[2, 3] >= -1e-5
+
+
+def test_get_novel_poses_counts():
+    assert rays.get_novel_poses(8).shape == (8, 4, 4)
+    assert rays.get_novel_poses([4, 2, 2]).shape == (16, 4, 4)

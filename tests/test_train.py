@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r2l_tpu.models import R2LConfig, init_r2l, NeRFConfig, init_nerf
+from r2l_tpu.render import VolRenderConfig
+from r2l_tpu.sampler import PointSampler
+from r2l_tpu.train import (DistillConfig, TeacherTrainConfig,
+                           init_teacher_state, init_train_state,
+                           make_distill_step, make_lr_schedule,
+                           make_optimizer, make_teacher_step)
+
+
+def test_lr_schedule_exponential():
+    sch = make_lr_schedule(5e-4, 250)
+    np.testing.assert_allclose(float(sch(0)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sch(250 * 1000)), 5e-5, rtol=1e-5)
+
+
+def test_lr_schedule_warmup():
+    sch = make_lr_schedule(1e-3, 250, warmup="0.0001,1000")
+    np.testing.assert_allclose(float(sch(0)), 1e-4, rtol=1e-5)
+    assert float(sch(500)) < 1e-3
+    # At warmup end the decay branch takes over:
+    # lrate * 0.1^(1000/250000) (reference `main.py:1181-1195`).
+    np.testing.assert_allclose(float(sch(1000)),
+                               1e-3 * 0.1 ** (1000 / 250000.0), rtol=1e-4)
+
+
+def _tiny_setup(key, hard=False):
+    cfg = R2LConfig(input_dim=8 * 3 * 21, netwidth=16, netdepth=4)
+    params = init_r2l(key, cfg)
+    dcfg = DistillConfig(batch_size=64, perturb=True,
+                         n_hard_in=8 if hard else 0,
+                         n_hard_out=8 if hard else 0,
+                         hard_mul=2.0 if hard else 1.0)
+    sampler = PointSampler(H=4, W=4, focal=5.0, n_sample=8, near=2.0, far=6.0)
+    state, tx = init_train_state(key, params, dcfg)
+    step = make_distill_step(cfg, dcfg, sampler, tx)
+    return cfg, dcfg, sampler, state, step
+
+
+def _fake_batch(rng, n):
+    o = np.zeros((n, 3), np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    return jnp.asarray(np.concatenate([o, d, rgb], 1))
+
+
+def test_distill_step_reduces_loss(key, rng):
+    cfg, dcfg, sampler, state, step = _tiny_setup(key)
+    batch = _fake_batch(rng, 64)  # fixed batch -> loss must drop
+    losses = []
+    for i in range(20):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 20
+
+
+def test_distill_step_with_hard_mining(key, rng):
+    cfg, dcfg, sampler, state, step = _tiny_setup(key, hard=True)
+    fresh_n = 64 - dcfg.n_hard_out
+    for i in range(5):
+        state, m = step(state, _fake_batch(rng, fresh_n), jax.random.key(i))
+    assert int(state.pool.size) == 5 * dcfg.n_hard_in
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_teacher_step_runs_and_learns(key, rng):
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=0, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=32, precrop_iters=2)
+    state, tx = init_teacher_state(pc, {}, tcfg)
+    step = make_teacher_step(ncfg, vcfg, tcfg, tx, H=8, W=8, focal=10.0)
+
+    images = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    poses = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2))
+    losses = []
+    for i in range(10):
+        state, m = step(state, images, poses, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 10
+
+
+def test_optimizer_is_adam():
+    tx = make_optimizer(5e-4, 250)
+    assert tx is not None

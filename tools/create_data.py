@@ -1,0 +1,101 @@
+"""Pseudo-data generation CLI (the reference's `utils/create_data.py`).
+
+Canonical use (README.md:79-91):
+
+  python tools/create_data.py --config configs/lego.txt --model_name nerf \
+      --teacher_ckpt <nerf ckpt> --create_data rand --n_pose_kd 10000 \
+      --datadir_kd data/nerf_synthetic/lego_pseudo
+
+Modes:
+  * ``rand``  — random spherical poses, random focal x[1,2), frozen-teacher
+    full-frame renders -> shuffled consolidated ray shards
+    (reference `create_data.py:777-872`).
+  * ``spiral_evenly_spaced`` — even pose grid -> pseudo images + poses
+    (reference `create_data.py:749-775`).
+  * ``convert_rays`` — real train images -> ``train_*.npy`` ray shards
+    (the reference's offline `utils/convert_original_data_to_rays_*.py`).
+
+``--test_teacher`` renders the test split first and reports teacher PSNR
+(reference `create_data.py:723-742`).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+from r2l_tpu.app import build_teacher, load_dataset, vol_config  # noqa: E402
+from r2l_tpu.configs import parse_args  # noqa: E402
+from r2l_tpu.datagen import (DataGenConfig, generate_pseudo_data,  # noqa: E402
+                             generate_pseudo_images, images_to_ray_records)
+from r2l_tpu.data.rayshards import write_ray_shards  # noqa: E402
+from r2l_tpu.evaluate import make_nerf_frame_fn, render_path  # noqa: E402
+from r2l_tpu.logging_ import Logger  # noqa: E402
+from r2l_tpu.sampler import PointSampler  # noqa: E402
+
+
+def main() -> None:
+    args = parse_args()
+    logger = Logger(experiment_name=args.experiment_name or "create_data",
+                    experiments_dir=args.experiments_dir, debug=args.debug,
+                    args=args)
+    ns = load_dataset(args, logger)
+    datadir_kd = args.datadir_kd or (args.datadir + "_pseudo")
+
+    if args.create_data == "convert_rays":
+        records = images_to_ray_records(
+            ns.images[ns.i_train], ns.poses[ns.i_train],
+            ns.H, ns.W, ns.focal)
+        paths = write_ray_shards(datadir_kd, records, prefix="train",
+                                 rng=np.random.default_rng(args.seed))
+        logger.print(f"wrote {records.shape[0]} real rays "
+                     f"to {len(paths)} shards in {datadir_kd}")
+        return
+
+    ncfg, pc, pf, _ = build_teacher(args, logger)
+    vcfg = vol_config(args, ns)
+
+    if args.test_teacher:
+        sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
+                               n_sample=args.N_samples,
+                               near=ns.near, far=ns.far)
+        frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
+                                      (ns.H, ns.W, ns.focal) if ns.ndc
+                                      else None)
+        res = render_path(frame_fn, ns.poses[ns.i_test],
+                          gt_images=ns.images[ns.i_test],
+                          compute_flip=False, logger=logger)
+        logger.print(f"teacher test PSNR {res.test_psnr:.4f}")
+
+    if args.rm_existing_data and os.path.isdir(datadir_kd):
+        for f in os.listdir(datadir_kd):
+            if f.endswith(".npy") and not f.startswith("train_"):
+                os.remove(os.path.join(datadir_kd, f))
+
+    n_pose = args.n_pose_kd if args.n_pose_kd else 100
+    gcfg = DataGenConfig(
+        n_pose=n_pose if isinstance(n_pose, int) else n_pose,
+        H=ns.H, W=ns.W, focal=ns.focal,
+        use_rand_focal=args.use_rand_focal,
+        learn_depth=bool(args.learn_depth),
+        save_every=args.create_data_chunk, seed=args.seed)
+
+    if args.create_data == "rand":
+        total = generate_pseudo_data(
+            pc, pf or None, ncfg, vcfg, gcfg, datadir_kd,
+            progress=lambda i, n: (i % 50 == 0 and logger.print(
+                f"pose {i}/{n}")))
+        logger.print(f"generated {total} pseudo rays in {datadir_kd}")
+    elif args.create_data == "spiral_evenly_spaced":
+        n = generate_pseudo_images(pc, pf or None, ncfg, vcfg, gcfg,
+                                   datadir_kd, n_pose=n_pose)
+        logger.print(f"generated {n} pseudo images in {datadir_kd}")
+    else:
+        raise SystemExit(f"unsupported --create_data {args.create_data!r} "
+                         "(supported: rand, spiral_evenly_spaced, "
+                         "convert_rays)")
+
+
+if __name__ == "__main__":
+    main()
