@@ -137,13 +137,9 @@ def build_r2l(args, logger):
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
         logger.print(f"Loaded pretrained ckpt {path} (step {start_step})")
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    flops_per_ray = 2 * (cfg.input_dim * cfg.netwidth
-                         + cfg.num_blocks * cfg.n_learnable
-                         * cfg.netwidth ** 2
-                         + cfg.netwidth * cfg.output_dim)
-    logger.print(f"R2L model: {n_params/1e6:.2f}M params, "
-                 f"{flops_per_ray/1e6:.2f}M FLOPs/pixel")
+    from .flops import count_params, r2l_analytic_flops_per_pixel
+    logger.print(f"R2L model: {count_params(params)/1e6:.2f}M params, "
+                 f"{r2l_analytic_flops_per_pixel(cfg)/1e6:.2f}M FLOPs/pixel")
     return cfg, params, start_step
 
 
@@ -203,6 +199,24 @@ def run_render_only(args, ns, logger) -> EvalResult:
         logger.exp_dir,
         f"render_only_{'test' if args.render_test else 'path'}")
     os.makedirs(savedir, exist_ok=True)
+
+    if args.model_name in ("R2L", "nerf_v3.2") and args.given_render_path_rays:
+        # DONeRF precomputed-ray path (reference `main.py:207-270`).
+        from .evaluate import load_given_render_path_rays, render_path_given_rays
+        cfg, params, _ = build_r2l(args, logger)
+        sampler = PointSampler(H=H, W=W, focal=focal,
+                               n_sample=args.n_sample_per_ray,
+                               near=ns.near, far=ns.far)
+        ro, rd, gt = load_given_render_path_rays(args.given_render_path_rays)
+        res = render_path_given_rays(params, cfg, sampler, ro, rd, H, W,
+                                     gt_images=gt, savedir=savedir,
+                                     embed_L=args.multires,
+                                     plucker=args.plucker, logger=logger)
+        if res.test_psnr is not None:
+            logger.print(f"given-rays: PSNR {res.test_psnr:.4f} "
+                         f"SSIM {res.test_ssim:.4f}")
+        write_video(os.path.join(savedir, "video.mp4"), res.frames)
+        return res
 
     if args.model_name in ("R2L", "nerf_v3.2"):
         cfg, params, _ = build_r2l(args, logger)
@@ -392,7 +406,24 @@ def run_teacher_train(args, ns, logger):
         n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac)
     state, tx = init_teacher_state(pc, pf, tcfg)
-    step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx, ns.H, ns.W, ns.focal)
+
+    # use_batching (reference default for LLFF): pre-generate the global
+    # shuffled ray pool from all train images; no_batching samples pixels
+    # from one random image per step (`main.py:1135-1162` vs `:1267-1302`).
+    use_batching = not args.no_batching
+    if use_batching:
+        from .datagen import images_to_ray_records
+        from .train import make_teacher_step_batched
+        records = images_to_ray_records(
+            np.asarray(ns.images[ns.i_train]),
+            np.asarray(ns.poses[ns.i_train]), ns.H, ns.W, ns.focal)
+        rng = np.random.default_rng(args.seed)
+        ray_pool = jnp.asarray(records[rng.permutation(records.shape[0])])
+        logger.print(f"use_batching: ray pool {ray_pool.shape}")
+        step_fn_b = make_teacher_step_batched(ncfg, vcfg, tcfg, tx)
+    else:
+        step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx,
+                                    ns.H, ns.W, ns.focal)
 
     images = jnp.asarray(ns.images[ns.i_train])
     poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
@@ -405,7 +436,10 @@ def run_teacher_train(args, ns, logger):
     best_psnr = -1.0
     for i in range(start + 1, args.N_iters + 1):
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, images, poses, sub)
+        if use_batching:
+            state, metrics = step_fn_b(state, ray_pool, sub)
+        else:
+            state, metrics = step_fn(state, images, poses, sub)
         if i % args.i_print == 0:
             loss = lossline.update("loss", float(metrics["loss"]))
             psnr = lossline.update("psnr", float(metrics["psnr"]))
@@ -443,6 +477,14 @@ def train(args) -> None:
         main_process=jax.process_index() == 0)
     logger.print(f"devices: {jax.devices()}")
 
+    if args.debug_nans:
+        # Reference equivalent: torch set_detect_anomaly(True) + NaN/Inf
+        # render checks (`model:4`, `main.py:752-754`).
+        jax.config.update("jax_debug_nans", True)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        logger.print(f"profiler trace -> {args.profile_dir}")
+
     ns = load_dataset(args, logger)
 
     if args.render_only:
@@ -455,4 +497,6 @@ def train(args) -> None:
         run_teacher_train(args, ns, logger)
     else:
         run_distill(args, ns, logger)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     logger.close()

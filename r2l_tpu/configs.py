@@ -203,6 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
         help='checkpoint format for --pretrained_ckpt / --teacher_ckpt')
     add('--export_dir', type=str, default='',
         help='output dir for --convert_to_onnx (StableHLO export)')
+    add('--profile_dir', type=str, default='',
+        help='write jax.profiler traces here during training/render')
+    add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
+        help='enable jax_debug_nans (the reference keeps torch '
+             'set_detect_anomaly always on; here it is opt-in)')
     return p
 
 

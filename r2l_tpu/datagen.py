@@ -105,6 +105,189 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     return total["rays"]
 
 
+def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
+                           include_center: bool = False) -> np.ndarray:
+    """Per-pixel random valid 8(9)-neighborhood offset, [H, W, 2].
+
+    Vectorized equivalent of the reference's per-pixel resample loop
+    (`create_data.py:914-929`): draw from the offset set, redraw where the
+    neighbor would fall outside the image.
+    """
+    offsets = [[-1, -1], [-1, 0], [-1, 1], [0, -1], [0, 1],
+               [1, -1], [1, 0], [1, 1]]
+    if include_center:
+        offsets.insert(4, [0, 0])
+    offs = np.asarray(offsets)
+    hh = np.arange(H)[:, None]
+    ww = np.arange(W)[None, :]
+    pick = rng.integers(0, len(offs), size=(H, W))
+    for _ in range(8):  # resample out-of-bounds picks (<=3 draws w.h.p.)
+        oh, ow = offs[pick][..., 0], offs[pick][..., 1]
+        bad = ((hh + oh < 0) | (hh + oh >= H)
+               | (ww + ow < 0) | (ww + ow >= W))
+        if not bad.any():
+            break
+        pick = np.where(bad, rng.integers(0, len(offs), size=(H, W)), pick)
+    return offs[pick]
+
+
+def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
+                     gcfg: DataGenConfig, datadir: str,
+                     radius: float = 4.0) -> int:
+    """``rand_tworays`` mode: per pixel, also record a random neighbor's
+    direction+rgb -> 15-float records [o, d, d2, rgb, rgb2]
+    (reference `create_data.py:874-966`, for the nerf_v4 student)."""
+    rng = np.random.default_rng(gcfg.seed)
+    H, W = gcfg.H, gcfg.W
+
+    @jax.jit
+    def render_frame(rays_o, rays_d):
+        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                 rays_o, rays_d)["rgb"]
+
+    total, buf = 0, []
+    for i in range(gcfg.n_pose):
+        c2w = get_rand_pose(rng, radius=radius)
+        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
+                              else 1.0)
+        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
+                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        ro, rd = np.asarray(ro), np.asarray(rd)
+        off = _rand_neighbor_offsets(rng, H, W)
+        nh = np.arange(H)[:, None] + off[..., 0]
+        nw = np.arange(W)[None, :] + off[..., 1]
+        rec = np.concatenate([ro, rd, rd[nh, nw], rgb, rgb[nh, nw]],
+                             axis=-1).reshape(-1, 15)
+        buf.append(rec.astype(np.float32))
+        if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
+            rays = shuffle_rays(rng, np.concatenate(buf, 0))
+            write_ray_shards(datadir, rays, prefix="pseudo2ray",
+                             shard_size=gcfg.shard_size, shuffle=False)
+            total += rays.shape[0]
+            buf = []
+    return total
+
+
+def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
+                     gcfg: DataGenConfig, datadir: str,
+                     radius: float = 4.0) -> int:
+    """``3x3rays`` mode: interior pixels with their full 3x3 neighborhood
+    -> 57-float records [o(3), d3x3(27), rgb3x3(27)]
+    (reference `create_data.py:1020-1115`, for the nerf_v3.4 student)."""
+    rng = np.random.default_rng(gcfg.seed)
+    H, W = gcfg.H, gcfg.W
+
+    @jax.jit
+    def render_frame(rays_o, rays_d):
+        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                 rays_o, rays_d)["rgb"]
+
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+               (1, -1), (1, 0), (1, 1)]
+    total, buf = 0, []
+    for i in range(gcfg.n_pose):
+        c2w = get_rand_pose(rng, radius=radius)
+        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
+                              else 1.0)
+        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
+                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        ro, rd = np.asarray(ro), np.asarray(rd)
+        d_parts = [rd[1 + oh:H - 1 + oh, 1 + ow:W - 1 + ow]
+                   for oh, ow in offsets]
+        c_parts = [rgb[1 + oh:H - 1 + oh, 1 + ow:W - 1 + ow]
+                   for oh, ow in offsets]
+        rec = np.concatenate([ro[1:H - 1, 1:W - 1]] + d_parts + c_parts,
+                             axis=-1).reshape(-1, 57)
+        buf.append(rec.astype(np.float32))
+        if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
+            rays = shuffle_rays(rng, np.concatenate(buf, 0))
+            write_ray_shards(datadir, rays, prefix="pseudo3x3",
+                             shard_size=gcfg.shard_size, shuffle=False)
+            total += rays.shape[0]
+            buf = []
+    return total
+
+
+def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
+                         gcfg: DataGenConfig, datadir: str,
+                         radius: float = 4.0) -> int:
+    """``rand_images`` mode: one [H, W, 9] (o,d,rgb) array per random pose
+    (reference `create_data.py:968-1018`, for the nerf_v6 student) —
+    consolidated into .npz batches of ``save_every`` frames."""
+    import os
+
+    rng = np.random.default_rng(gcfg.seed)
+    H, W = gcfg.H, gcfg.W
+
+    @jax.jit
+    def render_frame(rays_o, rays_d):
+        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                 rays_o, rays_d)["rgb"]
+
+    os.makedirs(datadir, exist_ok=True)
+    frames = []
+    n_batch = 0
+    for i in range(gcfg.n_pose):
+        c2w = get_rand_pose(rng, radius=radius)
+        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
+                              else 1.0)
+        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
+                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        frames.append(np.concatenate(
+            [np.asarray(ro), np.asarray(rd), rgb], -1).astype(np.float32))
+        if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
+            np.savez(os.path.join(datadir, f"rand_images_{n_batch:05d}.npz"),
+                     data=np.stack(frames))
+            n_batch += 1
+            frames = []
+    return gcfg.n_pose
+
+
+def generate_patches(params_coarse, params_fine, ncfg, vcfg,
+                     gcfg: DataGenConfig, datadir: str,
+                     patch_size: int = 16, radius: float = 4.0) -> int:
+    """``16x16patches`` mode: per random pose, the shared origin plus
+    [patch, patch, 6] (d, rgb) tiles (reference `create_data.py:1117-1186`)
+    — one .npz per pose batch instead of a folder of tiny files."""
+    import os
+
+    rng = np.random.default_rng(gcfg.seed)
+    H, W = gcfg.H, gcfg.W
+    ph, pw = H // patch_size, W // patch_size
+
+    @jax.jit
+    def render_frame(rays_o, rays_d):
+        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                 rays_o, rays_d)["rgb"]
+
+    os.makedirs(datadir, exist_ok=True)
+    origins, patches = [], []
+    n_batch = 0
+    for i in range(gcfg.n_pose):
+        c2w = get_rand_pose(rng, radius=radius)
+        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
+                              else 1.0)
+        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
+                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        data = np.concatenate([np.asarray(rd), rgb], -1)  # [H, W, 6]
+        tiles = (data[:ph * patch_size, :pw * patch_size]
+                 .reshape(ph, patch_size, pw, patch_size, 6)
+                 .transpose(0, 2, 1, 3, 4)
+                 .reshape(ph * pw, patch_size, patch_size, 6))
+        origins.append(np.asarray(ro)[0, 0])
+        patches.append(tiles.astype(np.float32))
+        if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
+            np.savez(os.path.join(datadir, f"patches_{n_batch:05d}.npz"),
+                     rays_o=np.stack(origins), patches=np.stack(patches))
+            n_batch += 1
+            origins, patches = [], []
+    return gcfg.n_pose
+
+
 def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
                            ncfg: NeRFConfig, vcfg: VolRenderConfig,
                            gcfg: DataGenConfig, datadir: str,

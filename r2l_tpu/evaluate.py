@@ -164,6 +164,73 @@ def render_path(frame_fn: Callable[[Array], Array],
     return result
 
 
+def load_given_render_path_rays(path: str):
+    """Load a DONeRF-style precomputed ray file: ``all_rays_o``/
+    ``all_rays_d`` [N, H*W, 3] (+ optional ``gt_imgs`` [N, H, W, 3]) — a
+    torch ``.pt`` pickle (reference `main.py:206-212`) or an ``.npz``."""
+    if path.endswith(".npz"):
+        data = dict(np.load(path))
+    else:
+        import torch
+        loaded = torch.load(path, map_location="cpu", weights_only=False)
+        data = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in loaded.items()}
+    gt = data.get("gt_imgs")
+    return (np.asarray(data["all_rays_o"], np.float32),
+            np.asarray(data["all_rays_d"], np.float32),
+            None if gt is None else np.asarray(gt, np.float32))
+
+
+def render_path_given_rays(params: dict, cfg: R2LConfig,
+                           sampler: PointSampler,
+                           all_rays_o: np.ndarray, all_rays_d: np.ndarray,
+                           H: int, W: int,
+                           gt_images: np.ndarray | None = None,
+                           savedir: str | None = None,
+                           embed_L: int = 10, plucker: bool = False,
+                           logger=None) -> EvalResult:
+    """DONeRF path: render frames from precomputed rays
+    (reference `main.py:207-270`)."""
+    from .rays import plucker as plucker_fn
+
+    @jax.jit
+    def frame(ro, rd):
+        pts = (plucker_fn(ro, rd) if plucker
+               else sampler.sample_train(ro, rd))
+        rgb = apply_r2l(params, cfg, r2l_embed(pts, embed_L))
+        return rgb[:, :3].reshape(H, W, 3)
+
+    frames, mses, psnrs, ssims = [], [], [], []
+    for i in range(all_rays_o.shape[0]):
+        img = frame(jnp.asarray(all_rays_o[i]), jnp.asarray(all_rays_d[i]))
+        img_np = np.asarray(img, np.float32)
+        frames.append(img_np)
+        if gt_images is not None:
+            gt = jnp.asarray(gt_images[i, :H, :W])
+            mse = float(M.img2mse(img, gt))
+            mses.append(mse)
+            psnrs.append(float(M.mse2psnr(jnp.asarray(mse))))
+            ssims.append(float(M.ssim(img, gt)))
+        if savedir is not None:
+            import imageio.v2 as imageio
+            imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"),
+                            to8b(img_np))
+            if gt_images is not None:
+                imageio.imwrite(
+                    os.path.join(savedir, f"{i:03d}_error.png"),
+                    to8b(np.abs(img_np - gt_images[i, :H, :W])))
+        if logger is not None:
+            logger.print(f"given-rays frame {i}"
+                         + (f" psnr {psnrs[-1]:.4f}" if psnrs else ""))
+    res = EvalResult(frames=np.stack(frames))
+    if mses:
+        res.per_frame_psnr = psnrs
+        res.test_psnr = float(np.mean(psnrs))
+        res.test_psnr_v2 = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        res.test_ssim = float(np.mean(ssims))
+    return res
+
+
 def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
     """Write an mp4 (needs an ffmpeg backend); fall back to GIF when no
     video codec is available so headless runs never crash. Returns the

@@ -1,0 +1,48 @@
+"""FLOPs / parameter accounting via XLA cost analysis.
+
+The reference counts FLOPs with forward hooks on torch modules
+(`/root/reference/smilelogging/utils.py:129-138,259-316`, logged at
+`main.py:538-552` as "FLOPs/pixel"). Here the compiler itself is the
+source of truth: ``jax.jit(fn).lower(...).compile().cost_analysis()``
+reports exactly what will execute, including fusion effects.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+
+def count_params(params: Any) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def param_bytes(params: Any) -> int:
+    return sum(int(np.prod(p.shape)) * p.dtype.itemsize
+               for p in jax.tree.leaves(params))
+
+
+def xla_cost(fn: Callable, *args, **kwargs) -> dict:
+    """Compile ``fn`` for the given abstract args; return XLA's cost dict
+    (keys like 'flops', 'bytes accessed')."""
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return dict(cost or {})
+
+
+def flops_per_pixel(fn: Callable, n_ray: int, *args) -> float:
+    """FLOPs/pixel of a ray-batched forward (reference `main.py:546-552`
+    prints the same quantity from hook counters)."""
+    cost = xla_cost(fn, *args)
+    return float(cost.get("flops", 0.0)) / n_ray
+
+
+def r2l_analytic_flops_per_pixel(cfg) -> float:
+    """Closed-form matmul FLOPs/ray for an R2L config (canonical W256/D88
+    -> 11.79M, matching the paper table in BASELINE.md)."""
+    return 2.0 * (cfg.input_dim * cfg.netwidth
+                  + cfg.num_blocks * cfg.n_learnable * cfg.netwidth ** 2
+                  + cfg.netwidth * cfg.output_dim)

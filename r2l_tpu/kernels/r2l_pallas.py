@@ -111,6 +111,144 @@ def _kernel(x_ref, head_w, head_b, body_w, body_b, tail_w, tail_b, out_ref,
     out_ref[...] = out
 
 
+# ---------------------------------------------------------------------------
+# Variant 2: positional encoding fused INTO the kernel.
+#
+# The r2l_embed layout is per-scalar ([sin(s f0..f9), cos(s f0..f9), s] for
+# each of the 48 scalars); producing it in-kernel would need a lane-dim
+# reshape Mosaic handles poorly. Instead the kernel computes a freq-major
+# layout (21 contiguous [TILE, 48] parts: sin f0..f9 | cos f0..f9 | id) and
+# ``prepare_fused_params_pe`` permutes the head-weight ROWS to match, so the
+# matmul is mathematically identical. This removes the [n_ray, 1008]
+# embedded-activation round-trip through HBM (~320 MB per 400x400 frame).
+# ---------------------------------------------------------------------------
+
+def _pe_row_permutation(dim_pts: int, L: int) -> np.ndarray:
+    """new_row p*dim_pts + s  <-  old_row s*(2L+1) + per-scalar index."""
+    import numpy as np
+    per = 2 * L + 1
+    perm = np.empty(dim_pts * per, dtype=np.int64)
+    for p in range(per):
+        old_j = p if p < L else (L + (p - L)) if p < 2 * L else 2 * L
+        for s in range(dim_pts):
+            perm[p * dim_pts + s] = s * per + old_j
+    return perm
+
+
+import numpy as np  # noqa: E402  (used by the permutation helper)
+
+
+def prepare_fused_params_pe(params: dict, cfg: R2LConfig, dim_pts: int,
+                            L: int = 10,
+                            weight_dtype=jnp.bfloat16) -> FusedParams:
+    """Pack params for the PE-fused kernel (freq-major head-row order)."""
+    assert cfg.input_dim == dim_pts * (2 * L + 1)
+    perm = _pe_row_permutation(dim_pts, L)
+    permuted = dict(params)
+    permuted["head"] = {"w": params["head"]["w"][perm],
+                        "b": params["head"]["b"]}
+    return prepare_fused_params(permuted, cfg, weight_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
+                                             "interpret"))
+def fused_r2l_apply_pe(fparams: FusedParams, cfg: R2LConfig, pts: Array,
+                       dim_pts: int, L: int = 10, tile: int = 512,
+                       interpret: bool | None = None) -> Array:
+    """pts [N, dim_pts] raw sample points -> RGB [N, output_dim] f32.
+
+    Positional encoding runs inside the kernel (VPU) overlapped with the
+    MXU matmul chain; params must come from ``prepare_fused_params_pe``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pts.shape[0]
+    in_pad = fparams.head_w.shape[0]
+    out_pad = fparams.tail_w.shape[1]
+    n_pad = _round_up(max(n, 1), tile)
+    cd = (jnp.float32 if fparams.head_w.dtype == jnp.float32
+          else cfg.compute_dtype)
+
+    pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+    pp = pp.at[:n].set(pts.astype(jnp.float32))
+
+    def kern(p_ref, head_w, head_b, body_w, body_b, tail_w, tail_b,
+             out_ref):
+        p = p_ref[...]
+        # Each part cast to the compute dtype before concat: halves the
+        # VMEM transient (21 x [tile, dim_pts] buffers).
+        parts = [jnp.sin(p * (2.0 ** j)).astype(cd) for j in range(L)]
+        parts += [jnp.cos(p * (2.0 ** j)).astype(cd) for j in range(L)]
+        parts.append(p.astype(cd))
+        pad = in_pad - dim_pts * (2 * L + 1)
+        if pad:
+            parts.append(jnp.zeros((p.shape[0], pad), cd))
+        x = jnp.concatenate(parts, axis=1)
+        _kernel_body(x, head_w, head_b, body_w, body_b, tail_w, tail_b,
+                     out_ref, cfg, cd)
+
+    W = cfg.netwidth
+    nbl = fparams.body_w.shape[0]
+    const = lambda i: (0, 0)  # noqa: E731
+    flops_tile = 2 * tile * (in_pad * W + nbl * W * W + W * out_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dim_pts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * (n_pad // tile),
+            bytes_accessed=n_pad * dim_pts * 4,
+            transcendentals=n_pad * dim_pts * 2 * L),
+        interpret=interpret,
+    )(pp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
+      fparams.tail_w, fparams.tail_b)
+    return out[:n, :cfg.output_dim]
+
+
+def _kernel_body(x, head_w, head_b, body_w, body_b, tail_w, tail_b,
+                 out_ref, cfg: R2LConfig, cd):
+    """Shared matmul chain: embedded x -> out_ref (used by both kernels)."""
+    def mm(a, w):
+        return jnp.dot(a, w[...] if hasattr(w, "at") else w,
+                       preferred_element_type=jnp.float32)
+
+    h0 = jnp.maximum(mm(x, head_w[...]) + head_b[...], 0.0).astype(cd)
+    nl = cfg.n_learnable
+
+    def block(i, h):
+        acc = h
+        for j in range(nl):
+            w = body_w[i * nl + j]
+            b = body_b[pl.ds(i * nl + j, 1), :]
+            acc_f = mm(acc, w) + b
+            if j < nl - 1:
+                acc_f = jnp.maximum(acc_f, 0.0)
+            acc = acc_f.astype(cd)
+        return (acc.astype(jnp.float32) * cfg.res_scale
+                + h.astype(jnp.float32)).astype(cd)
+
+    h = jax.lax.fori_loop(0, cfg.num_blocks, block, h0)
+    if cfg.use_residual:
+        h = (h.astype(jnp.float32) + h0.astype(jnp.float32)).astype(cd)
+    out = mm(h, tail_w[...]) + tail_b[...]
+    if not cfg.linear_tail:
+        out = jax.nn.sigmoid(out)
+    out_ref[...] = out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def fused_r2l_apply(fparams: FusedParams, cfg: R2LConfig, x: Array,
                     tile: int = 256, interpret: bool | None = None) -> Array:

@@ -191,6 +191,41 @@ def init_teacher_state(params_coarse: Any, params_fine: Any,
                         jnp.zeros((), jnp.int32)), tx
 
 
+def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
+                              tcfg: TeacherTrainConfig,
+                              tx: optax.GradientTransformation):
+    """Teacher step over a pre-shuffled global ray pool (the reference's
+    ``use_batching`` mode, `main.py:1135-1162,1199-1209`): rays live on
+    device as one [N, 9] array; each step takes the next ``n_rand`` slice
+    by rolling offset (wrap-around re-shuffle is the caller's choice)."""
+
+    def step(state: TeacherState, ray_pool: Array, key: jax.Array):
+        n = ray_pool.shape[0]
+        offset = (state.step * tcfg.n_rand) % jnp.maximum(
+            n - tcfg.n_rand, 1)
+        batch = jax.lax.dynamic_slice_in_dim(ray_pool, offset, tcfg.n_rand)
+        ro, rd, tgt = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
+
+        def loss_fn(both):
+            out = render_rays_nerf(both["coarse"],
+                                   both["fine"] if both["fine"] else None,
+                                   ncfg, vcfg, ro, rd, key=key)
+            loss = jnp.mean((out.rgb_map - tgt) ** 2)
+            if out.rgb0 is not None:
+                loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)
+            return loss
+
+        both = {"coarse": state.params_coarse, "fine": state.params_fine}
+        loss, grads = jax.value_and_grad(loss_fn)(both)
+        updates, opt_state = tx.update(grads, state.opt_state, both)
+        both = optax.apply_updates(both, updates)
+        new_state = TeacherState(both["coarse"], both["fine"], opt_state,
+                                 state.step + 1)
+        return new_state, {"loss": loss, "psnr": -10.0 * jnp.log10(loss)}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       tcfg: TeacherTrainConfig,
                       tx: optax.GradientTransformation,

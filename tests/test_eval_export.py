@@ -44,6 +44,32 @@ def test_render_path_pallas_matches_jnp(key):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_render_path_given_rays(key, tmp_path):
+    """DONeRF precomputed-ray rendering (.npz input) with metrics."""
+    import numpy as np
+
+    from r2l_tpu.evaluate import (load_given_render_path_rays,
+                                  render_path_given_rays)
+    cfg, params, sampler = _tiny(key)
+    H = W = sampler.H
+    rng = np.random.default_rng(0)
+    ro = np.zeros((2, H * W, 3), np.float32)
+    rd = rng.normal(size=(2, H * W, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    path = str(tmp_path / "rays.npz")
+    np.savez(path, all_rays_o=ro, all_rays_d=rd, gt_imgs=gt)
+
+    ro2, rd2, gt2 = load_given_render_path_rays(path)
+    np.testing.assert_array_equal(ro2, ro)
+    res = render_path_given_rays(params, cfg, sampler, ro2, rd2, H, W,
+                                 gt_images=gt2, savedir=str(tmp_path))
+    assert res.frames.shape == (2, H, W, 3)
+    assert res.test_psnr is not None and np.isfinite(res.test_psnr)
+    import os
+    assert os.path.exists(tmp_path / "000.png")
+    assert os.path.exists(tmp_path / "000_error.png")
+
+
 def test_to8b():
     x = np.array([-0.5, 0.0, 0.5, 1.0, 2.0])
     np.testing.assert_array_equal(to8b(x), [0, 0, 127, 255, 255])

@@ -87,6 +87,29 @@ def test_teacher_step_runs_and_learns(key, rng):
     assert int(state.step) == 10
 
 
+def test_teacher_step_batched(key, rng):
+    from r2l_tpu.train import make_teacher_step_batched
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=0, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=32)
+    state, tx = init_teacher_state(pc, {}, tcfg)
+    step = make_teacher_step_batched(ncfg, vcfg, tcfg, tx)
+
+    pool = np.concatenate([
+        np.zeros((256, 3), np.float32),
+        rng.normal(size=(256, 3)).astype(np.float32),
+        rng.uniform(0, 1, (256, 3)).astype(np.float32)], axis=1)
+    losses = []
+    for i in range(10):
+        state, m = step(state, jnp.asarray(pool), jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 10
+
+
 def test_optimizer_is_adam():
     tx = make_optimizer(5e-4, 250)
     assert tx is not None

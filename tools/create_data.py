@@ -27,8 +27,10 @@ import numpy as np  # noqa: E402
 
 from r2l_tpu.app import build_teacher, load_dataset, vol_config  # noqa: E402
 from r2l_tpu.configs import parse_args  # noqa: E402
-from r2l_tpu.datagen import (DataGenConfig, generate_pseudo_data,  # noqa: E402
-                             generate_pseudo_images, images_to_ray_records)
+from r2l_tpu.datagen import (DataGenConfig, generate_3x3rays,  # noqa: E402
+                             generate_patches, generate_pseudo_data,
+                             generate_pseudo_images, generate_rand_images,
+                             generate_tworays, images_to_ray_records)
 from r2l_tpu.data.rayshards import write_ray_shards  # noqa: E402
 from r2l_tpu.evaluate import make_nerf_frame_fn, render_path  # noqa: E402
 from r2l_tpu.logging_ import Logger  # noqa: E402
@@ -91,10 +93,25 @@ def main() -> None:
         n = generate_pseudo_images(pc, pf or None, ncfg, vcfg, gcfg,
                                    datadir_kd, n_pose=n_pose)
         logger.print(f"generated {n} pseudo images in {datadir_kd}")
+    elif args.create_data == "rand_tworays":
+        n = generate_tworays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        logger.print(f"generated {n} two-ray records in {datadir_kd}")
+    elif args.create_data == "3x3rays":
+        n = generate_3x3rays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        logger.print(f"generated {n} 3x3 records in {datadir_kd}")
+    elif args.create_data == "rand_images":
+        n = generate_rand_images(pc, pf or None, ncfg, vcfg, gcfg,
+                                 datadir_kd)
+        logger.print(f"generated {n} pseudo image records in {datadir_kd}")
+    elif args.create_data in ("16x16patches", "16x16patches_v2",
+                              "16x16patches_v3"):
+        n = generate_patches(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        logger.print(f"generated {n} patch frames in {datadir_kd}")
     else:
         raise SystemExit(f"unsupported --create_data {args.create_data!r} "
                          "(supported: rand, spiral_evenly_spaced, "
-                         "convert_rays)")
+                         "rand_tworays, 3x3rays, rand_images, "
+                         "16x16patches[_v2,_v3], convert_rays)")
 
 
 if __name__ == "__main__":
