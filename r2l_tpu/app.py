@@ -193,6 +193,22 @@ def vol_config(args, ns) -> VolRenderConfig:
 # Modes
 # ---------------------------------------------------------------------------
 
+def _load_lpips(args, logger):
+    """Optional LPIPS weights (reference uses pip lpips alexnet,
+    `main.py:47`; here a torch state_dict is converted on load)."""
+    if not args.lpips_weights:
+        return None
+    import torch
+
+    from .lpips_jax import load_torch_lpips
+    sd = torch.load(check_path(args.lpips_weights), map_location="cpu",
+                    weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    logger.print(f"loaded LPIPS weights from {args.lpips_weights}")
+    return load_torch_lpips(sd)
+
+
 def run_render_only(args, ns, logger) -> EvalResult:
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
     savedir = os.path.join(
@@ -249,12 +265,14 @@ def run_render_only(args, ns, logger) -> EvalResult:
         poses, gt = ns.video_poses, None
 
     res = render_path(frame_fn, poses, gt_images=gt, savedir=savedir,
-                      logger=logger)
+                      lpips_params=_load_lpips(args, logger), logger=logger)
     if res.test_psnr is not None:
+        lp = (f" LPIPS {res.test_lpips:.4f}"
+              if res.test_lpips is not None else "")
         logger.print(f"render_only: PSNR {res.test_psnr:.4f} "
                      f"PSNRv2 {res.test_psnr_v2:.4f} "
-                     f"SSIM {res.test_ssim:.4f} FLIP {res.test_flip:.4f} "
-                     f"({res.ms_per_frame:.1f} ms/frame)")
+                     f"SSIM {res.test_ssim:.4f} FLIP {res.test_flip:.4f}"
+                     f"{lp} ({res.ms_per_frame:.1f} ms/frame)")
     write_video(os.path.join(savedir, "video.mp4"), res.frames)
     return res
 
@@ -326,10 +344,15 @@ def run_distill(args, ns, logger):
         logger.print(f"mesh: {dict(mesh.shape)}")
 
     datadir = args.datadir_kd or args.datadir
-    dataset = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
-                              hold_ratio=args.pseudo_data_hold_ratio)
-    loader = RayBatchLoader(dataset, batch_size - n_hard_out,
-                            seed=args.seed)
+
+    def make_loader(seed):
+        ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
+                             hold_ratio=args.pseudo_data_hold_ratio)
+        return ds, RayBatchLoader(
+            ds, batch_size - n_hard_out, seed=seed,
+            pseudo_ratio_schedule=args.pseudo_ratio_schedule or None)
+
+    dataset, loader = make_loader(args.seed)
     logger.print(f"ray dataset: {len(dataset)} rays "
                  f"({dataset.n_real} real / {dataset.n_pseudo} pseudo), "
                  f"batch {batch_size}")
@@ -385,6 +408,14 @@ def run_distill(args, ns, logger):
                     if args.save_intermediate_models else "ckpt.msgpack")
             _save(logger, name, state, i, best_psnr, best_step)
 
+        # Periodic dataset reload to pick up freshly generated pseudo data
+        # (reference --i_update_data, `main.py:1220-1229,1254-1262`).
+        if (args.i_update_data > 0 and i % args.i_update_data == 0
+                and i < args.N_iters):
+            loader.close()
+            dataset, loader = make_loader(args.seed + i)
+            logger.print(f"reloaded ray dataset: {len(dataset)} rays")
+
     loader.close()
     return state, best_psnr
 
@@ -404,7 +435,8 @@ def run_teacher_train(args, ns, logger):
     vcfg = vol_config(args, ns)
     tcfg = TeacherTrainConfig(
         n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
-        precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac)
+        precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
+        select_pixel_mode=args.select_pixel_mode)
     state, tx = init_teacher_state(pc, pf, tcfg)
 
     # use_batching (reference default for LLFF): pre-generate the global
@@ -470,6 +502,10 @@ def run_teacher_train(args, ns, logger):
 # ---------------------------------------------------------------------------
 
 def train(args) -> None:
+    if args.multihost:
+        # Multi-host slice: one process per host; the mesh spans all
+        # devices, collectives ride ICI intra-slice / DCN across slices.
+        jax.distributed.initialize()
     logger = Logger(
         experiment_name=args.experiment_name or args.expname or "r2l",
         experiments_dir=args.experiments_dir, debug=args.debug,

@@ -203,6 +203,17 @@ def build_parser() -> argparse.ArgumentParser:
         help='checkpoint format for --pretrained_ckpt / --teacher_ckpt')
     add('--export_dir', type=str, default='',
         help='output dir for --convert_to_onnx (StableHLO export)')
+    add('--multihost', type=_bool, nargs='?', const=True, default=False,
+        help='call jax.distributed.initialize() — multi-host TPU slices '
+             '(mesh spans ICI within a slice and DCN across; the outer '
+             'data axis rides DCN)')
+    add('--pseudo_ratio_schedule', type=str, default='',
+        help="linear pseudo/real mixing schedule, e.g. '1:0.2,500000:0.9' "
+             "(reference get_pseudo_ratio, main.py:811-828); overrides "
+             "--pseudo_ratio when set")
+    add('--lpips_weights', type=str, default='',
+        help='path to a torch lpips state_dict (.pt/.pth) to enable the '
+             'LPIPS metric during eval (weights are not bundled)')
     add('--profile_dir', type=str, default='',
         help='write jax.profiler traces here during training/render')
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,

@@ -100,3 +100,21 @@ class PointSampler:
 
     def sample_train_plucker(self, rays_o: Array, rays_d: Array) -> Array:
         return plucker(rays_o, rays_d)
+
+    def sample_train_patches(self, rays_o: Array, rays_d: Array,
+                             key: jax.Array | None = None) -> Array:
+        """Patch-structured sampling for CNN-style students: rays
+        [n_img, ph, pw, 3] -> points [n_img, ph, pw, n_sample, 3], with one
+        shared stratified jitter PER IMAGE (the reference's
+        ``sample_train2``/``sample_train_cnnstyle``,
+        `model/nerf_raybased.py:128-168`, draws a single t_rand per image)."""
+        n_img = rays_o.shape[0]
+        z = jnp.broadcast_to(self.z_vals,
+                             (*rays_o.shape[:3], self.n_sample))
+        if key is not None:
+            mids = 0.5 * (z[..., 1:] + z[..., :-1])
+            upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+            lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+            t = jax.random.uniform(key, (n_img, 1, 1, 1), dtype=z.dtype)
+            z = lower + (upper - lower) * t
+        return ray_points(rays_o, rays_d, z)

@@ -174,6 +174,10 @@ class TeacherTrainConfig:
     lrate_decay: int = 250
     precrop_iters: int = 0
     precrop_frac: float = 0.5
+    select_pixel_mode: str = "rand_pixel"  # or 'rand_patch'
+    # (reference --select_pixel_mode + get_selected_coords,
+    #  `helpers:385-405`: rand_patch trains on one contiguous
+    #  sqrt(n_rand)^2 patch instead of scattered pixels)
 
 
 class TeacherState(NamedTuple):
@@ -255,9 +259,23 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         ws = jnp.where(use_crop, W // 2 - fW, 0)
         hn = jnp.where(use_crop, 2 * fH, H)
         wn = jnp.where(use_crop, 2 * fW, W)
-        u = jax.random.uniform(k_coord, (tcfg.n_rand, 2))
-        hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
-        ww = (ws + (u[:, 1] * wn).astype(jnp.int32)).clip(0, W - 1)
+        if tcfg.select_pixel_mode == "rand_patch":
+            # One contiguous sqrt(n_rand)^2 patch at a random origin.
+            side = int(tcfg.n_rand ** 0.5)
+            assert side * side == tcfg.n_rand, \
+                "rand_patch requires a square N_rand"
+            u = jax.random.uniform(k_coord, (2,))
+            h0 = (hs + (u[0] * jnp.maximum(hn - side, 1))
+                  .astype(jnp.int32)).clip(0, H - side)
+            w0 = (ws + (u[1] * jnp.maximum(wn - side, 1))
+                  .astype(jnp.int32)).clip(0, W - side)
+            dh = jnp.arange(side, dtype=jnp.int32)
+            hh = (h0 + jnp.repeat(dh, side)).clip(0, H - 1)
+            ww = (w0 + jnp.tile(dh, side)).clip(0, W - 1)
+        else:
+            u = jax.random.uniform(k_coord, (tcfg.n_rand, 2))
+            hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
+            ww = (ws + (u[:, 1] * wn).astype(jnp.int32)).clip(0, W - 1)
 
         ro = rays_o[hh, ww]
         rd = rays_d[hh, ww]
