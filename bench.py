@@ -21,6 +21,13 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: first compiles through this image's remote-
+# compile tunnel take 30-90 s; caching makes repeat runs instant.
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

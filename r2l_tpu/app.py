@@ -90,6 +90,11 @@ def load_dataset(args, logger):
     else:
         raise ValueError(f"unknown dataset_type {args.dataset_type!r}")
 
+    if args.focal_scale != 1.0:
+        # --focal_scale applies at every get_rays call in the reference
+        # (`helpers:231-257`) == a global focal rescale.
+        ns.focal = ns.focal * args.focal_scale
+
     trial = getattr(args, "trial", None)
     if trial is not None:  # trial.near/far override (`main.py:957-960`)
         if getattr(trial, "near", -1) > 0:
@@ -318,8 +323,15 @@ def run_distill(args, ns, logger):
     """R2L distillation training (reference `main.py:1175-1513`,
     data_mode='rays')."""
     cfg, params, start = build_r2l(args, logger)
+    # In rays mode the reference's N_rand counts 4096-ray shards per batch
+    # (N_rand=20 -> 81,920 rays, `main.py:1304-1311`); large values are
+    # taken as a direct ray count.
     batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
     n_hard_in, n_hard_out = parse_hard_ratio(args.hard_ratio, batch_size)
+    # The fresh (host-fed) part of the batch must shard evenly over devices.
+    n_dev = len(jax.devices())
+    fresh = batch_size - n_hard_out
+    n_hard_out += fresh % n_dev
     dcfg = DistillConfig(
         batch_size=batch_size, lrate=args.lrate, lrate_decay=args.lrate_decay,
         warmup_lr=args.warmup_lr or None, lw_rgb=args.lw_rgb,
@@ -359,6 +371,12 @@ def run_distill(args, ns, logger):
 
     state, tx = init_train_state(jax.random.key(args.seed), params, dcfg,
                                  record_dim=dataset.record_dim)
+    if args.freeze_pretrained:
+        # Reference semantics: the model's params are excluded from the
+        # optimizer (`main.py:461-462`) — updates become zero.
+        import optax
+        tx = optax.set_to_zero()
+        state = state._replace(opt_state=tx.init(state.params))
     if start > 0:
         state = state._replace(step=jnp.asarray(start, jnp.int32))
     step_fn = make_distill_step(cfg, dcfg, sampler, tx)
@@ -502,6 +520,12 @@ def run_teacher_train(args, ns, logger):
 # ---------------------------------------------------------------------------
 
 def train(args) -> None:
+    try:  # persistent compile cache (30-90 s/compile via remote helper)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if args.multihost:
         # Multi-host slice: one process per host; the mesh spans all
         # devices, collectives ride ICI intra-slice / DCN across slices.

@@ -35,15 +35,22 @@ def camera_ray_dirs(H: int, W: int, focal: float) -> Array:
 
 
 def get_rays(H: int, W: int, focal: float, c2w: Array,
-             focal_scale: float = 1.0) -> tuple[Array, Array]:
+             focal_scale: float = 1.0,
+             trans_origin: str = "") -> tuple[Array, Array]:
     """Full-frame rays for camera-to-world pose ``c2w``.
 
     Returns (rays_o, rays_d), each [H, W, 3]. Mirrors reference
-    `helpers:231-257` (without the vestigial origin-translation hacks).
+    `helpers:231-257`. ``trans_origin`` slides origins along the (unit)
+    ray direction: ``'fixed'`` -> 30 units, a numeric string -> that
+    scale (reference ``translate_origin_fixed``, `helpers:214-227`).
     """
     dirs = camera_ray_dirs(H, W, focal * focal_scale)  # [H, W, 3]
     rays_d = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3], precision="highest")
     rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    if trans_origin:
+        scale = 30.0 if trans_origin == "fixed" else float(trans_origin)
+        unit = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = rays_o + scale * unit
     return rays_o, rays_d
 
 

@@ -1,0 +1,166 @@
+"""End-to-end CLI pipeline on CPU: teacher -> data-gen -> distill -> render.
+
+The in-suite version of the full verification recipe
+(.claude/skills/verify/SKILL.md) with tiny shapes.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from r2l_tpu.app import train
+from r2l_tpu.configs import parse_args
+from r2l_tpu.rays import pose_spherical
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    """16x16 ray-traced sphere in blender transforms format."""
+    import imageio.v2 as imageio
+    base = str(tmp_path_factory.mktemp("scene"))
+    H = W = 16
+    cax = 0.6911112070083618
+    focal = 0.5 * W / np.tan(0.5 * cax)
+    rng = np.random.default_rng(0)
+
+    def render_gt(c2w):
+        i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32), indexing="xy")
+        dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                         -np.ones_like(i)], -1)
+        rd = dirs @ c2w[:3, :3].T
+        ro = np.broadcast_to(c2w[:3, 3], rd.shape)
+        b = np.sum(ro * rd, -1)
+        a = np.sum(rd * rd, -1)
+        c = np.sum(ro * ro, -1) - 1.0
+        disc = b * b - a * c
+        hit = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0))) / a
+        col = np.clip((ro + rd * t[..., None]) * 0.5 + 0.5, 0, 1)
+        img = np.ones((H, W, 4), np.float32)
+        img[..., :3] = np.where(hit[..., None], col, 1.0)
+        img[..., 3] = hit.astype(np.float32)
+        return img
+
+    for split, n in (("train", 3), ("val", 1), ("test", 2)):
+        os.makedirs(os.path.join(base, split), exist_ok=True)
+        frames = []
+        for k in range(n):
+            c2w = pose_spherical(rng.uniform(-180, 180),
+                                 rng.uniform(-60, -20), 4.0)
+            img = render_gt(c2w)
+            imageio.imwrite(os.path.join(base, f"{split}/r_{k}.png"),
+                            (img * 255).astype(np.uint8))
+            frames.append({"file_path": f"./{split}/r_{k}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(base, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": cax, "frames": frames}, f)
+    return base
+
+
+COMMON = ("--dataset_type blender --white_bkgd --testskip 1 "
+          "--i_print 2 --chunk 512").split()
+
+
+def test_full_pipeline(tiny_scene, tmp_path):
+    exps = str(tmp_path / "Experiments")
+
+    # 1. teacher training (few iters, both data modes exercised elsewhere)
+    train(parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "8", "--N_importance", "4", "--use_viewdirs",
+        "--N_rand", "64", "--N_iters", "4", "--i_testset", "4",
+        "--i_weights", "4", "--no_batching",
+        "--experiment_name", "t", "--experiments_dir", exps]))
+    teacher = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "teacher.msgpack":
+                teacher = os.path.join(root, f)
+    assert teacher, "teacher checkpoint not written"
+
+    # 2. pseudo-data generation (library path; the CLI wrapper is thin)
+    from r2l_tpu.app import build_teacher, load_dataset, vol_config
+    from r2l_tpu.datagen import DataGenConfig, generate_pseudo_data
+    from r2l_tpu.logging_ import Logger
+
+    args = parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "8", "--N_importance", "4", "--use_viewdirs",
+        "--teacher_ckpt", teacher,
+        "--experiments_dir", exps, "--experiment_name", "gen"])
+    logger = Logger("gen", experiments_dir=exps)
+    ns = load_dataset(args, logger)
+    ncfg, pc, pf, _ = build_teacher(args, logger)
+    datadir_kd = str(tmp_path / "pseudo")
+    n = generate_pseudo_data(pc, pf or None, ncfg, vol_config(args, ns),
+                             DataGenConfig(n_pose=2, H=ns.H, W=ns.W,
+                                           focal=ns.focal, save_every=2),
+                             datadir_kd)
+    assert n == 2 * ns.H * ns.W
+
+    # 3. distillation with hard mining
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--datadir_kd", datadir_kd, "--data_mode", "rays",
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "2048", "--N_iters", "6", "--i_testset", "6",
+        "--i_weights", "6", "--hard_ratio", "0.1,0.2", "--hard_mul", "2",
+        "--experiment_name", "d", "--experiments_dir", exps]))
+    best = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "ckpt_best.msgpack":
+                best = os.path.join(root, f)
+    assert best, "best checkpoint not written"
+
+    # 4. render_only from the checkpoint
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--render_only", "--render_test", "--pretrained_ckpt", best,
+        "--use_pallas", "False",
+        "--experiment_name", "r", "--experiments_dir", exps]))
+    pngs = []
+    for root, _, files in os.walk(exps):
+        pngs += [f for f in files if f == "000.png"]
+    assert pngs, "rendered frames not written"
+
+    # 5. export mode
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--convert_to_onnx", "--pretrained_ckpt", best,
+        "--experiment_name", "x", "--experiments_dir", exps]))
+    hlo = []
+    for root, _, files in os.walk(exps):
+        hlo += [f for f in files if f.endswith(".stablehlo")]
+    assert hlo, "export artifact not written"
+
+
+def test_teacher_use_batching_mode(tiny_scene, tmp_path):
+    exps = str(tmp_path / "Exp2")
+    train(parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--N_rand", "32", "--N_iters", "3", "--i_testset", "3",
+        "--i_weights", "3",   # use_batching is the default (no --no_batching)
+        "--experiment_name", "tb", "--experiments_dir", exps]))
+    found = False
+    for root, _, files in os.walk(exps):
+        found |= "teacher.msgpack" in files
+    assert found
+
+
+def test_benchmark_mode(tiny_scene, tmp_path):
+    exps = str(tmp_path / "Exp3")
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--benchmark", "--use_pallas", "False",
+        "--experiment_name", "b", "--experiments_dir", exps]))
