@@ -150,10 +150,14 @@ def build_r2l(args, logger):
 
 def build_teacher(args, logger, key=None):
     use_vdirs = args.use_viewdirs
+    # --i_embed -1 disables the positional encoding (identity embedder,
+    # reference get_embedder `helpers:65-74`).
+    L_pts = 0 if args.i_embed == -1 else args.multires
+    L_views = 0 if args.i_embed == -1 else args.multires_views
     ncfg = NeRFConfig(
         D=args.netdepth, W=args.netwidth,
-        input_ch=nerf_embed_dim(3, args.multires),
-        input_ch_views=nerf_embed_dim(3, args.multires_views),
+        input_ch=nerf_embed_dim(3, L_pts) if L_pts else 3,
+        input_ch_views=nerf_embed_dim(3, L_views) if L_views else 3,
         output_ch=5 if args.N_importance > 0 else 4,
         skips=tuple(int(s) for s in str(args.skips).split(",") if s != ""),
         use_viewdirs=use_vdirs)
@@ -185,12 +189,15 @@ def build_teacher(args, logger, key=None):
 
 
 def vol_config(args, ns) -> VolRenderConfig:
+    no_pe = args.i_embed == -1
     return VolRenderConfig(
         n_coarse=args.N_samples, n_fine=args.N_importance,
         perturb=args.perturb > 0, lindisp=args.lindisp,
         white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
-        use_viewdirs=args.use_viewdirs, multires=args.multires,
-        multires_views=args.multires_views, near=ns.near, far=ns.far,
+        use_viewdirs=args.use_viewdirs,
+        multires=0 if no_pe else args.multires,
+        multires_views=0 if no_pe else args.multires_views,
+        near=ns.near, far=ns.far,
         ray_chunk=args.chunk)
 
 

@@ -92,6 +92,88 @@ def test_torch_forward_parity(key):
     np.testing.assert_allclose(yj, yt, rtol=1e-4, atol=1e-5)
 
 
+def test_nerf_torch_forward_parity(key):
+    """Real torch forward of the classic NeRF MLP (skip concat + view
+    branch) vs apply_nerf — the teacher-checkpoint conversion contract."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    cfg = NeRFConfig(D=4, W=32, input_ch=9, input_ch_views=6, skips=(2,),
+                     use_viewdirs=True)
+    params = init_nerf(key, cfg)
+
+    class NeRFTorch(nn.Module):
+        # Independent construction of the published NeRF architecture.
+        def __init__(self, D, W, in_ch=9, in_views=6, skips=(2,)):
+            super().__init__()
+            self.skips = skips
+            self.pts_linears = nn.ModuleList(
+                [nn.Linear(in_ch, W)]
+                + [nn.Linear(W + in_ch if i in skips else W, W)
+                   for i in range(D - 1)])
+            self.views_linears = nn.ModuleList(
+                [nn.Linear(in_views + W, W // 2)])
+            self.feature_linear = nn.Linear(W, W)
+            self.alpha_linear = nn.Linear(W, 1)
+            self.rgb_linear = nn.Linear(W // 2, 3)
+
+        def forward(self, x):
+            pts, views = x[..., :9], x[..., 9:15]
+            h = pts
+            for i, l in enumerate(self.pts_linears):
+                h = F.relu(l(h))
+                if i in self.skips:
+                    h = torch.cat([pts, h], -1)
+            alpha = self.alpha_linear(h)
+            feat = self.feature_linear(h)
+            h = torch.cat([feat, views], -1)
+            for l in self.views_linears:
+                h = F.relu(l(h))
+            return torch.cat([self.rgb_linear(h), alpha], -1)
+
+    net = NeRFTorch(cfg.D, cfg.W)
+    sd = {}
+    for i, layer in enumerate(params["pts_linears"]):
+        sd[f"pts_linears.{i}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(layer["w"]).T))
+        sd[f"pts_linears.{i}.bias"] = torch.from_numpy(
+            np.asarray(layer["b"]))
+    for name in ["feature_linear", "alpha_linear", "rgb_linear"]:
+        sd[f"{name}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(params[name]["w"]).T))
+        sd[f"{name}.bias"] = torch.from_numpy(np.asarray(params[name]["b"]))
+    sd["views_linears.0.weight"] = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(params["views_linears"][0]["w"]).T))
+    sd["views_linears.0.bias"] = torch.from_numpy(
+        np.asarray(params["views_linears"][0]["b"]))
+    net.load_state_dict(sd)
+
+    x = np.random.default_rng(2).normal(size=(8, 15)).astype(np.float32)
+    with torch.no_grad():
+        yt = net(torch.from_numpy(x)).numpy()
+    yj = np.asarray(apply_nerf(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, rtol=1e-4, atol=1e-5)
+
+
+def test_r2l_canonical_size_roundtrip(key):
+    """Full canonical W=256 D=88 conversion roundtrip (released-ckpt
+    shape) + forward equality after roundtrip."""
+    cfg = R2LConfig()  # 1008 -> 256 x 43 blocks -> 3
+    params = init_r2l(key, cfg)
+    sd = ckpt.params_to_torch_r2l(params, cfg)
+    assert len([k for k in sd if k.startswith("body.")]) == 43 * 2 * 2
+    inferred = ckpt.infer_r2l_config_from_state_dict(sd)
+    assert (inferred.input_dim, inferred.netwidth, inferred.num_blocks) == \
+        (1008, 256, 43)
+    back = ckpt.torch_r2l_to_params(sd, inferred)
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(4, 1008)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(apply_r2l(back, inferred, x)),
+                               np.asarray(apply_r2l(params, cfg, x)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_nerf_torch_conversion(key):
     cfg = NeRFConfig(D=2, W=16, input_ch=9, input_ch_views=6, skips=())
     params = init_nerf(key, cfg)
