@@ -254,7 +254,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
         frame_fn = make_r2l_frame_fn(
             params, cfg, sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
-            pallas_tile=args.pallas_tile)
+            pallas_tile=args.pallas_tile, quantize=args.quantize)
     else:
         ncfg, pc, pf, _ = build_teacher(args, logger)
         vcfg = vol_config(args, ns)
@@ -300,13 +300,16 @@ def run_benchmark(args, ns, logger) -> float:
                                  embed_L=args.multires,
                                  plucker=args.plucker,
                                  use_pallas=args.use_pallas,
-                                 pallas_tile=args.pallas_tile)
+                                 pallas_tile=args.pallas_tile,
+                                 quantize=args.quantize)
     pose = jnp.asarray(ns.poses[0][:3, :4])
     jax.block_until_ready(frame_fn(pose))
-    n = 100
+    # 100 reps as the reference (`main.py:1124-1133`); --render_iters
+    # multiplies the forwards per frame. Every output is synced.
+    n = 100 * max(args.render_iters, 1)
     t0 = time.perf_counter()
     outs = [frame_fn(pose) for _ in range(n)]
-    for o in outs[-4:]:
+    for o in outs:
         jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / n
     logger.print(f"benchmark: {dt*1e3:.3f} ms/frame = {1/dt:.1f} FPS "
@@ -416,7 +419,7 @@ def run_distill(args, ns, logger):
             frame_fn = make_r2l_frame_fn(
                 state.params, cfg, sampler, embed_L=args.multires,
                 plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile)
+                pallas_tile=args.pallas_tile, quantize=args.quantize)
             res = render_path(frame_fn, test_poses, gt_images=test_gt)
             logger.print(
                 f"[eval] iter {i} PSNR {res.test_psnr:.4f} "
@@ -432,6 +435,19 @@ def run_distill(args, ns, logger):
             name = (f"ckpt_{i:07d}.msgpack"
                     if args.save_intermediate_models else "ckpt.msgpack")
             _save(logger, name, state, i, best_psnr, best_step)
+
+        if args.i_video > 0 and i % args.i_video == 0 and i < args.N_iters:
+            # Periodic novel-view video (reference `main.py:1427-1441`).
+            frame_fn = make_r2l_frame_fn(
+                state.params, cfg, sampler, embed_L=args.multires,
+                plucker=args.plucker, use_pallas=args.use_pallas,
+                pallas_tile=args.pallas_tile, quantize=args.quantize)
+            vres = render_path(frame_fn, ns.video_poses)
+            out = write_video(
+                os.path.join(logger.gen_img_dir,
+                             f"video_{args.video_tag}_iter{i}.mp4"),
+                vres.frames)
+            logger.print(f"[video] iter {i} -> {out}")
 
         # Periodic dataset reload to pick up freshly generated pseudo data
         # (reference --i_update_data, `main.py:1220-1229,1254-1262`).

@@ -197,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
     add('--use_pallas', type=_bool, nargs='?', const=True, default=True,
         help='use the fused Pallas inference kernel when rendering R2L')
     add('--pallas_tile', type=int, default=512)
+    add('--quantize', type=str, default='', choices=['', 'int8'],
+        help='int8: quantized inference kernel (2x MXU rate on v5e; '
+             'per-column weight / per-ray activation scales)')
     add('--seed', type=int, default=0)
     add('--ckpt_format', type=str, default='native',
         choices=['native', 'torch'],

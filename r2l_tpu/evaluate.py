@@ -47,8 +47,22 @@ class EvalResult:
 def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       embed_L: int = 10, plucker: bool = False,
                       use_pallas: bool = True,
-                      pallas_tile: int = 512) -> Callable[[Array], Array]:
+                      pallas_tile: int = 512,
+                      quantize: str = "") -> Callable[[Array], Array]:
     """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+    if quantize == "int8":
+        from .kernels.r2l_pallas import (fused_r2l_apply_int8,
+                                         prepare_fused_params_int8)
+        fq = prepare_fused_params_int8(params, cfg)
+
+        @jax.jit
+        def frame(c2w):
+            pts = (sampler.sample_test_plucker(c2w) if plucker
+                   else sampler.sample_test(c2w))
+            x = r2l_embed(pts, embed_L)
+            rgb = fused_r2l_apply_int8(fq, cfg, x, tile=pallas_tile)
+            return rgb.reshape(sampler.H, sampler.W, 3)
+        return frame
     if use_pallas:
         from .kernels import fused_r2l_apply, prepare_fused_params
         wd = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
