@@ -197,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
     add('--use_pallas', type=_bool, nargs='?', const=True, default=True,
         help='use the fused Pallas inference kernel when rendering R2L')
     add('--pallas_tile', type=int, default=512)
+    add('--poses_per_batch', type=int, default=8,
+        help='frames per device dispatch in create_data (amortizes '
+             'dispatch overhead; rays shard over the mesh data axis)')
     add('--quantize', type=str, default='', choices=['', 'int8'],
         help='int8: quantized inference kernel (2x MXU rate on v5e; '
              'per-column weight / per-ray activation scales)')

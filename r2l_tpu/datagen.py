@@ -39,26 +39,36 @@ class DataGenConfig:
     save_every: int = 100           # poses per shard flush (--i_save)
     shard_size: int = 1 << 20
     seed: int = 0
+    poses_per_batch: int = 1        # frames per device dispatch (amortizes
+    #                                 the ~30 ms tunnel RTT per call)
 
 
 def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
                          ncfg: NeRFConfig, vcfg: VolRenderConfig,
                          gcfg: DataGenConfig, datadir: str,
                          radius: float = 4.0,
-                         progress=None) -> int:
+                         progress=None, mesh=None) -> int:
     """Render ``n_pose`` random views with the teacher; write ray shards.
 
     Returns total rays written. ``progress`` is an optional callback
-    ``(i_pose, n_pose) -> None``.
+    ``(i_pose, n_pose) -> None``. ``mesh`` shards the ray axis over its
+    'data' axis (multi-chip data-parallel generation).
     """
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
     record_dim = 9 + (1 if gcfg.learn_depth else 0)
+    ppb = max(gcfg.poses_per_batch, 1)
 
-    # jit one frame render per distinct focal? No — fold focal into ray
-    # generation (host) so the device function is focal-agnostic.
+    # Rays for a whole pose batch go through ONE jitted dispatch — the
+    # ray axis shards over the mesh 'data' axis under GSPMD when a mesh
+    # is given (SURVEY.md §7 step 6: datagen data-parallel over a slice).
+    batch_shd = None
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding
+        batch_shd = batch_sharding(mesh)
+
     @jax.jit
-    def render_frame(rays_o, rays_d):
+    def render_batch(rays_o, rays_d):
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
                                 rays_o, rays_d)
         return out["rgb"], out["depth"]
@@ -80,21 +90,32 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     wt.start()
 
     buf: list[np.ndarray] = []
-    for i in range(gcfg.n_pose):
-        c2w = get_rand_pose(rng, radius=radius)
-        focal = gcfg.focal
-        if gcfg.use_rand_focal:
-            focal = gcfg.focal * rng.uniform(1.0, 2.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
-        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-        rgb, depth = render_frame(ro, rd)
+    done = 0
+    while done < gcfg.n_pose:
+        k = min(ppb, gcfg.n_pose - done)
+        ros, rds = [], []
+        for _ in range(k):
+            c2w = get_rand_pose(rng, radius=radius)
+            focal = gcfg.focal
+            if gcfg.use_rand_focal:
+                focal = gcfg.focal * rng.uniform(1.0, 2.0)
+            ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+            ros.append(np.asarray(ro).reshape(-1, 3))
+            rds.append(np.asarray(rd).reshape(-1, 3))
+        ro = np.concatenate(ros, axis=0)
+        rd = np.concatenate(rds, axis=0)
+        if batch_shd is not None:
+            ro = jax.device_put(ro, batch_shd)
+            rd = jax.device_put(rd, batch_shd)
+        rgb, depth = render_batch(jnp.asarray(ro), jnp.asarray(rd))
         cols = [np.asarray(ro), np.asarray(rd), np.asarray(rgb)]
         if gcfg.learn_depth:
             cols.append(np.asarray(depth)[:, None])
         buf.append(np.concatenate(cols, axis=1).astype(np.float32))
+        done += k
         if progress is not None:
-            progress(i + 1, gcfg.n_pose)
-        if (i + 1) % gcfg.save_every == 0:
+            progress(done, gcfg.n_pose)
+        if sum(b.shape[0] for b in buf) >= gcfg.save_every * H * W:
             writer_q.put(np.concatenate(buf, axis=0))
             buf = []
     if buf:

@@ -81,11 +81,17 @@ def main() -> None:
         H=ns.H, W=ns.W, focal=ns.focal,
         use_rand_focal=args.use_rand_focal,
         learn_depth=bool(args.learn_depth),
-        save_every=args.create_data_chunk, seed=args.seed)
+        save_every=args.create_data_chunk, seed=args.seed,
+        poses_per_batch=args.poses_per_batch)
 
     if args.create_data == "rand":
+        from r2l_tpu.configs import parse_mesh_spec
+        from r2l_tpu.parallel import make_mesh
+        import jax
+        mesh = (make_mesh(parse_mesh_spec(args.mesh))
+                if (args.mesh or len(jax.devices()) > 1) else None)
         total = generate_pseudo_data(
-            pc, pf or None, ncfg, vcfg, gcfg, datadir_kd,
+            pc, pf or None, ncfg, vcfg, gcfg, datadir_kd, mesh=mesh,
             progress=lambda i, n: (i % 50 == 0 and logger.print(
                 f"pose {i}/{n}")))
         logger.print(f"generated {total} pseudo rays in {datadir_kd}")
