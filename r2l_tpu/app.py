@@ -396,6 +396,18 @@ def run_distill(args, ns, logger):
     test_poses = ns.poses[ns.i_test]
     test_gt = ns.images[ns.i_test]
 
+    if args.test_pretrained and args.pretrained_ckpt:
+        # Evaluate the loaded checkpoint before training
+        # (reference `main.py:1035-1046`).
+        frame_fn = make_r2l_frame_fn(
+            state.params, cfg, sampler, embed_L=args.multires,
+            plucker=args.plucker, use_pallas=args.use_pallas,
+            pallas_tile=args.pallas_tile, quantize=args.quantize)
+        res = render_path(frame_fn, test_poses, gt_images=test_gt)
+        logger.print(f"[test_pretrained] PSNR {res.test_psnr:.4f} "
+                     f"PSNRv2 {res.test_psnr_v2:.4f} "
+                     f"SSIM {res.test_ssim:.4f}")
+
     best_psnr, best_step = -1.0, -1
     timer = Timer(max((args.N_iters - start) // max(args.i_testset, 1), 1))
     from .logging_ import LossLine
@@ -489,7 +501,8 @@ def run_teacher_train(args, ns, logger):
         from .train import make_teacher_step_batched
         records = images_to_ray_records(
             np.asarray(ns.images[ns.i_train]),
-            np.asarray(ns.poses[ns.i_train]), ns.H, ns.W, ns.focal)
+            np.asarray(ns.poses[ns.i_train]), ns.H, ns.W, ns.focal,
+            ndc=ns.ndc)
         rng = np.random.default_rng(args.seed)
         ray_pool = jnp.asarray(records[rng.permutation(records.shape[0])])
         logger.print(f"use_batching: ray pool {ray_pool.shape}")

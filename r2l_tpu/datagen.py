@@ -47,12 +47,16 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
                          ncfg: NeRFConfig, vcfg: VolRenderConfig,
                          gcfg: DataGenConfig, datadir: str,
                          radius: float = 4.0,
-                         progress=None, mesh=None) -> int:
+                         progress=None, mesh=None,
+                         pose_fn=None, ndc: bool = False) -> int:
     """Render ``n_pose`` random views with the teacher; write ray shards.
 
     Returns total rays written. ``progress`` is an optional callback
     ``(i_pose, n_pose) -> None``. ``mesh`` shards the ray axis over its
-    'data' axis (multi-chip data-parallel generation).
+    'data' axis (multi-chip data-parallel generation). ``pose_fn(rng)``
+    overrides the pose distribution (default: blender spherical; LLFF
+    passes the camera-bbox sampler). ``ndc=True`` stores NDC-warped rays
+    (forward-facing scenes; reference `create_data.py:315-317`).
     """
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
@@ -95,11 +99,15 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         k = min(ppb, gcfg.n_pose - done)
         ros, rds = [], []
         for _ in range(k):
-            c2w = get_rand_pose(rng, radius=radius)
+            c2w = (pose_fn(rng) if pose_fn is not None
+                   else get_rand_pose(rng, radius=radius))
             focal = gcfg.focal
             if gcfg.use_rand_focal:
                 focal = gcfg.focal * rng.uniform(1.0, 2.0)
-            ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+            ro, rd = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
+            if ndc:
+                from .rays import ndc_rays
+                ro, rd = ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
             ros.append(np.asarray(ro).reshape(-1, 3))
             rds.append(np.asarray(rd).reshape(-1, 3))
         ro = np.concatenate(ros, axis=0)
@@ -345,12 +353,19 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
 
 
 def images_to_ray_records(images: np.ndarray, poses: np.ndarray,
-                          H: int, W: int, focal: float) -> np.ndarray:
+                          H: int, W: int, focal: float,
+                          ndc: bool = False) -> np.ndarray:
     """Real train images -> [N*H*W, 9] ray records (the offline converter,
-    reference `utils/convert_original_data_to_rays_blender.py:96-235`)."""
+    reference `utils/convert_original_data_to_rays_blender.py:96-235` /
+    `..._llff.py:59-136`). ``ndc=True`` stores NDC-warped rays (LLFF
+    forward-facing; the student then samples in [0, 1] depth)."""
+    from .rays import ndc_rays
+
     records = []
     for img, c2w in zip(images, poses):
         ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        if ndc:
+            ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
         records.append(np.concatenate([
             np.asarray(ro).reshape(-1, 3),
             np.asarray(rd).reshape(-1, 3),

@@ -48,7 +48,7 @@ def main() -> None:
     if args.create_data == "convert_rays":
         records = images_to_ray_records(
             ns.images[ns.i_train], ns.poses[ns.i_train],
-            ns.H, ns.W, ns.focal)
+            ns.H, ns.W, ns.focal, ndc=ns.ndc)
         paths = write_ray_shards(datadir_kd, records, prefix="train",
                                  rng=np.random.default_rng(args.seed))
         logger.print(f"wrote {records.shape[0]} real rays "
@@ -90,8 +90,18 @@ def main() -> None:
         import jax
         mesh = (make_mesh(parse_mesh_spec(args.mesh))
                 if (args.mesh or len(jax.devices()) > 1) else None)
+        pose_fn = None
+        if args.dataset_type == "llff":
+            from r2l_tpu.data.llff import get_rand_pose_llff
+            import numpy as _np
+            hwf = _np.array([ns.H, ns.W, ns.focal], _np.float32)
+            poses35 = _np.concatenate(
+                [ns.poses, _np.broadcast_to(hwf.reshape(3, 1),
+                                            (len(ns.poses), 3, 1))], -1)
+            pose_fn = lambda r: get_rand_pose_llff(r, poses35)[:, :4]  # noqa: E731
         total = generate_pseudo_data(
             pc, pf or None, ncfg, vcfg, gcfg, datadir_kd, mesh=mesh,
+            pose_fn=pose_fn, ndc=ns.ndc,
             progress=lambda i, n: (i % 50 == 0 and logger.print(
                 f"pose {i}/{n}")))
         logger.print(f"generated {total} pseudo rays in {datadir_kd}")
