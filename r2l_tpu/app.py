@@ -160,7 +160,11 @@ def build_teacher(args, logger, key=None):
         input_ch_views=nerf_embed_dim(3, L_views) if L_views else 3,
         output_ch=5 if args.N_importance > 0 else 4,
         skips=tuple(int(s) for s in str(args.skips).split(",") if s != ""),
-        use_viewdirs=use_vdirs)
+        use_viewdirs=use_vdirs,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else jnp.float32),
+        precision=("default" if args.compute_dtype == "bfloat16"
+                   else args.matmul_precision))
     key = key if key is not None else jax.random.key(args.seed)
     k1, k2 = jax.random.split(key)
     pc = init_nerf(k1, ncfg)

@@ -186,6 +186,8 @@ def build_parser() -> argparse.ArgumentParser:
     add('--cache_code', type=str, default='')
     add('--no_scp', type=_bool, nargs='?', const=True, default=False)
     add('--resume_TimeID', type=str, default='')
+    add('--sl.ON', type=_bool, nargs='?', const=True, default=False)
+    add('--sl.config', type=str, default='.smilelogging_cfg')
 
     # --- TPU-native extensions (not in the reference) ---
     add('--mesh', type=str, default='',

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,9 @@ class NeRFConfig:
     output_ch: int = 4
     skips: tuple[int, ...] = (4,)
     use_viewdirs: bool = True
-    precision: str = "highest"  # matmul precision
+    precision: str = "highest"  # matmul precision (f32 operands)
+    compute_dtype: Any = jnp.float32  # bf16 halves HBM traffic (2x frame
+    #                                   rate on v5e); raw outputs stay f32
 
 
 def _linear_init(key: jax.Array, fan_in: int, fan_out: int):
@@ -57,27 +60,35 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
     return params
 
 
-def _linear(h: Array, p: dict, precision: str = "highest") -> Array:
-    return jnp.dot(h, p["w"], preferred_element_type=jnp.float32,
-                   precision=precision) + p["b"]
+def _linear(h: Array, p: dict, cfg: NeRFConfig) -> Array:
+    cd = cfg.compute_dtype
+    out = jnp.dot(h.astype(cd), p["w"].astype(cd),
+                  preferred_element_type=jnp.float32,
+                  precision=cfg.precision)
+    return (out + p["b"]).astype(cd)
 
 
 def apply_nerf(params: dict, cfg: NeRFConfig, x: Array) -> Array:
-    """x: [..., input_ch (+ input_ch_views)] -> [..., 4] (rgb logits, sigma)."""
-    input_pts = x[..., :cfg.input_ch]
+    """x: [..., input_ch (+ input_ch_views)] -> [..., 4] (rgb logits, sigma).
+
+    Activations run in ``cfg.compute_dtype``; the raw output is upcast to
+    f32 for the compositing math.
+    """
+    input_pts = x[..., :cfg.input_ch].astype(cfg.compute_dtype)
     h = input_pts
     for i, layer in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_linear(h, layer, cfg.precision))
+        h = jax.nn.relu(_linear(h, layer, cfg))
         if i in cfg.skips:
             h = jnp.concatenate([input_pts, h], axis=-1)
 
     if cfg.use_viewdirs:
-        input_views = x[..., cfg.input_ch:cfg.input_ch + cfg.input_ch_views]
-        alpha = _linear(h, params["alpha_linear"], cfg.precision)
-        feature = _linear(h, params["feature_linear"], cfg.precision)
+        input_views = (x[..., cfg.input_ch:cfg.input_ch + cfg.input_ch_views]
+                       .astype(cfg.compute_dtype))
+        alpha = _linear(h, params["alpha_linear"], cfg)
+        feature = _linear(h, params["feature_linear"], cfg)
         h = jnp.concatenate([feature, input_views], axis=-1)
         for layer in params["views_linears"]:
-            h = jax.nn.relu(_linear(h, layer, cfg.precision))
-        rgb = _linear(h, params["rgb_linear"], cfg.precision)
-        return jnp.concatenate([rgb, alpha], axis=-1)
-    return _linear(h, params["output_linear"], cfg.precision)
+            h = jax.nn.relu(_linear(h, layer, cfg))
+        rgb = _linear(h, params["rgb_linear"], cfg)
+        return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
+    return _linear(h, params["output_linear"], cfg).astype(jnp.float32)

@@ -79,3 +79,27 @@ def test_render_rays_grad_flows(key):
     g = jax.grad(loss)(params)
     gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_teacher_bf16_compute_close_to_f32(key):
+    """bf16 teacher activations (the fast datagen path) stay within
+    pseudo-data noise budget of the f32 render."""
+    import dataclasses
+    ncfg = NeRFConfig(D=4, W=32, input_ch=63, input_ch_views=27,
+                      skips=(2,), use_viewdirs=True, precision="default")
+    params = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=8, perturb=False,
+                           use_viewdirs=True, white_bkgd=True,
+                           ray_chunk=64)
+    ro = jnp.zeros((64, 3))
+    rd = jax.random.normal(jax.random.key(1), (64, 3))
+    rgb_f32 = render_frame_nerf(params, params, ncfg, vcfg, ro, rd)["rgb"]
+    ncfg_bf = dataclasses.replace(ncfg, compute_dtype=jnp.bfloat16)
+    rgb_bf = render_frame_nerf(params, params, ncfg_bf, vcfg, ro, rd)["rgb"]
+    d = np.abs(np.asarray(rgb_bf) - np.asarray(rgb_f32))
+    # Hierarchical resampling amplifies small sigma deltas at isolated
+    # rays (fine samples land in different bins), so the max can spike on
+    # a random-weight (noisy-density) teacher; the MEAN drives pseudo-data
+    # target quality. bf16 datagen stays opt-in (--compute_dtype).
+    assert d.mean() < 1e-2, d.mean()
+    assert np.quantile(d, 0.95) < 5e-2
