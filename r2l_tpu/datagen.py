@@ -41,6 +41,10 @@ class DataGenConfig:
     seed: int = 0
     poses_per_batch: int = 1        # frames per device dispatch (amortizes
     #                                 the ~30 ms tunnel RTT per call)
+    use_pallas: bool = False        # fused NeRF-query kernel (measured
+    #                                 SLOWER than the XLA schedule once
+    #                                 sample_pdf went gather-free: 1.15 s
+    #                                 vs 0.68 s/frame on v5e — keep off)
 
 
 def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
@@ -71,10 +75,20 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         from .parallel.mesh import batch_sharding
         batch_shd = batch_sharding(mesh)
 
+    # Fused NeRF-query kernel on TPU: keeps the MLP activations in VMEM
+    # (the XLA schedule is HBM-bound at ~16 TFLOP/s on v5e).
+    qc = qf = None
+    if gcfg.use_pallas and jax.default_backend() == "tpu" and mesh is None:
+        from .render import make_fused_nerf_query
+        qc = make_fused_nerf_query(params_coarse, ncfg)
+        if params_fine:
+            qf = make_fused_nerf_query(params_fine, ncfg)
+
     @jax.jit
     def render_batch(rays_o, rays_d):
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                rays_o, rays_d)
+                                rays_o, rays_d,
+                                query_coarse=qc, query_fine=qf)
         return out["rgb"], out["depth"]
 
     writer_q: queue.Queue = queue.Queue(maxsize=2)

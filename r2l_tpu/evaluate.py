@@ -88,10 +88,19 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
 
 def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
                        ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
-                       ndc_params: tuple | None = None) -> Callable:
+                       ndc_params: tuple | None = None,
+                       use_pallas: bool = False) -> Callable:
     """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
-    (H, W, focal) to enable the LLFF NDC warp."""
+    (H, W, focal) to enable the LLFF NDC warp. On TPU the MLP query runs
+    through the fused Pallas kernel."""
     from .rays import ndc_rays
+
+    qc = qf = None
+    if use_pallas and jax.default_backend() == "tpu":
+        from .render import make_fused_nerf_query
+        qc = make_fused_nerf_query(params_coarse, ncfg)
+        if params_fine:
+            qf = make_fused_nerf_query(params_fine, ncfg)
 
     @jax.jit
     def frame(c2w):
@@ -100,7 +109,8 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
             h, w, f = ndc_params
             rays_o, rays_d = ndc_rays(h, w, f, 1.0, rays_o, rays_d)
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                rays_o, rays_d)
+                                rays_o, rays_d,
+                                query_coarse=qc, query_fine=qf)
         return out["rgb"].reshape(sampler.H, sampler.W, 3)
     return frame
 

@@ -96,21 +96,48 @@ def _coarse_z(vcfg: VolRenderConfig, n_ray: int,
 
 
 def _query_nerf(params: dict, ncfg: NeRFConfig, vcfg: VolRenderConfig,
-                pts: Array, viewdirs: Array | None) -> Array:
-    """pts [n_ray, n_s, 3] (+viewdirs [n_ray, 3]) -> raw [n_ray, n_s, 4]."""
+                pts: Array, viewdirs: Array | None,
+                query_fn=None) -> Array:
+    """pts [n_ray, n_s, 3] (+viewdirs [n_ray, 3]) -> raw [n_ray, n_s, 4].
+
+    ``query_fn`` (an ``emb [n, ch] -> raw [n, 4]`` closure, e.g. the fused
+    Pallas kernel from ``make_fused_nerf_query``) replaces ``apply_nerf``
+    when given.
+    """
     emb = nerf_embed(pts, vcfg.multires)
     if vcfg.use_viewdirs:
         vemb = nerf_embed(viewdirs, vcfg.multires_views)
         vemb = jnp.broadcast_to(vemb[:, None, :],
                                 (*pts.shape[:2], vemb.shape[-1]))
         emb = jnp.concatenate([emb, vemb], axis=-1)
+    if query_fn is not None:
+        flat = emb.reshape(-1, emb.shape[-1])
+        return query_fn(flat).reshape(*pts.shape[:2], -1)
     return apply_nerf(params, ncfg, emb)
+
+
+def make_fused_nerf_query(params: dict, ncfg: NeRFConfig,
+                          tile: int = 2048):
+    """Build a fused-Pallas point-query closure for ``_query_nerf``.
+
+    Keeps the whole (bf16) weight stack + activation tile in VMEM — the
+    XLA schedule is HBM-bound on the [N, W] activations (SURVEY §3.4 hot
+    loop; measured 2.9 s -> target sub-second per 400^2 frame on v5e).
+    """
+    from .kernels.nerf_pallas import fused_nerf_query, prepare_fused_nerf
+    fp = prepare_fused_nerf(params, ncfg)
+
+    def query(emb: Array) -> Array:
+        return fused_nerf_query(fp, ncfg, emb, tile=tile)
+
+    return query
 
 
 def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
                      ncfg: NeRFConfig, vcfg: VolRenderConfig,
                      rays_o: Array, rays_d: Array,
-                     key: jax.Array | None = None) -> VolOutputs:
+                     key: jax.Array | None = None,
+                     query_coarse=None, query_fine=None) -> VolOutputs:
     """Core volumetric pass over a flat ray batch [n_ray, 3]x2.
 
     Mirrors reference `main.py:624-756` with explicit keys and on-device
@@ -127,7 +154,8 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
 
     z_vals = _coarse_z(vcfg, n_ray, k_strat)
     pts = ray_points(rays_o, rays_d, z_vals)
-    raw = _query_nerf(params_coarse, ncfg, vcfg, pts, viewdirs)
+    raw = _query_nerf(params_coarse, ncfg, vcfg, pts, viewdirs,
+                      query_coarse)
     out_c = raw2outputs(raw, z_vals, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise)
 
@@ -145,7 +173,9 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
 
     pts_f = ray_points(rays_o, rays_d, z_all)
     pf = params_fine if params_fine is not None else params_coarse
-    raw_f = _query_nerf(pf, ncfg, vcfg, pts_f, viewdirs)
+    qf = query_fine if params_fine is not None else (query_fine
+                                                     or query_coarse)
+    raw_f = _query_nerf(pf, ncfg, vcfg, pts_f, viewdirs, qf)
     out_f = raw2outputs(raw_f, z_all, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise2)
 
@@ -165,7 +195,9 @@ def _pad_to_multiple(x: Array, m: int) -> tuple[Array, int]:
 def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
                       ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       rays_o: Array, rays_d: Array,
-                      key: jax.Array | None = None) -> dict[str, Array]:
+                      key: jax.Array | None = None,
+                      query_coarse=None,
+                      query_fine=None) -> dict[str, Array]:
     """Chunked full-frame volumetric render over flat rays [N, 3]x2.
 
     Returns {'rgb', 'disp', 'acc', 'depth'} each [N, ...]. Memory-bounded by
@@ -185,7 +217,8 @@ def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
         o, d, k = args
         kk = k if key is not None else None
         out = render_rays_nerf(params_coarse, params_fine, ncfg, vcfg,
-                               o, d, kk)
+                               o, d, kk, query_coarse=query_coarse,
+                               query_fine=query_fine)
         return out.rgb_map, out.disp_map, out.acc_map, out.depth_map
 
     rgb, disp, acc, depth = jax.lax.map(body, (ro, rd, keys))

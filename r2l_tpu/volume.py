@@ -91,18 +91,37 @@ def sample_pdf(key: jax.Array | None, bins: Array, weights: Array,
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples),
                                dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
-        cdf.reshape(-1, n_bin1), u.reshape(-1, n_samples))
-    inds = inds.reshape(*u.shape)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(n_bin1 - 1, inds)
+    # Gather-free bin lookup. TPU row-wise gathers are ~80 ns/element
+    # (take_along_axis on [160k, 128] measured ~260 ms — 4 of them
+    # dominated the whole teacher frame); since cdf and bins are sorted,
+    # the gathered values equal masked max/min reductions over the
+    # compare-all mask, which XLA fuses into cheap VPU sweeps (~30 ms).
+    #
+    # inds = searchsorted(cdf, u, 'right');  below = inds-1;
+    # above = min(inds, n_bin);  bins index = min(·, n_bin-1).
+    m = cdf[..., None, :] <= u[..., :, None]          # [R, S, n_bin1]
+    # bins index is clamped to len(bins)-1: precompute bins[min(k, L-1)]
+    # aligned with cdf indices k = 0..n_bin1-1.
+    L = bins.shape[-1]
+    if L >= n_bin1:
+        bins_map = bins[..., :n_bin1]
+    else:
+        pad = jnp.repeat(bins[..., -1:], n_bin1 - L, axis=-1)
+        bins_map = jnp.concatenate([bins, pad], axis=-1)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1),
-                                  axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1),
-                                  axis=-1)
+    def sel_below(vals):  # vals[below] == max over m of vals (sorted vals)
+        big = jnp.asarray(-jnp.inf, vals.dtype)
+        return jnp.max(jnp.where(m, vals[..., None, :], big), axis=-1)
+
+    def sel_above(vals):  # vals[above], falling back to vals[-1] if all m
+        big = jnp.asarray(jnp.inf, vals.dtype)
+        v = jnp.min(jnp.where(m, big, vals[..., None, :]), axis=-1)
+        return jnp.where(jnp.isfinite(v), v, vals[..., -1:])
+
+    cdf_g0 = sel_below(cdf)
+    cdf_g1 = sel_above(cdf)
+    bins_g0 = sel_below(bins_map)
+    bins_g1 = sel_above(bins_map)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
