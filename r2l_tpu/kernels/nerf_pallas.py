@@ -63,7 +63,6 @@ def prepare_fused_nerf(params: dict, cfg: NeRFConfig,
                        weight_dtype=jnp.bfloat16) -> FusedNeRFParams:
     in_pad = _round_up(cfg.input_ch, _LANE)
     v_pad = _round_up(max(cfg.input_ch_views, 1), _LANE)
-    W = cfg.netwidth if hasattr(cfg, "netwidth") else cfg.W
     W = cfg.W
     h_pad = _round_up(W // 2, _LANE)
 
@@ -108,10 +107,6 @@ def prepare_fused_nerf(params: dict, cfg: NeRFConfig,
         zero_wd, zero_b, zero_wd, zero_b, zero_wd, zero_b, zero_wd, zero_b,
         _pad_w(params["output_linear"]["w"], W, _LANE, weight_dtype),
         _pad_b(params["output_linear"]["b"], _LANE))
-
-
-def _check_views_order(cfg: NeRFConfig) -> None:
-    pass
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
