@@ -181,6 +181,29 @@ class Logger:
                 json.dump(payload, f, indent=1)
         with open(os.path.join(self.log_dir, "git.json"), "w") as f:
             json.dump(_git_info(os.getcwd()), f, indent=1)
+        if args is not None and not getattr(args, "no_cache", True):
+            self.cache_code()
+
+    def cache_code(self, root: str | None = None):
+        """Snapshot the source tree into the experiment dir (the
+        reference's code cache, `logger.py:514-528`, minus the user
+        shell script indirection)."""
+        import zipfile
+        root = root or os.getcwd()
+        dst = os.path.join(self.exp_dir, ".caches")
+        os.makedirs(dst, exist_ok=True)
+        out = os.path.join(dst, "code.zip")
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, dirnames, files in os.walk(root):
+                dirnames[:] = [d for d in dirnames
+                               if d not in (".git", "__pycache__",
+                                            "Experiments", ".caches",
+                                            ".pytest_cache")]
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(dirpath, f)
+                        z.write(p, os.path.relpath(p, root))
+        return out
 
     def _stamp(self) -> str:
         return (f"[{self.expid} {os.getpid()} "

@@ -66,3 +66,16 @@ def test_check_path_globs(tmp_path):
     p.write_bytes(b"x")
     assert check_path(str(tmp_path / "ckpt_*.msgpack")) == str(p)
     assert check_path("") == ""
+
+
+def test_code_cache(tmp_path):
+    import zipfile
+    src = tmp_path / "proj"
+    (src / "pkg").mkdir(parents=True)
+    (src / "pkg" / "a.py").write_text("x = 1\n")
+    (src / "readme.txt").write_text("not python\n")
+    log = Logger("c", experiments_dir=str(tmp_path / "Exp"))
+    out = log.cache_code(str(src))
+    names = zipfile.ZipFile(out).namelist()
+    assert "pkg/a.py" in names and "readme.txt" not in names
+    log.close()
