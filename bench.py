@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from r2l_tpu.encoding import r2l_embed
-from r2l_tpu.kernels import fused_r2l_apply, prepare_fused_params
+from r2l_tpu.kernels.r2l_pallas import (fused_r2l_apply_pe,
+                                        prepare_fused_params_pe)
 from r2l_tpu.models import R2LConfig, init_r2l
 from r2l_tpu.rays import pose_spherical
 from r2l_tpu.sampler import PointSampler
@@ -43,7 +44,7 @@ H = W = 400
 FOCAL = 555.5555155968841  # lego: .5*800/tan(.5*camera_angle_x) at half_res
 K = 16                     # frames per timed jit
 EMBED_L = 10
-PALLAS_TILE = 1024
+PALLAS_TILE = 512
 
 
 def main() -> None:
@@ -51,20 +52,19 @@ def main() -> None:
     # inference configuration (parity vs f32 covered in tests/).
     cfg = R2LConfig(compute_dtype=jnp.bfloat16, precision="default")
     params = init_r2l(jax.random.key(0), cfg)
-    fparams = prepare_fused_params(params, cfg)
+    fparams = prepare_fused_params_pe(params, cfg, dim_pts=48, L=EMBED_L)
     sampler = PointSampler(H=H, W=W, focal=FOCAL, n_sample=16,
                            near=2.0, far=6.0)
     use_pallas = jax.default_backend() != "cpu"
 
     def one_frame(c2w):
         pts = sampler.sample_test(c2w)
-        x = r2l_embed(pts, EMBED_L)
         if use_pallas:
-            rgb = fused_r2l_apply(fparams, cfg, x, tile=PALLAS_TILE,
-                                  interpret=False)
+            rgb = fused_r2l_apply_pe(fparams, cfg, pts, 48, EMBED_L,
+                                     tile=PALLAS_TILE, interpret=False)
         else:
             from r2l_tpu.models import apply_r2l
-            rgb = apply_r2l(params, cfg, x)
+            rgb = apply_r2l(params, cfg, r2l_embed(pts, EMBED_L))
         return jnp.sum(rgb)
 
     @jax.jit
@@ -94,7 +94,7 @@ def main() -> None:
             "rays_per_sec_per_chip": round(fps * H * W, 1),
             "ms_per_frame": round(1000.0 * dt, 3),
             "device": str(jax.devices()[0].device_kind),
-            "path": "pallas" if use_pallas else "xla",
+            "path": "pallas-pe-fused" if use_pallas else "xla",
             "model": "R2L W256 D88 (43 resmlp blocks), 16 samples/ray, L=10",
             "protocol": f"{K} frames per jit, scalar checksum readback",
         },
