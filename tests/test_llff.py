@@ -69,3 +69,39 @@ def test_rand_pose_valid_and_bounded():
         rot = p[:3, :3]
         np.testing.assert_allclose(rot.T @ rot, np.eye(3), atol=1e-5)
         assert np.linalg.norm(p[:3, 3] - center) <= 2.5 * r_max + 1e-6
+
+
+def test_load_llff_data_from_disk(tmp_path):
+    """Full loader path against a synthetic on-disk LLFF capture."""
+    import imageio.v2 as imageio
+
+    from r2l_tpu.data.llff import load_llff_data
+
+    base = tmp_path / "scene"
+    (base / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n, H, W = 6, 32, 40
+    poses_bounds = []
+    for k in range(n):
+        img = (rng.uniform(0, 255, (H * 4, W * 4, 3))).astype(np.uint8)
+        imageio.imwrite(str(base / "images" / f"img_{k:03d}.png"), img)
+        # LLFF layout: [down, right, back] columns + hwf, close/far bounds
+        m = _synthetic_poses(n=1, r=3.0, hwf=(H * 4, W * 4, 200.0))[0]
+        # convert back from [right, up, back] to llff's [down,right,back]
+        llff = np.concatenate([-m[:, 1:2], m[:, 0:1], m[:, 2:]], 1)
+        poses_bounds.append(np.concatenate(
+            [llff.reshape(-1), [2.0, 8.0]]))
+    np.save(base / "poses_bounds.npy", np.stack(poses_bounds))
+
+    data = load_llff_data(str(base), factor=4)
+    assert data.images.shape == (n, H, W, 3)
+    assert data.poses.shape == (n, 3, 5)
+    assert 0 <= data.i_test < n
+    assert data.render_poses.shape[1:] == (3, 5)
+    i_train, i_test = data.splits(llffhold=3)
+    assert set(i_train) | set(i_test) == set(range(n))
+    near, far = data.near_far(no_ndc=False)
+    assert (near, far) == (0.0, 1.0)
+    # downscale cache materialized
+    import os
+    assert len(os.listdir(base / "images_4")) == n
