@@ -115,3 +115,57 @@ def test_shuffle_rays_permutes(rng):
     out = shuffle_rays(rng, rays.copy())
     assert not np.array_equal(out[:, 0], rays[:, 0])
     assert sorted(out[:, 0].tolist()) == rays[:, 0].tolist()
+
+
+def test_blender_half_res(tmp_path):
+    """half_res path: cv2 area-resize + focal halving
+    (reference `load_blender.py:106-115`)."""
+    import json
+
+    import imageio.v2 as imageio
+
+    from r2l_tpu.data.blender import load_blender_data
+
+    base = str(tmp_path / "scene")
+    os.makedirs(base + "/train", exist_ok=True)
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 2), ("val", 1), ("test", 1)):
+        os.makedirs(f"{base}/{split}", exist_ok=True)
+        frames = []
+        for k in range(n):
+            img = rng.uniform(0, 255, (16, 16, 4)).astype(np.uint8)
+            imageio.imwrite(f"{base}/{split}/r_{k}.png", img)
+            frames.append({"file_path": f"./{split}/r_{k}",
+                           "transform_matrix": np.eye(4).tolist()})
+        with open(f"{base}/transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+
+    full = load_blender_data(base)
+    half = load_blender_data(base, half_res=True)
+    assert full.H == 16 and half.H == 8
+    np.testing.assert_allclose(half.focal, full.focal / 2.0, rtol=1e-6)
+    assert half.images.shape == (4, 8, 8, 4)
+
+
+def test_spiral_pseudo_images(tmp_path, key):
+    """spiral_evenly_spaced mode writes an images+poses npz."""
+    import jax
+
+    from r2l_tpu.datagen import DataGenConfig, generate_pseudo_images
+    from r2l_tpu.models import NeRFConfig, init_nerf
+    from r2l_tpu.render import VolRenderConfig
+
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=0, perturb=False,
+                           use_viewdirs=False, white_bkgd=True,
+                           ray_chunk=64)
+    params = init_nerf(key, ncfg)
+    gcfg = DataGenConfig(n_pose=4, H=8, W=8, focal=10.0)
+    n = generate_pseudo_images(params, None, ncfg, vcfg, gcfg,
+                               str(tmp_path), n_pose=4)
+    assert n == 4
+    f = [x for x in os.listdir(tmp_path) if x.startswith("pseudo_images")][0]
+    z = np.load(tmp_path / f)
+    assert z["images"].shape == (4, 8, 8, 3)
+    assert z["poses"].shape == (4, 4, 4)
