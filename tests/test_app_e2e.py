@@ -164,3 +164,52 @@ def test_benchmark_mode(tiny_scene, tmp_path):
         "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
         "--benchmark", "--use_pallas", "False",
         "--experiment_name", "b", "--experiments_dir", exps]))
+
+
+def test_distill_resume(tiny_scene, tmp_path):
+    """--pretrained_ckpt <native> --resume continues from the saved step."""
+    exps = str(tmp_path / "ExpR")
+    common = COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "1024", "--i_testset", "1000000", "--i_weights", "4",
+        "--datadir_kd", "", "--experiments_dir", exps]
+    # Build a tiny ray dir from the train images first.
+    from r2l_tpu.app import load_dataset
+    from r2l_tpu.datagen import images_to_ray_records
+    from r2l_tpu.data.rayshards import write_ray_shards
+    from r2l_tpu.logging_ import Logger
+    args0 = parse_args(common + ["--experiment_name", "mk"])
+    lg = Logger("mk", experiments_dir=exps)
+    ns = load_dataset(args0, lg)
+    rays = images_to_ray_records(ns.images[ns.i_train],
+                                 ns.poses[ns.i_train], ns.H, ns.W, ns.focal)
+    raydir = str(tmp_path / "rays")
+    write_ray_shards(raydir, rays, prefix="train")
+
+    train(parse_args(common + ["--N_iters", "4", "--datadir_kd", raydir,
+                               "--experiment_name", "a"]))
+    ck = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "ckpt.msgpack":
+                ck = os.path.join(root, f)
+    assert ck
+
+    import json as _json
+    meta = _json.load(open(ck + ".meta.json"))
+    assert meta["global_step"] == 4
+
+    # Resume: trains steps 5..6 and saves with global_step 6.
+    train(parse_args(common + [
+        "--N_iters", "6", "--datadir_kd", raydir, "--resume",
+        "--pretrained_ckpt", ck, "--i_weights", "6",
+        "--experiment_name", "b"]))
+    metas = []
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "ckpt.msgpack.meta.json":
+                metas.append(_json.load(open(os.path.join(root, f)))
+                             ["global_step"])
+    assert 6 in metas
