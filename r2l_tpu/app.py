@@ -265,7 +265,9 @@ def run_render_only(args, ns, logger) -> EvalResult:
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.N_samples,
                                near=ns.near, far=ns.far)
-        ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
+        # NDC uses the render-resolution intrinsics (the reference's
+        # render() receives the already-downsampled H/W/focal).
+        ndc_params = (H, W, focal) if ns.ndc else None
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       ndc_params)
 

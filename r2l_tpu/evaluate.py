@@ -61,7 +61,7 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                    else sampler.sample_test(c2w))
             x = r2l_embed(pts, embed_L)
             rgb = fused_r2l_apply_int8(fq, cfg, x, tile=pallas_tile)
-            return rgb.reshape(sampler.H, sampler.W, 3)
+            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
         return frame
     if use_pallas:
         # PE fused into the kernel (freq-major layout): the positional
@@ -82,14 +82,16 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                    else sampler.sample_test(c2w))
             rgb = fused_r2l_apply_pe(fparams, cfg, pts, dim_pts, embed_L,
                                      tile=pallas_tile)
-            return rgb.reshape(sampler.H, sampler.W, 3)
+            # learn_depth models emit 4 channels; frames keep RGB
+            # (reference `main.py:227-231`).
+            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
     else:
         @jax.jit
         def frame(c2w):
             pts = (sampler.sample_test_plucker(c2w) if plucker
                    else sampler.sample_test(c2w))
             rgb = apply_r2l(params, cfg, r2l_embed(pts, embed_L))
-            return rgb.reshape(sampler.H, sampler.W, 3)
+            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
     return frame
 
 
