@@ -545,8 +545,10 @@ def run_teacher_train(args, ns, logger):
             frame_fn = make_nerf_frame_fn(
                 state.params_coarse, state.params_fine or None, ncfg,
                 vcfg, sampler, ndc_params)
-            res = render_path(frame_fn, test_poses[:3],
-                              gt_images=test_gt[:3], compute_flip=False)
+            # Full test split (subsampled by --testskip), as the
+            # reference's i_testset eval (`main.py:1442-1471`).
+            res = render_path(frame_fn, test_poses,
+                              gt_images=test_gt, compute_flip=False)
             logger.print(f"[eval] iter {i} PSNR {res.test_psnr:.4f}")
             best_psnr = max(best_psnr, res.test_psnr)
         if i % args.i_weights == 0 or i == args.N_iters:

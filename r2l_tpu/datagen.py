@@ -84,10 +84,15 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         if params_fine:
             qf = make_fused_nerf_query(params_fine, ncfg)
 
+    # The reference renders pseudo data through the TRAIN kwargs, i.e.
+    # with stratified-perturbed z (`create_data.py:885-890` reuses
+    # render_kwargs_train, perturb=1) — keep that distribution with an
+    # explicit per-batch key.
     @jax.jit
-    def render_batch(rays_o, rays_d):
+    def render_batch(rays_o, rays_d, key):
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
                                 rays_o, rays_d,
+                                key=key if vcfg.perturb else None,
                                 query_coarse=qc, query_fine=qf)
         return out["rgb"], out["depth"]
 
@@ -129,7 +134,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         if batch_shd is not None:
             ro = jax.device_put(ro, batch_shd)
             rd = jax.device_put(rd, batch_shd)
-        rgb, depth = render_batch(jnp.asarray(ro), jnp.asarray(rd))
+        rgb, depth = render_batch(jnp.asarray(ro), jnp.asarray(rd),
+                                  jax.random.key(gcfg.seed * 100003 + done))
         cols = [np.asarray(ro), np.asarray(rd), np.asarray(rgb)]
         if gcfg.learn_depth:
             cols.append(np.asarray(depth)[:, None])
