@@ -85,7 +85,7 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
             qf = make_fused_nerf_query(params_fine, ncfg)
 
     # The reference renders pseudo data through the TRAIN kwargs, i.e.
-    # with stratified-perturbed z (`create_data.py:885-890` reuses
+    # with stratified-perturbed z (`create_data.py:802-806` reuses
     # render_kwargs_train, perturb=1) — keep that distribution with an
     # explicit per-batch key.
     @jax.jit
@@ -180,6 +180,25 @@ def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
     return offs[pick]
 
 
+
+def _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg):
+    """Jitted rgb frame renderer threading a stratified-perturb key when
+    vcfg.perturb — every reference datagen mode clones render_kwargs_train
+    (perturb=1): `create_data.py:802-806` (rand), `:885-890` (rand_tworays),
+    `:979-985` (rand_images), `:1031-1037` (3x3rays), `:1128-1134`
+    (16x16patches), `:769` (spiral)."""
+    @jax.jit
+    def render_frame(rays_o, rays_d, key):
+        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
+                                 rays_o, rays_d,
+                                 key=key if vcfg.perturb else None)["rgb"]
+    return render_frame
+
+
+def _pose_key(seed: int, i: int):
+    return jax.random.key(seed * 100003 + i)
+
+
 def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
                      gcfg: DataGenConfig, datadir: str,
                      radius: float = 4.0) -> int:
@@ -189,10 +208,7 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    @jax.jit
-    def render_frame(rays_o, rays_d):
-        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                 rays_o, rays_d)["rgb"]
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
 
     total, buf = 0, []
     for i in range(gcfg.n_pose):
@@ -200,8 +216,9 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
         focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
                               else 1.0)
         ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
-        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
-                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        rgb = np.asarray(render_frame(
+            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         ro, rd = np.asarray(ro), np.asarray(rd)
         off = _rand_neighbor_offsets(rng, H, W)
         nh = np.arange(H)[:, None] + off[..., 0]
@@ -227,10 +244,7 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    @jax.jit
-    def render_frame(rays_o, rays_d):
-        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                 rays_o, rays_d)["rgb"]
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
 
     offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
                (1, -1), (1, 0), (1, 1)]
@@ -240,8 +254,9 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
         focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
                               else 1.0)
         ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
-        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
-                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        rgb = np.asarray(render_frame(
+            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         ro, rd = np.asarray(ro), np.asarray(rd)
         d_parts = [rd[1 + oh:H - 1 + oh, 1 + ow:W - 1 + ow]
                    for oh, ow in offsets]
@@ -270,10 +285,7 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    @jax.jit
-    def render_frame(rays_o, rays_d):
-        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                 rays_o, rays_d)["rgb"]
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
 
     os.makedirs(datadir, exist_ok=True)
     frames = []
@@ -283,8 +295,9 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
         focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
                               else 1.0)
         ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
-        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
-                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        rgb = np.asarray(render_frame(
+            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         frames.append(np.concatenate(
             [np.asarray(ro), np.asarray(rd), rgb], -1).astype(np.float32))
         if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
@@ -307,10 +320,7 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
     H, W = gcfg.H, gcfg.W
     ph, pw = H // patch_size, W // patch_size
 
-    @jax.jit
-    def render_frame(rays_o, rays_d):
-        return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                 rays_o, rays_d)["rgb"]
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
 
     os.makedirs(datadir, exist_ok=True)
     origins, patches = [], []
@@ -320,8 +330,9 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
         focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
                               else 1.0)
         ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
-        rgb = np.asarray(render_frame(ro.reshape(-1, 3),
-                                      rd.reshape(-1, 3))).reshape(H, W, 3)
+        rgb = np.asarray(render_frame(
+            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         data = np.concatenate([np.asarray(rd), rgb], -1)  # [H, W, 6]
         tiles = (data[:ph * patch_size, :pw * patch_size]
                  .reshape(ph, patch_size, pw, patch_size, 6)
@@ -353,16 +364,13 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
     poses = get_novel_poses(n_pose if isinstance(n_pose, int)
                             else [int(x) for x in n_pose])
 
-    @jax.jit
-    def render_frame(rays_o, rays_d):
-        out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                rays_o, rays_d)
-        return out["rgb"]
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
 
     imgs = []
     for c2w in poses:
         ro, rd = get_rays(gcfg.H, gcfg.W, gcfg.focal, jnp.asarray(c2w))
-        rgb = render_frame(ro.reshape(-1, 3), rd.reshape(-1, 3))
+        rgb = render_frame(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                           _pose_key(gcfg.seed, len(imgs)))
         imgs.append(np.asarray(rgb).reshape(gcfg.H, gcfg.W, 3))
     existing = len([f for f in os.listdir(datadir)
                     if f.startswith("pseudo_images")])
