@@ -50,6 +50,12 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       pallas_tile: int = 512,
                       quantize: str = "") -> Callable[[Array], Array]:
     """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+    from .kernels.r2l_pallas import fused_kernel_supported
+    if not fused_kernel_supported(cfg):
+        # Non-canonical activations/arch: the fused kernels hardcode
+        # relu/relu/none resmlp — render through apply_r2l instead.
+        use_pallas = False
+        quantize = ""
     if quantize == "int8":
         from .kernels.r2l_pallas import (fused_r2l_apply_int8,
                                          prepare_fused_params_int8)

@@ -34,13 +34,14 @@ def init_pool(capacity: int, record_dim: int) -> HardPool:
 
 def sample_hard(pool: HardPool, key: jax.Array, n: int,
                 fallback: Array) -> tuple[Array, Array]:
-    """Draw ``n`` pool rays (uniform); before the pool has any entries,
-    fall back to the given fresh rays. Returns (rays [n, rd], idx [n])."""
+    """Draw ``n`` distinct pool slots (uniform, WITHOUT replacement — the
+    reference permutes the pool, `main.py:1340-1341`); until the pool is
+    full the batch keeps the given fresh rays instead (`main.py:1339`).
+    Returns (rays [n, rd], idx [n])."""
     capacity = pool.rays.shape[0]
-    idx = jax.random.randint(key, (n,), 0, jnp.maximum(pool.size, 1))
-    idx = jnp.minimum(idx, capacity - 1)
+    idx = jax.random.permutation(key, capacity)[:n]
     picked = pool.rays[idx]
-    use_pool = pool.size > 0
+    use_pool = pool.size >= capacity
     rays = jnp.where(use_pool, picked, fallback[:n])
     return rays, idx
 
@@ -79,4 +80,8 @@ def parse_hard_ratio(hard_ratio, batch_size: int) -> tuple[int, int]:
     if len(parts) == 1:
         n = int(parts[0] * batch_size)
         return n, n
-    return int(parts[0] * batch_size), int(parts[1] * batch_size)
+    n_in = int(parts[0] * batch_size)
+    n_out = int(parts[1] * batch_size)
+    # Reference clamps the inserted count to the sampled count
+    # (`main.py:1336-1337`) so each inserted ray replaces a distinct slot.
+    return min(n_in, n_out), n_out

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,6 +56,7 @@ def prepare_fused_params(params: dict, cfg: R2LConfig,
     no-op because the input is padded with zeros the same way) and the
     tail output dim to one 128-lane register.
     """
+    _assert_fused_supported(cfg)
     in_dim = params["head"]["w"].shape[0]
     in_pad = _round_up(in_dim, _LANE)
     W = cfg.netwidth
@@ -76,39 +78,27 @@ def prepare_fused_params(params: dict, cfg: R2LConfig,
     return FusedParams(head_w, head_b, body_w, body_b, tail_w, tail_b)
 
 
+def _assert_fused_supported(cfg: R2LConfig) -> None:
+    """The fused kernels hardcode the canonical activations (ReLU head/
+    in-block, no block out-activation). Other configs must use the jnp
+    path (``apply_r2l``) — callers like ``make_r2l_frame_fn`` fall back."""
+    if not fused_kernel_supported(cfg):
+        raise NotImplementedError(
+            f"fused kernel supports act/inact='relu', outact='none', "
+            f"body_arch='resmlp'; got act={cfg.act!r} inact={cfg.inact!r} "
+            f"outact={cfg.outact!r} body_arch={cfg.body_arch!r}")
+
+
+def fused_kernel_supported(cfg: R2LConfig) -> bool:
+    return (cfg.act == "relu" and cfg.inact == "relu"
+            and cfg.outact == "none" and cfg.body_arch == "resmlp")
+
+
 def _kernel(x_ref, head_w, head_b, body_w, body_b, tail_w, tail_b, out_ref,
-            *, n_block: int, n_learnable: int, res_scale: float,
-            use_residual: bool, linear_tail: bool, compute_dtype):
-    cd = compute_dtype
-
-    def mm(a, w):
-        return jnp.dot(a, w[...], preferred_element_type=jnp.float32)
-
-    x = x_ref[...].astype(cd)
-    h0 = jnp.maximum(mm(x, head_w) + head_b[...], 0.0).astype(cd)
-
-    nl = n_learnable
-
-    def block(i, h):
-        acc = h
-        for j in range(nl):
-            w = body_w[i * nl + j]
-            b = body_b[pl.ds(i * nl + j, 1), :]
-            acc_f = mm(acc, w) + b
-            if j < nl - 1:
-                acc_f = jnp.maximum(acc_f, 0.0)
-            acc = acc_f.astype(cd)
-        return (acc.astype(jnp.float32) * res_scale
-                + h.astype(jnp.float32)).astype(cd)
-
-    h = jax.lax.fori_loop(0, n_block, block, h0)
-    if use_residual:
-        h = (h.astype(jnp.float32) + h0.astype(jnp.float32)).astype(cd)
-
-    out = mm(h, tail_w) + tail_b[...]
-    if not linear_tail:
-        out = jax.nn.sigmoid(out)
-    out_ref[...] = out
+            *, cfg: R2LConfig, compute_dtype):
+    x = x_ref[...].astype(compute_dtype)
+    _kernel_body(x, head_w, head_b, body_w, body_b, tail_w, tail_b,
+                 out_ref, cfg, compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +132,7 @@ def _quant_cols(w: Array) -> tuple[Array, Array]:
 
 
 def prepare_fused_params_int8(params: dict, cfg: R2LConfig) -> FusedParamsInt8:
+    _assert_fused_supported(cfg)
     in_dim = params["head"]["w"].shape[0]
     in_pad = _round_up(in_dim, _LANE)
     W = cfg.netwidth
@@ -199,8 +190,7 @@ def fused_r2l_apply_int8(fp: FusedParamsInt8, cfg: R2LConfig, x: Array,
     def kern(x_ref, hw, hs, hb, bw, bs, bb, tw, ts, tb, o_ref):
         def qmm(a_f, w_q, w_s):
             a_q, a_s = _quant_rows(a_f)
-            acc = jnp.dot(a_q, w_q[...] if hasattr(w_q, "at") else w_q,
-                          preferred_element_type=jnp.int32)
+            acc = jnp.dot(a_q, w_q[...], preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * a_s * w_s
 
         h0 = jnp.maximum(qmm(x_ref[...], hw[...], hs[...]) + hb[...], 0.0)
@@ -266,24 +256,24 @@ def fused_r2l_apply_int8(fp: FusedParamsInt8, cfg: R2LConfig, x: Array,
 # ---------------------------------------------------------------------------
 
 def _pe_row_permutation(dim_pts: int, L: int) -> np.ndarray:
-    """new_row p*dim_pts + s  <-  old_row s*(2L+1) + per-scalar index."""
-    import numpy as np
+    """Freq-major feature (p, s) <- per-scalar feature s*(2L+1) + p.
+
+    Both layouts enumerate the same 2L+1 parts (sin f0..f_{L-1},
+    cos f0..f_{L-1}, identity) in the same order p, so the old column
+    index is simply p."""
     per = 2 * L + 1
     perm = np.empty(dim_pts * per, dtype=np.int64)
     for p in range(per):
-        old_j = p if p < L else (L + (p - L)) if p < 2 * L else 2 * L
         for s in range(dim_pts):
-            perm[p * dim_pts + s] = s * per + old_j
+            perm[p * dim_pts + s] = s * per + p
     return perm
-
-
-import numpy as np  # noqa: E402  (used by the permutation helper)
 
 
 def prepare_fused_params_pe(params: dict, cfg: R2LConfig, dim_pts: int,
                             L: int = 10,
                             weight_dtype=jnp.bfloat16) -> FusedParams:
     """Pack params for the PE-fused kernel (freq-major head-row order)."""
+    _assert_fused_supported(cfg)
     assert cfg.input_dim == dim_pts * (2 * L + 1)
     perm = _pe_row_permutation(dim_pts, L)
     permuted = dict(params)
@@ -362,12 +352,14 @@ def fused_r2l_apply_pe(fparams: FusedParams, cfg: R2LConfig, pts: Array,
 
 def _kernel_body(x, head_w, head_b, body_w, body_b, tail_w, tail_b,
                  out_ref, cfg: R2LConfig, cd):
-    """Shared matmul chain: embedded x -> out_ref (used by both kernels)."""
+    """Shared matmul chain: embedded x -> out_ref (the single source of
+    truth for the fused forward; ``_kernel`` and the PE kernel wrap it).
+    Activations are the canonical relu/relu/none — enforced by
+    ``_assert_fused_supported`` in the prepare_* functions."""
     def mm(a, w):
-        return jnp.dot(a, w[...] if hasattr(w, "at") else w,
-                       preferred_element_type=jnp.float32)
+        return jnp.dot(a, w[...], preferred_element_type=jnp.float32)
 
-    h0 = jnp.maximum(mm(x, head_w[...]) + head_b[...], 0.0).astype(cd)
+    h0 = jnp.maximum(mm(x, head_w) + head_b[...], 0.0).astype(cd)
     nl = cfg.n_learnable
 
     def block(i, h):
@@ -385,7 +377,7 @@ def _kernel_body(x, head_w, head_b, body_w, body_b, tail_w, tail_b,
     h = jax.lax.fori_loop(0, cfg.num_blocks, block, h0)
     if cfg.use_residual:
         h = (h.astype(jnp.float32) + h0.astype(jnp.float32)).astype(cd)
-    out = mm(h, tail_w[...]) + tail_b[...]
+    out = mm(h, tail_w) + tail_b[...]
     if not cfg.linear_tail:
         out = jax.nn.sigmoid(out)
     out_ref[...] = out
@@ -411,10 +403,7 @@ def fused_r2l_apply(fparams: FusedParams, cfg: R2LConfig, x: Array,
     xp = jnp.zeros((n_pad, in_pad), cd)
     xp = xp.at[:n, :in_dim].set(x.astype(cd))
 
-    kern = functools.partial(
-        _kernel, n_block=cfg.num_blocks, n_learnable=cfg.n_learnable,
-        res_scale=cfg.res_scale, use_residual=cfg.use_residual,
-        linear_tail=cfg.linear_tail, compute_dtype=cd)
+    kern = functools.partial(_kernel, cfg=cfg, compute_dtype=cd)
 
     W = cfg.netwidth
     nbl = fparams.body_w.shape[0]

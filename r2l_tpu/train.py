@@ -152,7 +152,11 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
 
         pool = state.pool
         if dcfg.n_hard_in > 0:
-            _, hard_ids = jax.lax.top_k(per_ray, dcfg.n_hard_in)
+            # Hard examples are collected from the FRESH rays only
+            # (reference takes rgb[:batch_size], `main.py:1409-1416`) —
+            # re-selecting pool rays would fill the pool with duplicates.
+            n_fresh = dcfg.batch_size - dcfg.n_hard_out
+            _, hard_ids = jax.lax.top_k(per_ray[:n_fresh], dcfg.n_hard_in)
             pool = update_pool(pool, batch[hard_ids], idx)
 
         new_state = TrainState(params=params, opt_state=opt_state,

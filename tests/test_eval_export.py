@@ -103,3 +103,18 @@ def test_export_dynamic_batch(key, tmp_path):
         got = np.asarray(restored.call(x))
         want = np.asarray(apply_r2l(params, cfg, x))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_frame_fn_falls_back_for_noncanonical_act(key):
+    """lrelu configs can't use the fused kernels — the frame fn must
+    silently take the apply_r2l path and still render correctly."""
+    cfg = R2LConfig(input_dim=4 * 3 * 21, netwidth=32, netdepth=6,
+                    act="lrelu", inact="lrelu")
+    params = init_r2l(key, cfg)
+    sampler = PointSampler(H=8, W=8, focal=10.0, n_sample=4,
+                           near=2.0, far=6.0)
+    import numpy as np
+    pose = jnp.asarray(np.eye(4, dtype=np.float32)[:3, :4])
+    a = make_r2l_frame_fn(params, cfg, sampler, use_pallas=True)(pose)
+    b = make_r2l_frame_fn(params, cfg, sampler, use_pallas=False)(pose)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -41,14 +41,22 @@ def test_sample_hard_fallback_when_empty(key):
     np.testing.assert_array_equal(np.asarray(rays), np.asarray(fallback[:2]))
 
 
-def test_sample_hard_draws_from_filled_region(key):
+def test_sample_hard_uses_pool_only_when_full(key):
+    """Until the pool is full the fresh fallback is used (reference only
+    samples the pool once it reaches capacity, `main.py:1339`); once full,
+    draws are distinct slots (without replacement, `main.py:1340-1341`)."""
     pool = init_pool(8, 3)
     pool = update_pool(pool, jnp.ones((4, 3)) * 7, jnp.zeros((1,), jnp.int32))
-    fallback = jnp.zeros((4, 3))
+    fallback = jnp.full((4, 3), 2.0)
+    rays, _ = sample_hard(pool, key, 4, fallback)
+    np.testing.assert_array_equal(np.asarray(rays), np.asarray(fallback))
+
+    pool = update_pool(pool, jnp.ones((4, 3)) * 9, jnp.zeros((1,), jnp.int32))
+    assert int(pool.size) == 8
     for k in jax.random.split(key, 5):
         rays, idx = sample_hard(pool, k, 4, fallback)
-        assert (np.asarray(idx) < 4).all()
-        np.testing.assert_array_equal(np.asarray(rays), np.full((4, 3), 7.0))
+        assert len(set(np.asarray(idx).tolist())) == 4  # no replacement
+        assert set(np.unique(np.asarray(rays))) <= {7.0, 9.0}
 
 
 def test_update_pool_jit_donation():
