@@ -129,9 +129,12 @@ def build_r2l(args, logger):
         if args.ckpt_format == "torch" or path.endswith(".tar"):
             blob = ckpt.load_torch_tar(path)
             sd = blob.get("network_fn_state_dict", blob)
+            # Architecture flags (residual, activations) are not
+            # recoverable from the state_dict — honor the CLI flags, as
+            # the reference requires matching flags at load time.
             cfg = ckpt.infer_r2l_config_from_state_dict(
                 sd, compute_dtype=cfg.compute_dtype, precision=cfg.precision,
-                use_residual=args.use_residual or True,
+                use_residual=args.use_residual,
                 act=cfg.act, inact=cfg.inact, outact=cfg.outact,
                 res_scale=cfg.res_scale)
             params = ckpt.torch_r2l_to_params(sd, cfg)
@@ -165,10 +168,15 @@ def build_teacher(args, logger, key=None):
                        else jnp.float32),
         precision=("default" if args.compute_dtype == "bfloat16"
                    else args.matmul_precision))
+    # Fine network may have its own dims (--netdepth_fine/--netwidth_fine,
+    # reference create_nerf `main.py:437-445`).
+    import dataclasses as _dc
+    ncfg_fine = _dc.replace(ncfg, D=args.netdepth_fine,
+                            W=args.netwidth_fine)
     key = key if key is not None else jax.random.key(args.seed)
     k1, k2 = jax.random.split(key)
     pc = init_nerf(k1, ncfg)
-    pf = init_nerf(k2, ncfg) if args.N_importance > 0 else {}
+    pf = init_nerf(k2, ncfg_fine) if args.N_importance > 0 else {}
     start_step = 0
     path = args.teacher_ckpt or args.pretrained_ckpt
     if path:
@@ -179,7 +187,7 @@ def build_teacher(args, logger, key=None):
                 blob["network_fn_state_dict"], ncfg)
             if "network_fine_state_dict" in blob and args.N_importance > 0:
                 pf = ckpt.torch_nerf_to_params(
-                    blob["network_fine_state_dict"], ncfg)
+                    blob["network_fine_state_dict"], ncfg_fine)
             if args.resume:
                 start_step = int(blob.get("global_step", 0))
         else:
@@ -189,7 +197,7 @@ def build_teacher(args, logger, key=None):
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
         logger.print(f"Loaded teacher ckpt {path} (step {start_step})")
-    return ncfg, pc, pf, start_step
+    return ncfg, ncfg_fine, pc, pf, start_step
 
 
 def vol_config(args, ns) -> VolRenderConfig:
@@ -260,7 +268,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
             plucker=args.plucker, use_pallas=args.use_pallas,
             pallas_tile=args.pallas_tile, quantize=args.quantize)
     else:
-        ncfg, pc, pf, _ = build_teacher(args, logger)
+        ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
         vcfg = vol_config(args, ns)
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.N_samples,
@@ -269,7 +277,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
         # render() receives the already-downsampled H/W/focal).
         ndc_params = (H, W, focal) if ns.ndc else None
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
-                                      ndc_params)
+                                      ndc_params, ncfg_fine=ncfg_fine)
 
     if args.render_test:
         poses = ns.poses[ns.i_test]
@@ -490,7 +498,7 @@ def _save(logger, name: str, state: TrainState, step: int,
 
 def run_teacher_train(args, ns, logger):
     """NeRF teacher training (reference §3.2 call stack)."""
-    ncfg, pc, pf, start = build_teacher(args, logger)
+    ncfg, ncfg_fine, pc, pf, start = build_teacher(args, logger)
     vcfg = vol_config(args, ns)
     tcfg = TeacherTrainConfig(
         n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
@@ -512,10 +520,12 @@ def run_teacher_train(args, ns, logger):
         rng = np.random.default_rng(args.seed)
         ray_pool = jnp.asarray(records[rng.permutation(records.shape[0])])
         logger.print(f"use_batching: ray pool {ray_pool.shape}")
-        step_fn_b = make_teacher_step_batched(ncfg, vcfg, tcfg, tx)
+        step_fn_b = make_teacher_step_batched(ncfg, vcfg, tcfg, tx,
+                                              ncfg_fine=ncfg_fine)
     else:
         step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx,
-                                    ns.H, ns.W, ns.focal)
+                                    ns.H, ns.W, ns.focal,
+                                    ncfg_fine=ncfg_fine, ndc=ns.ndc)
 
     images = jnp.asarray(ns.images[ns.i_train])
     poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
@@ -544,7 +554,7 @@ def run_teacher_train(args, ns, logger):
             ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
             frame_fn = make_nerf_frame_fn(
                 state.params_coarse, state.params_fine or None, ncfg,
-                vcfg, sampler, ndc_params)
+                vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine)
             # Full test split (subsampled by --testskip), as the
             # reference's i_testset eval (`main.py:1442-1471`).
             res = render_path(frame_fn, test_poses,

@@ -286,7 +286,12 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
             action = by_flag.get(k) or by_dest.get(k)
             if action is None:
                 raise SystemExit(f"unknown config key {k!r} in {known.config}")
-            if action.const is True or isinstance(action.default, bool):
+            if isinstance(action, argparse._StoreFalseAction):
+                # store_false flags (e.g. no_rand_focal -> use_rand_focal):
+                # 'no_rand_focal = True' in a config file means the same
+                # as passing the flag, i.e. dest becomes False.
+                defaults[action.dest] = not _bool(v)
+            elif action.const is True or isinstance(action.default, bool):
                 defaults[action.dest] = _bool(v)
             elif action.type is not None:
                 defaults[action.dest] = action.type(v)

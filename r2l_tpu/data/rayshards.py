@@ -102,7 +102,7 @@ class RayShardDataset:
         a = arrs[idx]
         if a.shape[0] <= chunk:
             return np.asarray(a)
-        off = int(rng.integers(0, a.shape[0] - chunk))
+        off = int(rng.integers(0, a.shape[0] - chunk + 1))
         return np.asarray(a[off:off + chunk])
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int,

@@ -52,7 +52,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
                          gcfg: DataGenConfig, datadir: str,
                          radius: float = 4.0,
                          progress=None, mesh=None,
-                         pose_fn=None, ndc: bool = False) -> int:
+                         pose_fn=None, ndc: bool = False,
+                         ncfg_fine=None) -> int:
     """Render ``n_pose`` random views with the teacher; write ray shards.
 
     Returns total rays written. ``progress`` is an optional callback
@@ -93,7 +94,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
                                 rays_o, rays_d,
                                 key=key if vcfg.perturb else None,
-                                query_coarse=qc, query_fine=qf)
+                                query_coarse=qc, query_fine=qf,
+                                ncfg_fine=ncfg_fine)
         return out["rgb"], out["depth"]
 
     writer_q: queue.Queue = queue.Queue(maxsize=2)
@@ -181,7 +183,8 @@ def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
 
 
 
-def _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg):
+def _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                       ncfg_fine=None):
     """Jitted rgb frame renderer threading a stratified-perturb key when
     vcfg.perturb — every reference datagen mode clones render_kwargs_train
     (perturb=1): `create_data.py:802-806` (rand), `:885-890` (rand_tworays),
@@ -191,7 +194,8 @@ def _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg):
     def render_frame(rays_o, rays_d, key):
         return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
                                  rays_o, rays_d,
-                                 key=key if vcfg.perturb else None)["rgb"]
+                                 key=key if vcfg.perturb else None,
+                                 ncfg_fine=ncfg_fine)["rgb"]
     return render_frame
 
 

@@ -104,7 +104,8 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
 def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
                        ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
                        ndc_params: tuple | None = None,
-                       use_pallas: bool = False) -> Callable:
+                       use_pallas: bool = False,
+                       ncfg_fine=None) -> Callable:
     """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
     (H, W, focal) to enable the LLFF NDC warp. On TPU the MLP query runs
     through the fused Pallas kernel."""
@@ -115,7 +116,7 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
         from .render import make_fused_nerf_query
         qc = make_fused_nerf_query(params_coarse, ncfg)
         if params_fine:
-            qf = make_fused_nerf_query(params_fine, ncfg)
+            qf = make_fused_nerf_query(params_fine, ncfg_fine or ncfg)
 
     @jax.jit
     def frame(c2w):
@@ -125,7 +126,8 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
             rays_o, rays_d = ndc_rays(h, w, f, 1.0, rays_o, rays_d)
         out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
                                 rays_o, rays_d,
-                                query_coarse=qc, query_fine=qf)
+                                query_coarse=qc, query_fine=qf,
+                                ncfg_fine=ncfg_fine)
         return out["rgb"].reshape(sampler.H, sampler.W, 3)
     return frame
 

@@ -137,7 +137,8 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
                      ncfg: NeRFConfig, vcfg: VolRenderConfig,
                      rays_o: Array, rays_d: Array,
                      key: jax.Array | None = None,
-                     query_coarse=None, query_fine=None) -> VolOutputs:
+                     query_coarse=None, query_fine=None,
+                     ncfg_fine: NeRFConfig | None = None) -> VolOutputs:
     """Core volumetric pass over a flat ray batch [n_ray, 3]x2.
 
     Mirrors reference `main.py:624-756` with explicit keys and on-device
@@ -175,7 +176,9 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
     pf = params_fine if params_fine is not None else params_coarse
     qf = query_fine if params_fine is not None else (query_fine
                                                      or query_coarse)
-    raw_f = _query_nerf(pf, ncfg, vcfg, pts_f, viewdirs, qf)
+    nf = (ncfg_fine if (ncfg_fine is not None and params_fine is not None)
+          else ncfg)
+    raw_f = _query_nerf(pf, nf, vcfg, pts_f, viewdirs, qf)
     out_f = raw2outputs(raw_f, z_all, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise2)
 
@@ -197,7 +200,8 @@ def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
                       rays_o: Array, rays_d: Array,
                       key: jax.Array | None = None,
                       query_coarse=None,
-                      query_fine=None) -> dict[str, Array]:
+                      query_fine=None,
+                      ncfg_fine: NeRFConfig | None = None) -> dict[str, Array]:
     """Chunked full-frame volumetric render over flat rays [N, 3]x2.
 
     Returns {'rgb', 'disp', 'acc', 'depth'} each [N, ...]. Memory-bounded by
@@ -218,7 +222,7 @@ def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
         kk = k if key is not None else None
         out = render_rays_nerf(params_coarse, params_fine, ncfg, vcfg,
                                o, d, kk, query_coarse=query_coarse,
-                               query_fine=query_fine)
+                               query_fine=query_fine, ncfg_fine=ncfg_fine)
         return out.rgb_map, out.disp_map, out.acc_map, out.depth_map
 
     rgb, disp, acc, depth = jax.lax.map(body, (ro, rd, keys))

@@ -115,7 +115,9 @@ def distill_loss_fn(params: Any, cfg: R2LConfig, dcfg: DistillConfig,
                     key: jax.Array | None):
     x, rgb_t, depth_t = _r2l_inputs(batch, sampler, dcfg, key)
     pred = apply_r2l(params, cfg, x)
-    per_ray = jnp.mean((pred - rgb_t) ** 2, axis=-1)  # [B]
+    # RGB term uses the first 3 channels only — learn_depth models emit
+    # [rgb, depth] (reference slices rgb[:, :3], `main.py:1377`).
+    per_ray = jnp.mean((pred[..., :3] - rgb_t) ** 2, axis=-1)  # [B]
     loss = dcfg.lw_rgb * jnp.mean(per_ray)
     if depth_t is not None and dcfg.lw_depth > 0:
         # learn_depth: extra output channels regress ray depth
@@ -161,7 +163,11 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
 
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1, pool=pool)
-        metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(loss / dcfg.lw_rgb)}
+        # PSNR from the RGB MSE alone (the loss may include the depth
+        # term, which would bias the logged PSNR).
+        rgb_mse = jnp.mean(per_ray)
+        metrics = {"loss": loss,
+                   "psnr": -10.0 * jnp.log10(jnp.maximum(rgb_mse, 1e-12))}
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
@@ -201,7 +207,8 @@ def init_teacher_state(params_coarse: Any, params_fine: Any,
 
 def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                               tcfg: TeacherTrainConfig,
-                              tx: optax.GradientTransformation):
+                              tx: optax.GradientTransformation,
+                              ncfg_fine: NeRFConfig | None = None):
     """Teacher step over a pre-shuffled global ray pool (the reference's
     ``use_batching`` mode, `main.py:1135-1162,1199-1209`): rays live on
     device as one [N, 9] array; each step takes the next ``n_rand`` slice
@@ -217,7 +224,8 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         def loss_fn(both):
             out = render_rays_nerf(both["coarse"],
                                    both["fine"] if both["fine"] else None,
-                                   ncfg, vcfg, ro, rd, key=key)
+                                   ncfg, vcfg, ro, rd, key=key,
+                                   ncfg_fine=ncfg_fine)
             loss = jnp.mean((out.rgb_map - tgt) ** 2)
             if out.rgb0 is not None:
                 loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)
@@ -237,7 +245,9 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
 def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       tcfg: TeacherTrainConfig,
                       tx: optax.GradientTransformation,
-                      H: int, W: int, focal: float):
+                      H: int, W: int, focal: float,
+                      ncfg_fine: NeRFConfig | None = None,
+                      ndc: bool = False):
     """Jitted teacher step over on-device images [N, H, W, 3] + poses.
 
     Per step: random training image, random pixel subset (central crop for
@@ -254,6 +264,11 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         c2w = poses[img_i]
 
         rays_o, rays_d = get_rays(H, W, focal, c2w)  # [H, W, 3]
+        if ndc:
+            # LLFF forward-facing scenes warp rays to NDC (the reference
+            # applies this inside render(), `main.py:166-169`).
+            from .rays import ndc_rays
+            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
 
         # Pixel selection: precrop keeps the central crop early on.
         use_crop = state.step < tcfg.precrop_iters
@@ -288,7 +303,8 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         def loss_fn(both):
             out = render_rays_nerf(both["coarse"],
                                    both["fine"] if both["fine"] else None,
-                                   ncfg, vcfg, ro, rd, key=k_render)
+                                   ncfg, vcfg, ro, rd, key=k_render,
+                                   ncfg_fine=ncfg_fine)
             loss = jnp.mean((out.rgb_map - tgt) ** 2)
             if out.rgb0 is not None:
                 loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)

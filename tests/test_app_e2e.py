@@ -92,7 +92,7 @@ def test_full_pipeline(tiny_scene, tmp_path):
         "--experiments_dir", exps, "--experiment_name", "gen"])
     logger = Logger("gen", experiments_dir=exps)
     ns = load_dataset(args, logger)
-    ncfg, pc, pf, _ = build_teacher(args, logger)
+    ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
     datadir_kd = str(tmp_path / "pseudo")
     n = generate_pseudo_data(pc, pf or None, ncfg, vol_config(args, ns),
                              DataGenConfig(n_pose=2, H=ns.H, W=ns.W,

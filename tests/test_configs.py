@@ -103,3 +103,13 @@ def test_mesh_spec():
     assert parse_mesh_spec("") is None
     assert parse_mesh_spec("data:8") == {"data": 8}
     assert parse_mesh_spec("data:4,model:2") == {"data": 4, "model": 2}
+
+
+def test_store_false_flag_in_config_file(tmp_path):
+    """'no_rand_focal = True' in a scene file must DISABLE random focal
+    (same meaning as passing --no_rand_focal on the CLI)."""
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("no_rand_focal = True\n")
+    assert parse_args(["--config", str(cfg)]).use_rand_focal is False
+    cfg.write_text("no_rand_focal = False\n")
+    assert parse_args(["--config", str(cfg)]).use_rand_focal is True

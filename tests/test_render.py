@@ -103,3 +103,21 @@ def test_teacher_bf16_compute_close_to_f32(key):
     # target quality. bf16 datagen stays opt-in (--compute_dtype).
     assert d.mean() < 1e-2, d.mean()
     assert np.quantile(d, 0.95) < 5e-2
+
+
+def test_distinct_fine_network_dims(key):
+    """--netdepth_fine/--netwidth_fine differing from the coarse net."""
+    import dataclasses
+    ncfg = NeRFConfig(D=3, W=32, input_ch=63, input_ch_views=27, skips=(1,),
+                      use_viewdirs=True)
+    ncfg_fine = dataclasses.replace(ncfg, D=2, W=16, skips=())
+    k1, k2 = jax.random.split(key)
+    pc = init_nerf(k1, ncfg)
+    pf = init_nerf(k2, ncfg_fine)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=4, perturb=False,
+                           use_viewdirs=True, white_bkgd=True, ray_chunk=32)
+    ro = jnp.zeros((32, 3))
+    rd = jax.random.normal(jax.random.key(5), (32, 3))
+    out = render_frame_nerf(pc, pf, ncfg, vcfg, ro, rd, ncfg_fine=ncfg_fine)
+    assert out["rgb"].shape == (32, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()

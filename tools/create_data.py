@@ -55,7 +55,7 @@ def main() -> None:
                      f"to {len(paths)} shards in {datadir_kd}")
         return
 
-    ncfg, pc, pf, _ = build_teacher(args, logger)
+    ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
     vcfg = vol_config(args, ns)
 
     if args.test_teacher:
@@ -101,7 +101,7 @@ def main() -> None:
             pose_fn = lambda r: get_rand_pose_llff(r, poses35)[:, :4]  # noqa: E731
         total = generate_pseudo_data(
             pc, pf or None, ncfg, vcfg, gcfg, datadir_kd, mesh=mesh,
-            pose_fn=pose_fn, ndc=ns.ndc,
+            pose_fn=pose_fn, ndc=ns.ndc, ncfg_fine=ncfg_fine,
             progress=lambda i, n: (i % 50 == 0 and logger.print(
                 f"pose {i}/{n}")))
         logger.print(f"generated {total} pseudo rays in {datadir_kd}")
