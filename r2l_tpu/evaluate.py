@@ -138,14 +138,13 @@ def render_path(frame_fn: Callable[[Array], Array],
                 savedir: str | None = None,
                 lpips_params: dict | None = None,
                 compute_flip: bool = True,
-                logger=None,
-                render_factor_applied: bool = True) -> EvalResult:
+                logger=None) -> EvalResult:
     """Render every pose; compute metrics vs ``gt_images`` when given.
 
     Mirrors reference `main.py:189-398`: per-frame PSNR/SSIM + error image
     dumps, batched LPIPS/FLIP at the end, and both PSNR conventions
-    (mean of per-frame PSNRs, and PSNR of the mean MSE = 'psnr_v2',
-    `main.py:385-394`).
+    (reference `main.py:389-390`: test_psnr = PSNR of the mean MSE,
+    test_psnr_v2 = mean of per-frame PSNRs — best checkpoints track v2).
     """
     frames, mses, psnrs, ssims = [], [], [], []
     t_total, n_timed = 0.0, 0
@@ -186,8 +185,8 @@ def render_path(frame_fn: Callable[[Array], Array],
 
     if gt_images is not None and mses:
         result.per_frame_psnr = psnrs
-        result.test_psnr = float(np.mean(psnrs))
-        result.test_psnr_v2 = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        result.test_psnr = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        result.test_psnr_v2 = float(np.mean(psnrs))
         result.test_ssim = float(np.mean(ssims))
         if compute_flip:
             vals = [float(flip_metric(jnp.asarray(gt_images[i]),
@@ -195,12 +194,13 @@ def render_path(frame_fn: Callable[[Array], Array],
                     for i in range(len(frames))]
             result.test_flip = float(np.mean(vals))
         if lpips_params is not None:
+            # Per-image LPIPS, averaged over images (a batch-mean would
+            # over-weight a ragged final mini-batch; reference
+            # `main.py:365-370` means over per-image values).
             from .lpips_jax import lpips
-            vals = []
-            for i in range(0, len(frames), 8):  # mini-batch 8 as reference
-                a = jnp.asarray(np.stack(frames[i:i + 8]))
-                b = jnp.asarray(gt_images[i:i + len(frames[i:i + 8])])
-                vals.append(float(lpips(lpips_params, b, a)))
+            vals = [float(lpips(lpips_params, jnp.asarray(gt_images[i]),
+                                jnp.asarray(frames[i])))
+                    for i in range(len(frames))]
             result.test_lpips = float(np.mean(vals))
     return result
 
@@ -266,8 +266,8 @@ def render_path_given_rays(params: dict, cfg: R2LConfig,
     res = EvalResult(frames=np.stack(frames))
     if mses:
         res.per_frame_psnr = psnrs
-        res.test_psnr = float(np.mean(psnrs))
-        res.test_psnr_v2 = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        res.test_psnr = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
+        res.test_psnr_v2 = float(np.mean(psnrs))
         res.test_ssim = float(np.mean(ssims))
     return res
 

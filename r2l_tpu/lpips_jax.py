@@ -119,7 +119,10 @@ def lpips(params: dict, img0: Array, img1: Array) -> Array:
     """LPIPS distance between [N, H, W, 3] (or [H, W, 3]) sRGB in [0,1]."""
     if img0.ndim == 3:
         img0, img1 = img0[None], img1[None]
-    # [0,1] -> [-1,1] (reference rescales the same way, `main.py:364-369`)
+    # [0,1] -> [-1,1], the standard LPIPS input convention. (The
+    # reference min-max rescales each tensor to [-1,1] instead,
+    # `main.py:364-369` — a nonstandard choice; numbers computed here
+    # follow the original LPIPS definition.)
     x0, x1 = 2.0 * img0 - 1.0, 2.0 * img1 - 1.0
     x0 = (x0 - _SHIFT) / _SCALE
     x1 = (x1 - _SHIFT) / _SCALE

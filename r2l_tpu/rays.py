@@ -143,16 +143,19 @@ def get_novel_poses(n_pose, phi: float = -30.0, radius: float = 4.0) -> np.ndarr
     """Evenly spaced novel video poses.
 
     ``n_pose`` int -> a theta ring at fixed (phi, radius);
-    ``n_pose`` [n_theta, n_phi, n_radius] -> the full grid over
-    theta in [-180,180), phi in [-90,0], r in [3,5] — the same grid family
-    as reference `dataset/load_blender.py:327-356`.
+    ``n_pose`` [n_theta, n_phi, n_radius] -> the full grid: theta ring in
+    [-180,180), phi interior of [-90,0], r interior of [2,6] — matching
+    reference `dataset/load_blender.py:327-356`.
     """
     if isinstance(n_pose, int):
         thetas = np.linspace(-180.0, 180.0, n_pose + 1)[:-1]
         return np.stack([pose_spherical(t, phi, radius) for t in thetas])
+    # Grid: theta ring endpoints-exclusive; phi/radius INTERIOR points of
+    # [-90, 0] and [near=2, far=6] (reference `load_blender.py:337-339`
+    # uses linspace(lo, hi, n+2)[1:-1]).
     n_theta, n_phi, n_radius = [int(x) for x in n_pose]
     thetas = np.linspace(-180.0, 180.0, n_theta + 1)[:-1]
-    phis = np.linspace(-90.0, 0.0, n_phi + 1)[:-1] if n_phi > 1 else [phi]
-    radii = np.linspace(3.0, 5.0, n_radius) if n_radius > 1 else [radius]
+    phis = np.linspace(-90.0, 0.0, n_phi + 2)[1:-1]
+    radii = np.linspace(2.0, 6.0, n_radius + 2)[1:-1]
     poses = [pose_spherical(t, p, r) for r in radii for p in phis for t in thetas]
     return np.stack(poses)

@@ -87,3 +87,16 @@ def test_get_rand_pose_ranges(rng):
 def test_get_novel_poses_counts():
     assert rays.get_novel_poses(8).shape == (8, 4, 4)
     assert rays.get_novel_poses([4, 2, 2]).shape == (16, 4, 4)
+
+
+def test_get_novel_poses_grid_matches_reference_formula():
+    """Grid values: phi/radius take INTERIOR linspace points
+    (reference `load_blender.py:337-339`)."""
+    poses = rays.get_novel_poses([4, 2, 2])
+    assert poses.shape == (16, 4, 4)
+    # Heights (world z = -sin(phi) * r) must correspond to interior phis
+    # [-60, -30], never the phi=-90 pole.
+    import numpy as np
+    radii = np.linalg.norm(poses[:, :3, 3], axis=1)
+    np.testing.assert_allclose(sorted(set(np.round(radii, 4))),
+                               [10/3, 14/3], rtol=1e-4)
