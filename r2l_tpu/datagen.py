@@ -100,16 +100,26 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
 
     writer_q: queue.Queue = queue.Queue(maxsize=2)
     total = {"rays": 0}
+    writer_err: list[BaseException] = []
+    # The writer gets its OWN rng: numpy Generators are not thread-safe
+    # and the main loop keeps drawing poses from `rng` concurrently.
+    writer_rng = np.random.default_rng(gcfg.seed + 1)
 
     def writer():
-        while True:
-            item = writer_q.get()
-            if item is None:
-                return
-            rays = shuffle_rays(rng, item)
-            write_ray_shards(datadir, rays, prefix="pseudo",
-                             shard_size=gcfg.shard_size, shuffle=False)
-            total["rays"] += rays.shape[0]
+        try:
+            while True:
+                item = writer_q.get()
+                if item is None:
+                    return
+                rays = shuffle_rays(writer_rng, item)
+                write_ray_shards(datadir, rays, prefix="pseudo",
+                                 shard_size=gcfg.shard_size, shuffle=False)
+                total["rays"] += rays.shape[0]
+        except BaseException as e:  # surface IO failures to the main loop
+            writer_err.append(e)
+            while True:  # drain so the producer never deadlocks
+                if writer_q.get() is None:
+                    return
 
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
@@ -117,6 +127,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     buf: list[np.ndarray] = []
     done = 0
     while done < gcfg.n_pose:
+        if writer_err:
+            raise RuntimeError("pseudo-data writer failed") from writer_err[0]
         k = min(ppb, gcfg.n_pose - done)
         ros, rds = [], []
         for _ in range(k):
@@ -131,14 +143,17 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
                 ro, rd = ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
             ros.append(np.asarray(ro).reshape(-1, 3))
             rds.append(np.asarray(rd).reshape(-1, 3))
-        ro = np.concatenate(ros, axis=0)
-        rd = np.concatenate(rds, axis=0)
+        ro_host = np.concatenate(ros, axis=0)
+        rd_host = np.concatenate(rds, axis=0)
         if batch_shd is not None:
-            ro = jax.device_put(ro, batch_shd)
-            rd = jax.device_put(rd, batch_shd)
-        rgb, depth = render_batch(jnp.asarray(ro), jnp.asarray(rd),
+            ro = jax.device_put(ro_host, batch_shd)
+            rd = jax.device_put(rd_host, batch_shd)
+        else:
+            ro, rd = jnp.asarray(ro_host), jnp.asarray(rd_host)
+        rgb, depth = render_batch(ro, rd,
                                   jax.random.key(gcfg.seed * 100003 + done))
-        cols = [np.asarray(ro), np.asarray(rd), np.asarray(rgb)]
+        # Record columns reuse the HOST ray arrays (no D2H round trip).
+        cols = [ro_host, rd_host, np.asarray(rgb)]
         if gcfg.learn_depth:
             cols.append(np.asarray(depth)[:, None])
         buf.append(np.concatenate(cols, axis=1).astype(np.float32))
@@ -152,6 +167,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         writer_q.put(np.concatenate(buf, axis=0))
     writer_q.put(None)
     wt.join()
+    if writer_err:
+        raise RuntimeError("pseudo-data writer failed") from writer_err[0]
     assert record_dim == (10 if gcfg.learn_depth else 9)
     return total["rays"]
 

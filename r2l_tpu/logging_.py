@@ -75,7 +75,7 @@ class LossLine:
         self.ema = ema
         self.vals: dict[str, float] = {}
 
-    def update(self, name: str, value: float, fmt: str = ".4f"):
+    def update(self, name: str, value: float):
         v = float(value)
         if self.ema > 0 and name in self.vals:
             v = self.ema * self.vals[name] + (1 - self.ema) * v
@@ -143,8 +143,12 @@ class Logger:
             root, self.expid = os.path.join(experiments_dir, "Debug_Dir"), "Debug"
         elif resume_time_id:
             if resume_time_id == "latest":
-                cands = sorted(glob.glob(
-                    os.path.join(experiments_dir, f"{self.name}-*")))
+                import re
+                pat = re.compile(re.escape(self.name) + r"-\d{8}-\d{6}$")
+                cands = sorted(
+                    p for p in glob.glob(
+                        os.path.join(experiments_dir, f"{self.name}-*"))
+                    if pat.search(os.path.basename(p)))
                 root = cands[-1] if cands else os.path.join(
                     experiments_dir, f"{self.name}-{ts}")
             else:

@@ -76,8 +76,14 @@ def main() -> None:
                 os.remove(os.path.join(datadir_kd, f))
 
     n_pose = args.n_pose_kd if args.n_pose_kd else 100
+    # Ray-record modes loop over a pose COUNT; only spiral takes the
+    # [n_theta, n_phi, n_radius] grid list.
+    if not isinstance(n_pose, int) and args.create_data != "spiral_evenly_spaced":
+        raise SystemExit(f"--n_pose_kd must be an int for "
+                         f"--create_data {args.create_data!r}; "
+                         f"got {n_pose!r}")
     gcfg = DataGenConfig(
-        n_pose=n_pose if isinstance(n_pose, int) else n_pose,
+        n_pose=n_pose if isinstance(n_pose, int) else 1,
         H=ns.H, W=ns.W, focal=ns.focal,
         use_rand_focal=args.use_rand_focal,
         learn_depth=bool(args.learn_depth),
