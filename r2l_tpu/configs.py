@@ -209,8 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
         help='frames per device dispatch in create_data (amortizes '
              'dispatch overhead; rays shard over the mesh data axis)')
     add('--quantize', type=str, default='', choices=['', 'int8'],
-        help='int8: quantized inference kernel (2x MXU rate on v5e; '
-             'per-column weight / per-ray activation scales)')
+        help='int8: static-scale quantized inference kernel (2x MXU rate '
+             'on v5e; per-channel weight scales, per-(layer, channel) '
+             'activation scales calibrated on sample rays at build time)')
     add('--seed', type=int, default=0)
     add('--ckpt_format', type=str, default='native',
         choices=['native', 'torch'],
@@ -338,7 +339,36 @@ def normalize_args(args: argparse.Namespace) -> argparse.Namespace:
         for k, v in dotted.items():
             setattr(trial, k.split('.', 1)[1], v)
         args.trial = trial
+    _warn_vestigial(args)
     return args
+
+
+# Flags the REFERENCE parses but never reads anywhere in its code (verified
+# by grep over /root/reference: e.g. args.use_bn / args.lw_kd have zero use
+# sites outside option.py). We keep accepting them for CLI-surface parity —
+# a script written for the reference must still run — but never silently:
+# any non-default value gets a loud warning naming the flag a no-op.
+_VESTIGIAL = {
+    'use_bn': False, 'kernel_size': 1, 'padding': 0, 'split_layer': -1,
+    'dropout_layer': '', 'dropout_ratio': 0.5, 'lw_kd': 0.001, 'D_head': 4,
+    'encode_input': False, 'render_iters': 1, 'lw_rgb1': 1,
+    'video_poses_perturb': False, 'layerwise_netwidths2': '',
+    'body_arch': 'conv',  # the non-trial CNN-body flag; R2L uses trial.*
+}
+
+
+def _warn_vestigial(args) -> None:
+    for flag, default in _VESTIGIAL.items():
+        if getattr(args, flag, default) != default:
+            print(f"WARNING: --{flag} is accepted for reference CLI parity "
+                  f"but is vestigial (the reference never reads it) — "
+                  f"it has NO effect.", file=sys.stderr)
+    if args.shuffle_input:
+        # The reference's --shuffle_input block permutes a size-1 group
+        # (`torch.randperm(3 // 3)`, main.py:1313-1322) — an exact no-op.
+        print("WARNING: --shuffle_input matches the reference exactly: "
+              "its shuffle block permutes a size-1 group (main.py:1313-"
+              "1322) and therefore has NO effect.", file=sys.stderr)
 
 
 def args_to_r2l_config(args):
@@ -355,6 +385,16 @@ def args_to_r2l_config(args):
                  else args.n_sample_per_ray * 3 * per)
     trial = getattr(args, 'trial', None)
     body_arch = getattr(trial, 'body_arch', 'mlp') if trial else 'mlp'
+    layerwise = ()
+    if args.layerwise_netwidths:
+        layerwise = tuple(int(x)
+                          for x in str(args.layerwise_netwidths).split(','))
+        if body_arch == 'resmlp':
+            # In the reference the resmlp body ignores the list but the
+            # tail is still built from Ws[D-2] and would crash on a width
+            # mismatch (`model/nerf_raybased.py:489-537`) — reject early.
+            raise SystemExit('--layerwise_netwidths applies to the plain '
+                             'MLP body only (trial.body_arch=mlp)')
     return R2LConfig(
         input_dim=input_dim,
         output_dim=3 + (1 if args.learn_depth else 0),
@@ -367,6 +407,7 @@ def args_to_r2l_config(args):
         outact=getattr(trial, 'outact', 'none') if trial else 'none',
         res_scale=getattr(trial, 'res_scale', 1.0) if trial else 1.0,
         body_arch=body_arch if body_arch in ('resmlp', 'mlp') else 'mlp',
+        layerwise_widths=layerwise,
         use_residual=args.use_residual,
         linear_tail=args.linear_tail,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == 'bfloat16'

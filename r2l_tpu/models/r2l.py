@@ -40,12 +40,30 @@ class R2LConfig:
     body_arch: str = "resmlp"      # 'resmlp' | 'mlp'
     use_residual: bool = True      # global body(x) + x
     linear_tail: bool = False      # tail without sigmoid
+    # --layerwise_netwidths: per-layer body widths for the plain-MLP body
+    # (reference `model/nerf_raybased.py:489-493`; the resmlp branch there
+    # ignores the list but its tail would take Ws[D-2] and crash — we
+    # reject the combination up front in configs.args_to_r2l_config).
+    layerwise_widths: tuple = ()
     compute_dtype: Any = jnp.float32  # activation dtype (bf16 for speed)
     precision: str = "highest"     # matmul precision ("default" = bf16 passes)
 
     @property
     def num_blocks(self) -> int:
         return r2l_num_blocks(self.netdepth, self.n_block)
+
+    @property
+    def widths(self) -> list:
+        """Per-layer widths Ws[0..D-1] (reference `:489-493`: the given
+        list + a trailing 3; uniform netwidth otherwise)."""
+        if self.layerwise_widths:
+            ws = list(self.layerwise_widths) + [3]
+            if len(ws) < self.netdepth - 1:
+                raise ValueError(
+                    f"layerwise_netwidths needs >= netdepth-2 = "
+                    f"{self.netdepth - 2} entries, got {len(ws) - 1}")
+            return ws
+        return [self.netwidth] * (self.netdepth - 1) + [3]
 
 
 def r2l_num_blocks(netdepth: int, n_block: int = -1) -> int:
@@ -83,8 +101,9 @@ def init_r2l(key: jax.Array, cfg: R2LConfig) -> dict:
     """
     W, D = cfg.netwidth, cfg.netdepth
     k_head, k_body, k_tail = jax.random.split(key, 3)
+    Ws = cfg.widths  # uniform unless --layerwise_netwidths (mlp body only)
 
-    hw, hb = _linear_init(k_head, cfg.input_dim, W)
+    hw, hb = _linear_init(k_head, cfg.input_dim, Ws[0])
     params: dict = {"head": {"w": hw, "b": hb}}
 
     if cfg.body_arch == "resmlp":
@@ -101,16 +120,18 @@ def init_r2l(key: jax.Array, cfg: R2LConfig) -> dict:
             bs.append(jnp.stack(bs_i))
         params["body"] = {"w": jnp.stack(ws), "b": jnp.stack(bs)}
     elif cfg.body_arch == "mlp":
+        # Plain MLP body: Linear(Ws[i-1], Ws[i]) for i in 1..D-2
+        # (reference `model/nerf_raybased.py:503-505`).
         layers = []
         keys = jax.random.split(k_body, max(D - 2, 1))
-        for i in range(D - 2):
-            w, b = _linear_init(keys[i], W, W)
+        for i in range(1, D - 1):
+            w, b = _linear_init(keys[i - 1], Ws[i - 1], Ws[i])
             layers.append({"w": w, "b": b})
         params["body"] = layers
     else:
         raise NotImplementedError(cfg.body_arch)
 
-    tw, tb = _linear_init(k_tail, W, cfg.output_dim)
+    tw, tb = _linear_init(k_tail, Ws[D - 2], cfg.output_dim)
     params["tail"] = {"w": tw, "b": tb}
     return params
 

@@ -76,14 +76,60 @@ def test_cli_overrides_config_file(tmp_path):
     assert args.N_rand == 2048
 
 
-def test_reference_configs_all_parse():
-    """Every shipped scene config of the reference must parse cleanly."""
-    cfg_dir = "/root/reference/configs"
-    if not os.path.isdir(cfg_dir):
+REPO_CONFIGS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def test_shipped_configs_all_parse():
+    """All 57 scene configs shipped in repo configs/ must parse cleanly."""
+    names = sorted(os.listdir(REPO_CONFIGS))
+    assert len(names) == 57
+    for f in names:
+        args = parse_args(["--config", os.path.join(REPO_CONFIGS, f)])
+        assert args.dataset_type in ("llff", "blender"), f
+        assert args.expname, f
+
+
+def test_shipped_configs_match_reference_set():
+    """Same scene/variant matrix as the reference configs/ dir."""
+    ref_dir = "/root/reference/configs"
+    if not os.path.isdir(ref_dir):
         return
-    for f in sorted(os.listdir(cfg_dir)):
-        args = parse_args(["--config", os.path.join(cfg_dir, f)])
-        assert args.dataset_type in ("llff", "blender", "deepvoxels"), f
+    assert sorted(os.listdir(REPO_CONFIGS)) == sorted(os.listdir(ref_dir))
+
+
+def test_shipped_config_semantics():
+    """Spot-check the variant semantics (reference configs/lego*.txt)."""
+    def load(name):
+        return parse_args(["--config", os.path.join(REPO_CONFIGS, name)])
+
+    lego = load("lego.txt")
+    assert lego.dataset_type == "blender" and lego.half_res is True
+    assert lego.use_viewdirs is True and lego.no_batching is True
+    assert lego.white_bkgd is True and lego.lrate_decay == 500
+    assert lego.N_samples == 64 and lego.N_importance == 128
+    assert lego.N_rand == 1024 and lego.precrop_iters == 500
+
+    noview = load("lego_noview.txt")
+    assert noview.use_viewdirs is False
+
+    hr = load("lego_800x800.txt")
+    assert hr.half_res is False and hr.use_viewdirs is True
+
+    batching = load("lego_usebatching.txt")
+    assert batching.no_batching is False  # the flag line is commented out
+
+    fern = load("fern.txt")
+    assert fern.dataset_type == "llff" and fern.factor == 8
+    assert fern.llffhold == 8 and fern.N_importance == 64
+    assert fern.raw_noise_std == 1.0 and fern.use_viewdirs is True
+
+    fern_nv = load("fern_noview.txt")
+    assert fern_nv.use_viewdirs is False and fern_nv.no_batching is True
+
+    donerf = load("donerf_barbershop_noview.txt")
+    assert donerf.dataset_type == "blender" and donerf.use_viewdirs is False
+    assert "donerf_data" in donerf.datadir
 
 
 def test_args_to_r2l_config_canonical():
@@ -113,3 +159,27 @@ def test_store_false_flag_in_config_file(tmp_path):
     assert parse_args(["--config", str(cfg)]).use_rand_focal is False
     cfg.write_text("no_rand_focal = False\n")
     assert parse_args(["--config", str(cfg)]).use_rand_focal is True
+
+
+def test_layerwise_netwidths_flag():
+    args = parse_args(["--netdepth", "5", "--layerwise_netwidths",
+                       "32,16,48,24"])
+    cfg = args_to_r2l_config(args)
+    assert cfg.layerwise_widths == (32, 16, 48, 24)
+    assert cfg.widths == [32, 16, 48, 24, 3]
+
+
+def test_layerwise_netwidths_rejects_resmlp():
+    import pytest
+    with pytest.raises(SystemExit):
+        args = parse_args(CANONICAL + ["--layerwise_netwidths", "256,256"])
+        args_to_r2l_config(args)
+
+
+def test_vestigial_flags_warn(capsys):
+    parse_args(["--use_bn", "--shuffle_input"])
+    err = capsys.readouterr().err
+    assert "use_bn" in err and "NO effect" in err
+    assert "shuffle_input" in err
+    parse_args([])  # defaults stay silent
+    assert "NO effect" not in capsys.readouterr().err

@@ -119,3 +119,41 @@ def test_nerf_golden_tiny(key):
     h = _np_relu(x @ p["pts_linears"][0]["w"] + p["pts_linears"][0]["b"])
     g = h @ p["output_linear"]["w"] + p["output_linear"]["b"]
     np.testing.assert_allclose(np.asarray(y), g, rtol=1e-5, atol=1e-7)
+
+
+def test_r2l_layerwise_netwidths(key):
+    """--layerwise_netwidths: per-layer plain-MLP body widths (reference
+    `model/nerf_raybased.py:489-505`: head -> Ws[0], body Linear(Ws[i-1],
+    Ws[i]) for i in 1..D-2, tail from Ws[D-2])."""
+    widths = (32, 16, 48, 24)  # D-1 = 4 entries for D = 5
+    cfg = R2LConfig(input_dim=12, netdepth=5, netwidth=64,
+                    body_arch="mlp", use_residual=False,
+                    layerwise_widths=widths)
+    params = init_r2l(key, cfg)
+    assert params["head"]["w"].shape == (12, 32)
+    assert [tuple(l["w"].shape) for l in params["body"]] == [
+        (32, 16), (16, 48), (48, 24)]
+    assert params["tail"]["w"].shape == (24, 3)
+    y = apply_r2l(params, cfg, jnp.ones((7, 12)))
+    assert y.shape == (7, 3)
+
+    # numerics vs numpy
+    x = np.linspace(-1, 1, 12, dtype=np.float32)[None]
+    p = jax.tree.map(np.asarray, params)
+    h = _np_relu(x @ p["head"]["w"] + p["head"]["b"])
+    for l in p["body"]:
+        h = _np_relu(h @ l["w"] + l["b"])
+    g = 1 / (1 + np.exp(-(h @ p["tail"]["w"] + p["tail"]["b"])))
+    got = apply_r2l(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), g, rtol=1e-5, atol=1e-6)
+
+
+def test_r2l_layerwise_too_short_raises(key):
+    cfg = R2LConfig(input_dim=12, netdepth=5, body_arch="mlp",
+                    layerwise_widths=(32, 16))
+    try:
+        init_r2l(key, cfg)
+    except ValueError as e:
+        assert "layerwise" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
