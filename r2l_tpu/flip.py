@@ -131,10 +131,18 @@ def _csf_kernels(ppd: float) -> tuple[np.ndarray, int]:
 
 
 def _conv2d_single(img: Array, kernel: Array) -> Array:
-    """img [H, W], kernel [k, k] -> [H, W], replicate-free SAME padding."""
+    """img [H, W], kernel [k, k] -> [H, W], REPLICATE boundary padding.
+
+    The reference pads with mode='replicate' before every VALID conv
+    (`flip_loss.py:190-201` spatial_filter, `:290-298` feature_detection);
+    zero padding would darken the borders and shift the mean error by
+    several percent on small images.
+    """
+    r = (kernel.shape[0] - 1) // 2
+    img = jnp.pad(img, ((r, r), (r, r)), mode="edge")
     out = jax.lax.conv_general_dilated(
         img[None, :, :, None], kernel[:, :, None, None],
-        window_strides=(1, 1), padding="SAME",
+        window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out[0, :, :, 0]
 

@@ -1,18 +1,20 @@
-"""LPIPS perceptual metric (AlexNet backbone + linear heads) in pure jnp.
+"""LPIPS perceptual metric (AlexNet / VGG16 / SqueezeNet backbones), pure jnp.
 
-The reference uses the pip ``lpips`` package with pretrained AlexNet
-features (`/root/reference/main.py:6,47,364-369`, net per ``--lpips_net``).
-This module reimplements the same computation graph natively:
+The reference uses the pip ``lpips`` package (`/root/reference/main.py:6,47,
+364-369`), net selected by ``--lpips_net`` (alex default; vgg / squeeze
+choices, `option.py:313`). This module reimplements the same computation
+graph natively for all three backbones:
 
-  sRGB in [0,1] -> scale to [-1,1] -> ImageNet-style normalization ->
-  5 AlexNet conv stages -> unit-normalize channel features ->
+  sRGB in [0,1] -> scale to [-1,1] -> LPIPS scaling layer ->
+  backbone conv stages -> unit-normalize channel features ->
   1x1 linear heads -> spatial mean -> sum over stages.
 
 Pretrained weights are NOT bundled (this environment has no network access
 and no torchvision): ``load_torch_lpips`` converts a torch ``lpips``
-state_dict (e.g. saved from the pip package elsewhere) into the param
-pytree; ``init_lpips`` gives random weights for tests. Callers gate on
-weight availability — PSNR/SSIM/FLIP are always available natively.
+state_dict (e.g. ``torch.save(lpips.LPIPS(net='alex').state_dict(), ...)``
+run elsewhere) into the param pytree; ``init_lpips`` gives random weights
+for tests. Callers gate on weight availability — PSNR/SSIM/FLIP are always
+available natively — and the eval path warns loudly when LPIPS is skipped.
 """
 from __future__ import annotations
 
@@ -34,39 +36,101 @@ _ALEX = [
     (256, 384, 3, 1, 1),
     (256, 256, 3, 1, 1),
 ]
-_POOL_AFTER = {0, 1}
+_ALEX_POOL_AFTER = {0, 1}
+
+# VGG16 stages: (out_ch, n_convs); all 3x3 s1 p1, maxpool(2,2) between
+# stages, features taken at each stage's last ReLU (relu1_2 ... relu5_3).
+_VGG = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+
+# SqueezeNet 1.1: conv(3->64, k3, s2) + 8 Fire modules
+# (squeeze_ch, expand_ch) — expand1x1 and expand3x3 concat to 2*expand_ch.
+_SQUEEZE_FIRES = [(16, 64), (16, 64), (32, 128), (32, 128),
+                  (48, 192), (48, 192), (64, 256), (64, 256)]
+# features taken after: relu1, fire3, fire5, fire6, fire7, fire8, fire9
+# (lpips pretrained_networks.squeezenet slices); maxpool(3,2) before
+# fires 0, 2 and 4.
+_SQUEEZE_POOL_BEFORE = {0, 2, 4}
+_SQUEEZE_FEAT_AFTER = {1, 3, 4, 5, 6, 7}
+
+_N_STAGES = {"alex": 5, "vgg": 5, "squeeze": 7}
 
 # LPIPS input normalization (the package's ScalingLayer constants).
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-def init_lpips(key: jax.Array) -> dict:
+def _feat_channels(net: str) -> list[int]:
+    if net == "alex":
+        return [oc for oc, *_ in _ALEX]
+    if net == "vgg":
+        return [oc for oc, _ in _VGG]
+    if net == "squeeze":
+        return [64, 128, 256, 384, 384, 512, 512]
+    raise ValueError(net)
+
+
+def init_lpips(key: jax.Array, net: str = "alex") -> dict:
     """Random-weight LPIPS params (for tests / shape checks)."""
-    convs, lins = [], []
-    for i, (oc, ic, k, _, _) in enumerate(_ALEX):
-        key, k1, k2 = jax.random.split(key, 3)
-        std = 1.0 / math.sqrt(ic * k * k)
-        convs.append({
-            "w": jax.random.normal(k1, (k, k, ic, oc)) * std,
-            "b": jnp.zeros((oc,)),
-        })
-        lins.append({"w": jax.random.uniform(k2, (1, 1, oc, 1))})
-    return {"convs": convs, "lins": lins}
+    def conv_init(k, ic, oc, ksz):
+        k1, k2 = jax.random.split(k)
+        std = 1.0 / math.sqrt(ic * ksz * ksz)
+        return {"w": jax.random.normal(k1, (ksz, ksz, ic, oc)) * std,
+                "b": jnp.zeros((oc,))}
+
+    convs = []
+    if net == "alex":
+        for oc, ic, k, _, _ in _ALEX:
+            key, sub = jax.random.split(key)
+            convs.append(conv_init(sub, ic, oc, k))
+    elif net == "vgg":
+        ic = 3
+        for oc, n in _VGG:
+            for _ in range(n):
+                key, sub = jax.random.split(key)
+                convs.append(conv_init(sub, ic, oc, 3))
+                ic = oc
+    elif net == "squeeze":
+        key, sub = jax.random.split(key)
+        convs.append(conv_init(sub, 3, 64, 3))
+        ic = 64
+        for s, e in _SQUEEZE_FIRES:
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            convs += [conv_init(k1, ic, s, 1), conv_init(k2, s, e, 1),
+                      conv_init(k3, s, e, 3)]
+            ic = 2 * e
+    else:
+        raise ValueError(net)
+
+    lins = []
+    for c in _feat_channels(net):
+        key, sub = jax.random.split(key)
+        lins.append({"w": jax.random.uniform(sub, (1, 1, c, 1))})
+    return {"net": net, "convs": convs, "lins": lins}
 
 
-def load_torch_lpips(state_dict: dict) -> dict:
-    """Convert a torch ``lpips.LPIPS(net='alex')`` state_dict.
+def load_torch_lpips(state_dict: dict, net: str = "alex") -> dict:
+    """Convert a torch ``lpips.LPIPS(net=...)`` state_dict.
 
-    torch layout: ``net.slice{1..5}.<idx>.weight`` convs [O,I,kh,kw] and
-    ``lin{0..4}.model.1.weight`` 1x1 heads [1,C,1,1].
+    torch layout: ``net.slice{k}.<idx>[.subname].weight`` backbone convs
+    [O, I, kh, kw] and ``lin{0..}.model.1.weight`` 1x1 heads [1, C, 1, 1].
+    Fire-module convs (squeeze net) order: squeeze, expand1x1, expand3x3.
     """
     def np_(t):
-        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+        return (t.detach().cpu().numpy() if hasattr(t, "detach")
+                else np.asarray(t))
 
-    conv_keys = sorted(
-        (k for k in state_dict if k.startswith("net.") and k.endswith(".weight")),
-        key=lambda k: (int(k.split(".")[1][5:]), int(k.split(".")[2])))
+    sub_order = {"": 0, "squeeze": 0, "expand1x1": 1, "expand3x3": 2}
+
+    def sort_key(k):
+        parts = k.split(".")
+        slice_no = int(parts[1][5:])
+        idx = int(parts[2])
+        sub = parts[3] if len(parts) > 4 else ""
+        return (slice_no, idx, sub_order.get(sub, 9))
+
+    conv_keys = sorted((k for k in state_dict
+                        if k.startswith("net.") and k.endswith(".weight")),
+                       key=sort_key)
     convs = []
     for k in conv_keys:
         w = np_(state_dict[k])          # [O, I, kh, kw]
@@ -74,40 +138,74 @@ def load_torch_lpips(state_dict: dict) -> dict:
         convs.append({"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
                       "b": jnp.asarray(b)})
     lins = []
-    for i in range(len(_ALEX)):
+    for i in range(_N_STAGES[net]):
         for cand in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
             if cand in state_dict:
                 w = np_(state_dict[cand])   # [1, C, 1, 1]
                 lins.append({"w": jnp.asarray(w.transpose(2, 3, 1, 0))})
                 break
-    assert len(convs) == len(_ALEX) and len(lins) == len(_ALEX), \
-        "unrecognized lpips state_dict layout"
-    return {"convs": convs, "lins": lins}
+    want_convs = {"alex": 5, "vgg": 13, "squeeze": 25}[net]
+    assert len(convs) == want_convs and len(lins) == _N_STAGES[net], \
+        f"unrecognized lpips state_dict layout for net={net!r}: " \
+        f"{len(convs)} convs / {len(lins)} lins"
+    return {"net": net, "convs": convs, "lins": lins}
 
 
-def _conv(x: Array, w: Array, b: Array, stride: int, pad: int) -> Array:
+def _conv(x: Array, p: dict, stride: int = 1, pad: int = 0) -> Array:
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride),
+        x, p["w"], window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return out + b
+    return out + p["b"]
 
 
-def _maxpool(x: Array, k: int = 3, s: int = 2) -> Array:
+def _maxpool(x: Array, k: int, s: int) -> Array:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID")
 
 
-def _alex_features(params: dict, x: Array) -> list[Array]:
-    feats = []
-    h = x
+def _alex_features(convs: list, x: Array) -> list[Array]:
+    feats, h = [], x
     for i, (oc, ic, k, s, p) in enumerate(_ALEX):
-        h = _conv(h, params["convs"][i]["w"], params["convs"][i]["b"], s, p)
-        h = jax.nn.relu(h)
+        h = jax.nn.relu(_conv(h, convs[i], s, p))
         feats.append(h)
-        if i in _POOL_AFTER:
-            h = _maxpool(h)
+        if i in _ALEX_POOL_AFTER:
+            h = _maxpool(h, 3, 2)
     return feats
+
+
+def _vgg_features(convs: list, x: Array) -> list[Array]:
+    feats, h, ci = [], x, 0
+    for si, (oc, n) in enumerate(_VGG):
+        for _ in range(n):
+            h = jax.nn.relu(_conv(h, convs[ci], 1, 1))
+            ci += 1
+        feats.append(h)
+        if si < len(_VGG) - 1:
+            h = _maxpool(h, 2, 2)
+    return feats
+
+
+def _squeeze_features(convs: list, x: Array) -> list[Array]:
+    feats = []
+    h = jax.nn.relu(_conv(h := x, convs[0], 2, 0))
+    feats.append(h)
+    ci = 1
+    for fi, (s, e) in enumerate(_SQUEEZE_FIRES):
+        if fi in _SQUEEZE_POOL_BEFORE:
+            h = _maxpool(h, 3, 2)
+        sq = jax.nn.relu(_conv(h, convs[ci], 1, 0))
+        e1 = jax.nn.relu(_conv(sq, convs[ci + 1], 1, 0))
+        e3 = jax.nn.relu(_conv(sq, convs[ci + 2], 1, 1))
+        h = jnp.concatenate([e1, e3], axis=-1)
+        ci += 3
+        if fi in _SQUEEZE_FEAT_AFTER:
+            feats.append(h)
+    return feats
+
+
+_FEATURES = {"alex": _alex_features, "vgg": _vgg_features,
+             "squeeze": _squeeze_features}
 
 
 def _unit_normalize(f: Array, eps: float = 1e-10) -> Array:
@@ -126,8 +224,9 @@ def lpips(params: dict, img0: Array, img1: Array) -> Array:
     x0, x1 = 2.0 * img0 - 1.0, 2.0 * img1 - 1.0
     x0 = (x0 - _SHIFT) / _SCALE
     x1 = (x1 - _SHIFT) / _SCALE
-    f0s = _alex_features(params, x0)
-    f1s = _alex_features(params, x1)
+    features = _FEATURES[params.get("net", "alex")]
+    f0s = features(params["convs"], x0)
+    f1s = features(params["convs"], x1)
     total = 0.0
     for i, (f0, f1) in enumerate(zip(f0s, f1s)):
         d = (_unit_normalize(f0) - _unit_normalize(f1)) ** 2

@@ -71,3 +71,83 @@ def test_lpips_torch_layout_conversion():
     params = load_torch_lpips(sd)
     assert params["convs"][0]["w"].shape == (11, 11, 3, 64)
     assert params["lins"][4]["w"].shape == (1, 1, 256, 1)
+
+
+def test_flip_golden_parity_vs_reference():
+    """Numeric parity with the reference torch FLIP
+    (`/root/reference/utils/flip_loss.py`, device-patched to CPU) on
+    frozen fixtures — regenerate with tools/gen_metric_fixtures.py."""
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "metrics_golden.npz")
+    data = np.load(fx)
+    for gt, img, want in zip(data["gts"], data["imgs"], data["flip"]):
+        got = float(flip(jnp.asarray(gt), jnp.asarray(img)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_ssim_golden_parity_vs_reference():
+    """Numeric parity with the reference torch SSIM
+    (`/root/reference/utils/ssim_torch.py`) on frozen fixtures."""
+    import os
+    from r2l_tpu.metrics import ssim
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "metrics_golden.npz")
+    data = np.load(fx)
+    for gt, img, want in zip(data["gts"], data["imgs"], data["ssim"]):
+        got = float(ssim(jnp.asarray(img), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_lpips_vgg_and_squeeze_backbones(rng):
+    """All three --lpips_net choices run with matching head counts
+    (reference option.py:313; pip lpips nets alex/vgg/squeeze)."""
+    from r2l_tpu.lpips_jax import init_lpips
+    a = jnp.asarray(rng.uniform(0, 1, (33, 35, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (33, 35, 3)).astype(np.float32))
+    for net in ("alex", "vgg", "squeeze"):
+        params = init_lpips(jax.random.key(0), net=net)
+        d_ab = float(lpips(params, a, b))
+        d_aa = float(lpips(params, a, a))
+        assert np.isfinite(d_ab) and d_ab > d_aa >= 0.0, (net, d_ab, d_aa)
+
+
+def test_lpips_squeeze_torch_roundtrip(rng):
+    """A synthetic torch lpips(net='squeeze') state_dict converts and
+    matches the fire-module conv ordering."""
+    import torch
+    from r2l_tpu.lpips_jax import (_SQUEEZE_FIRES, _feat_channels,
+                                   load_torch_lpips)
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+    sd["net.slice1.0.weight"] = torch.randn(64, 3, 3, 3, generator=g)
+    sd["net.slice1.0.bias"] = torch.randn(64, generator=g)
+    # fires at torchvision feature indices 3,4 | 6,7 | 9,10,11,12
+    slices = [(2, [3, 4]), (3, [6, 7]), (4, [9]), (5, [10]), (6, [11]),
+              (7, [12])]
+    fi = 0
+    for sl, idxs in slices:
+        for idx in idxs:
+            s, e = _SQUEEZE_FIRES[fi]
+            ic = 64 if fi == 0 else 2 * _SQUEEZE_FIRES[fi - 1][1]
+            pre = f"net.slice{sl}.{idx}"
+            sd[f"{pre}.squeeze.weight"] = torch.randn(s, ic, 1, 1,
+                                                      generator=g)
+            sd[f"{pre}.squeeze.bias"] = torch.randn(s, generator=g)
+            sd[f"{pre}.expand1x1.weight"] = torch.randn(e, s, 1, 1,
+                                                        generator=g)
+            sd[f"{pre}.expand1x1.bias"] = torch.randn(e, generator=g)
+            sd[f"{pre}.expand3x3.weight"] = torch.randn(e, s, 3, 3,
+                                                        generator=g)
+            sd[f"{pre}.expand3x3.bias"] = torch.randn(e, generator=g)
+            fi += 1
+    for i, c in enumerate(_feat_channels("squeeze")):
+        sd[f"lin{i}.model.1.weight"] = torch.rand(1, c, 1, 1, generator=g)
+    params = load_torch_lpips(sd, net="squeeze")
+    assert len(params["convs"]) == 25 and len(params["lins"]) == 7
+    # squeeze conv comes first within each fire
+    assert params["convs"][1]["w"].shape == (1, 1, 64, 16)
+    assert params["convs"][2]["w"].shape == (1, 1, 16, 64)
+    assert params["convs"][3]["w"].shape == (3, 3, 16, 64)
+    a = jnp.asarray(rng.uniform(0, 1, (33, 35, 3)).astype(np.float32))
+    assert np.isfinite(float(lpips(params, a, a * 0.5)))
