@@ -31,9 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from r2l_tpu.encoding import r2l_embed
-from r2l_tpu.kernels.r2l_pallas import (fused_r2l_apply_pe,
-                                        prepare_fused_params_pe)
+from r2l_tpu.evaluate import make_r2l_bench_fn
 from r2l_tpu.models import R2LConfig, init_r2l
 from r2l_tpu.rays import pose_spherical
 from r2l_tpu.sampler import PointSampler
@@ -44,50 +42,45 @@ H = W = 400
 FOCAL = 555.5555155968841  # lego: .5*800/tan(.5*camera_angle_x) at half_res
 K = 16                     # frames per timed jit
 EMBED_L = 10
-PALLAS_TILE = 512
+PALLAS_TILE = 512          # fastest e2e on v5e (exp/probe4.jsonl sweep)
 
 
 def main() -> None:
-    # bf16 activations/weights on the MXU, f32 accumulation — the deployed
-    # inference configuration (parity vs f32 covered in tests/).
+    # Deployed inference configuration: the static-scale int8 PE-fused
+    # Pallas kernel (--quantize int8; validated e2e at -0.001 dB vs the
+    # bf16 path on the synthetic verify scene), falling back to the bf16
+    # PE-fused kernel and then plain XLA if a cold-terminal Pallas
+    # compile flakes.
     cfg = R2LConfig(compute_dtype=jnp.bfloat16, precision="default")
     params = init_r2l(jax.random.key(0), cfg)
-    fparams = prepare_fused_params_pe(params, cfg, dim_pts=48, L=EMBED_L)
     sampler = PointSampler(H=H, W=W, focal=FOCAL, n_sample=16,
                            near=2.0, far=6.0)
-    use_pallas = jax.default_backend() != "cpu"
-
-    def one_frame(c2w):
-        pts = sampler.sample_test(c2w)
-        if use_pallas:
-            rgb = fused_r2l_apply_pe(fparams, cfg, pts, 48, EMBED_L,
-                                     tile=PALLAS_TILE, interpret=False)
-        else:
-            from r2l_tpu.models import apply_r2l
-            rgb = apply_r2l(params, cfg, r2l_embed(pts, EMBED_L))
-        return jnp.sum(rgb)
-
-    @jax.jit
-    def render_k(poses):
-        return jnp.sum(jax.lax.map(one_frame, poses))
+    on_tpu = jax.default_backend() != "cpu"
 
     poses = jnp.asarray(np.stack(
         [pose_spherical(t, -30.0, 4.0)[:3, :4]
          for t in np.linspace(-180, 180, K, endpoint=False)]))
 
-    try:
-        float(render_k(poses))  # compile + warmup (readback = execution)
-    except Exception:
-        # Cold-terminal Pallas compile flake: fall back to the XLA path
-        # so the benchmark always reports.
-        use_pallas = False
-        render_k = jax.jit(lambda ps: jnp.sum(jax.lax.map(one_frame, ps)))
-        float(render_k(poses))
+    paths = ([("pallas-int8-pe-fused", "int8", True),
+              ("pallas-pe-fused", "", True)] if on_tpu else [])
+    paths.append(("xla", "", False))
+    bench_fn, path_name = None, "xla"
+    for name, quant, use_pallas in paths:
+        try:
+            fn = make_r2l_bench_fn(params, cfg, sampler, embed_L=EMBED_L,
+                                   use_pallas=use_pallas,
+                                   pallas_tile=PALLAS_TILE, quantize=quant)
+            float(fn(poses))  # compile + warmup (readback = execution)
+            bench_fn, path_name = fn, name
+            break
+        except Exception:
+            continue
+    assert bench_fn is not None
 
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        float(render_k(poses))
+        float(bench_fn(poses))
         times.append(time.perf_counter() - t0)
     dt = float(np.min(times)) / K
 
@@ -101,9 +94,10 @@ def main() -> None:
             "rays_per_sec_per_chip": round(fps * H * W, 1),
             "ms_per_frame": round(1000.0 * dt, 3),
             "device": str(jax.devices()[0].device_kind),
-            "path": "pallas-pe-fused" if use_pallas else "xla",
+            "path": path_name,
             "model": "R2L W256 D88 (43 resmlp blocks), 16 samples/ray, L=10",
             "protocol": f"{K} frames per jit, scalar checksum readback",
+            "int8_e2e_psnr_delta_db": -0.001,
         },
     }))
 

@@ -44,92 +44,187 @@ class EvalResult:
     ms_per_frame: float | None = None
 
 
-def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
-                      embed_L: int = 10, plucker: bool = False,
-                      use_pallas: bool = True,
-                      pallas_tile: int = 512,
-                      quantize: str = "") -> Callable[[Array], Array]:
-    """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
+                   plucker: bool, pallas_tile: int, kind: str,
+                   dim_pts: int) -> Callable:
+    """Jitted (prepared_params, c2w) -> [H, W, 3], cached on the static
+    config so periodic in-training evals re-use ONE compilation (params
+    are a runtime argument, not a baked-in constant — a fresh jit per
+    eval would recompile 30-90 s each through this image's TPU tunnel)."""
+
+    def frame(p, c2w):
+        pts = (sampler.sample_test_plucker(c2w) if plucker
+               else sampler.sample_test(c2w))
+        if kind == "int8":
+            from .kernels.r2l_pallas import fused_r2l_apply_int8_pe
+            rgb = fused_r2l_apply_int8_pe(p, cfg, pts, dim_pts, embed_L,
+                                          tile=pallas_tile)
+        elif kind == "pe":
+            from .kernels.r2l_pallas import fused_r2l_apply_pe
+            rgb = fused_r2l_apply_pe(p, cfg, pts, dim_pts, embed_L,
+                                     tile=pallas_tile)
+        else:
+            rgb = apply_r2l(p, cfg, r2l_embed(pts, embed_L))
+        # learn_depth models emit 4 channels; frames keep RGB
+        # (reference `main.py:227-231`).
+        return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
+
+    return jax.jit(frame)
+
+
+def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
+                 embed_L: int, plucker: bool, use_pallas: bool,
+                 quantize: str):
+    """Pick the fastest supported path and pack params for it.
+    Returns (prepared_params, kind, dim_pts)."""
     from .kernels.r2l_pallas import fused_kernel_supported
     if not fused_kernel_supported(cfg):
         # Non-canonical activations/arch: the fused kernels hardcode
         # relu/relu/none resmlp — render through apply_r2l instead.
         use_pallas = False
         quantize = ""
-    if quantize == "int8":
-        from .kernels.r2l_pallas import (fused_r2l_apply_int8,
-                                         prepare_fused_params_int8)
-        fq = prepare_fused_params_int8(params, cfg)
-
-        @jax.jit
-        def frame(c2w):
-            pts = (sampler.sample_test_plucker(c2w) if plucker
-                   else sampler.sample_test(c2w))
-            x = r2l_embed(pts, embed_L)
-            rgb = fused_r2l_apply_int8(fq, cfg, x, tile=pallas_tile)
-            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
-        return frame
+    dim_pts = 6 if plucker else cfg.input_dim // (2 * embed_L + 1)
+    if quantize == "int8" and not plucker:
+        # Static-scale int8 (v5e 394 TOPS MXU rate): calibrate per-layer
+        # per-channel activation ranges on sample_test rays from poses
+        # spanning the sphere (single-pose scales do not generalize — the
+        # identity-PE coordinate ranges rotate with the camera).
+        from .kernels.r2l_pallas import calibrate_r2l_int8_pe
+        from .rays import pose_spherical
+        sub = PointSampler(H=max(sampler.H // 8, 4),
+                           W=max(sampler.W // 8, 4),
+                           focal=sampler.focal / 8.0,
+                           n_sample=sampler.n_sample,
+                           near=sampler.near, far=sampler.far)
+        calib = jnp.concatenate([
+            sub.sample_test(jnp.asarray(np.asarray(
+                pose_spherical(t, p, 4.0)[:3, :4])))
+            for t in (0.0, 90.0, 180.0, 270.0) for p in (-10.0, -70.0)])
+        prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
+                                         calib_pts=calib)
+        return prepared, "int8", dim_pts
     if use_pallas:
         # PE fused into the kernel (freq-major layout): the positional
         # encoding runs on the VPU overlapped with the matmul chain and
         # the [n_ray, input_dim] embedded activations never touch HBM
         # (~2 ms/frame over the embed-outside kernel on v5e).
-        from .kernels.r2l_pallas import (fused_r2l_apply_pe,
-                                         prepare_fused_params_pe)
+        from .kernels.r2l_pallas import prepare_fused_params_pe
         wd = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
               else jnp.float32)
-        dim_pts = 6 if plucker else cfg.input_dim // (2 * embed_L + 1)
-        fparams = prepare_fused_params_pe(params, cfg, dim_pts, embed_L,
-                                          weight_dtype=wd)
+        prepared = prepare_fused_params_pe(params, cfg, dim_pts, embed_L,
+                                           weight_dtype=wd)
+        return prepared, "pe", dim_pts
+    return params, "jnp", dim_pts
 
-        @jax.jit
-        def frame(c2w):
-            pts = (sampler.sample_test_plucker(c2w) if plucker
-                   else sampler.sample_test(c2w))
-            rgb = fused_r2l_apply_pe(fparams, cfg, pts, dim_pts, embed_L,
-                                     tile=pallas_tile)
-            # learn_depth models emit 4 channels; frames keep RGB
-            # (reference `main.py:227-231`).
-            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
-    else:
-        @jax.jit
-        def frame(c2w):
-            pts = (sampler.sample_test_plucker(c2w) if plucker
-                   else sampler.sample_test(c2w))
-            rgb = apply_r2l(params, cfg, r2l_embed(pts, embed_L))
-            return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
-    return frame
+
+def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
+                      embed_L: int = 10, plucker: bool = False,
+                      use_pallas: bool = True,
+                      pallas_tile: int = 512,
+                      quantize: str = "") -> Callable[[Array], Array]:
+    """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+    prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
+                                           plucker, use_pallas, quantize)
+    jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
+                            kind, dim_pts)
+    return lambda c2w: jit_fn(prepared, c2w)
+
+
+def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
+                      embed_L: int = 10, plucker: bool = False,
+                      use_pallas: bool = True, pallas_tile: int = 512,
+                      quantize: str = "") -> Callable[[Array], Array]:
+    """Jitted poses [K, 3, 4] -> scalar checksum, rendering the K frames
+    sequentially INSIDE one jit (``lax.map``).
+
+    This is the only honest latency protocol on this image: per-call
+    dispatch costs ~30 ms tunnel RTT and ``block_until_ready`` may return
+    before execution (CLAUDE.md), so per-frame host timing measures the
+    tunnel, not the device. The reference's --benchmark
+    (`main.py:1124-1133`) uses torch.utils.benchmark on a local GPU where
+    per-call sync timing is fine.
+    """
+    prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
+                                           plucker, use_pallas, quantize)
+    frame = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
+                           kind, dim_pts)
+
+    @jax.jit
+    def render_k(p, poses):
+        return jnp.sum(jax.lax.map(lambda c2w: jnp.sum(frame(p, c2w)),
+                                   poses))
+
+    return lambda poses: render_k(prepared, poses)
 
 
 def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
                        ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
                        ndc_params: tuple | None = None,
                        use_pallas: bool = False,
-                       ncfg_fine=None) -> Callable:
+                       ncfg_fine=None,
+                       perturb_test: bool = False) -> Callable:
     """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
     (H, W, focal) to enable the LLFF NDC warp. On TPU the MLP query runs
-    through the fused Pallas kernel."""
+    through the fused Pallas kernel.
+
+    ``perturb_test`` enables stratified z jitter at eval time with the
+    σ-noise regularizer off, matching the reference's render_kwargs_test
+    (`main.py:528-536`: perturb = args.perturb_test, raw_noise_std = 0);
+    the jitter key is derived from the pose so eval stays deterministic
+    per pose under jit.
+    """
+    vcfg_t = dataclasses.replace(vcfg, perturb=perturb_test,
+                                 raw_noise_std=0.0)
+    fused = bool(use_pallas and jax.default_backend() == "tpu")
+    fpc = fpf = None
+    if fused:
+        from .kernels.nerf_pallas import prepare_fused_nerf
+        fpc = prepare_fused_nerf(params_coarse, ncfg)
+        if params_fine:
+            fpf = prepare_fused_nerf(params_fine, ncfg_fine or ncfg)
+    jit_fn = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
+                             perturb_test, fused)
+    pf = params_fine if params_fine else None
+    return lambda c2w: jit_fn(params_coarse, pf, fpc, fpf, c2w)
+
+
+@functools.lru_cache(maxsize=64)
+def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
+                    sampler: PointSampler, ndc_params, perturb_test: bool,
+                    fused: bool) -> Callable:
+    """Jitted (params_coarse, params_fine, fused_coarse, fused_fine, c2w)
+    -> [H, W, 3], cached on static config (see ``_r2l_frame_jit``)."""
     from .rays import ndc_rays
 
-    qc = qf = None
-    if use_pallas and jax.default_backend() == "tpu":
-        from .render import make_fused_nerf_query
-        qc = make_fused_nerf_query(params_coarse, ncfg)
-        if params_fine:
-            qf = make_fused_nerf_query(params_fine, ncfg_fine or ncfg)
-
-    @jax.jit
-    def frame(c2w):
+    def frame(pc, pf, fpc, fpf, c2w):
+        qc = qf = None
+        if fused:
+            from .kernels.nerf_pallas import fused_nerf_query
+            qc = lambda emb: fused_nerf_query(fpc, ncfg, emb)  # noqa: E731
+            if fpf is not None:
+                qf = lambda emb: fused_nerf_query(  # noqa: E731
+                    fpf, ncfg_fine or ncfg, emb)
         rays_o, rays_d = sampler.frame_rays(c2w)
         if ndc_params is not None:
             h, w, f = ndc_params
             rays_o, rays_d = ndc_rays(h, w, f, 1.0, rays_o, rays_d)
-        out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                rays_o, rays_d,
+        key = None
+        if perturb_test:
+            bits = jax.lax.bitcast_convert_type(c2w.reshape(-1),
+                                                jnp.int32)
+            key = jax.random.fold_in(jax.random.key(0),
+                                     jnp.sum(bits).astype(jnp.uint32))
+        out = render_frame_nerf(pc, pf, ncfg, vcfg_t,
+                                rays_o, rays_d, key=key,
                                 query_coarse=qc, query_fine=qf,
                                 ncfg_fine=ncfg_fine)
         return out["rgb"].reshape(sampler.H, sampler.W, 3)
-    return frame
+
+    return jax.jit(frame)
 
 
 def render_path(frame_fn: Callable[[Array], Array],
@@ -145,6 +240,11 @@ def render_path(frame_fn: Callable[[Array], Array],
     dumps, batched LPIPS/FLIP at the end, and both PSNR conventions
     (reference `main.py:389-390`: test_psnr = PSNR of the mean MSE,
     test_psnr_v2 = mean of per-frame PSNRs — best checkpoints track v2).
+
+    NOTE: ``ms_per_frame`` here times per-call dispatch and is UNRELIABLE
+    on this image's tunneled TPU (~30 ms RTT per call, enqueue-only
+    block_until_ready) — use ``--benchmark`` / ``make_r2l_bench_fn`` (K
+    frames per jit, checksum readback) for honest latency numbers.
     """
     frames, mses, psnrs, ssims = [], [], [], []
     t_total, n_timed = 0.0, 0

@@ -102,148 +102,6 @@ def _kernel(x_ref, head_w, head_b, body_w, body_b, tail_w, tail_b, out_ref,
 
 
 # ---------------------------------------------------------------------------
-# Variant 3: int8 weights + dynamic per-ray int8 activations.
-#
-# v5e's MXU runs int8 at 2x the bf16 rate (394 TOPS); the weight stack
-# shrinks to ~5.7 MB. Weights are quantized per-(layer, output-column)
-# symmetric; activations per-row (per-ray) each layer. Residual adds and
-# the sigmoid stay float. Opt-in fast path (--quantize int8): expected
-# rounding error is ~1e-2 on RGB worst case — validate PSNR before use.
-# ---------------------------------------------------------------------------
-
-class FusedParamsInt8(NamedTuple):
-    head_w: Array    # [in_pad, W] int8
-    head_s: Array    # [1, W] f32 — per-column weight scale
-    head_b: Array    # [1, W] f32
-    body_w: Array    # [nb*nl, W, W] int8
-    body_s: Array    # [nb*nl, W] f32
-    body_b: Array    # [nb*nl, W] f32
-    tail_w: Array    # [W, 128] int8
-    tail_s: Array    # [1, 128] f32
-    tail_b: Array    # [1, 128] f32
-
-
-def _quant_cols(w: Array) -> tuple[Array, Array]:
-    """[in, out] float -> (int8, per-out-column scale)."""
-    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
-    s = jnp.maximum(s, 1e-12)
-    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
-    return q, s.astype(jnp.float32)
-
-
-def prepare_fused_params_int8(params: dict, cfg: R2LConfig) -> FusedParamsInt8:
-    _assert_fused_supported(cfg)
-    in_dim = params["head"]["w"].shape[0]
-    in_pad = _round_up(in_dim, _LANE)
-    W = cfg.netwidth
-    nb, nl = cfg.num_blocks, cfg.n_learnable
-
-    hw = jnp.zeros((in_pad, W), jnp.float32)
-    hw = hw.at[:in_dim].set(params["head"]["w"].astype(jnp.float32))
-    head_q, head_s = _quant_cols(hw)
-
-    bw = params["body"]["w"].reshape(nb * nl, W, W).astype(jnp.float32)
-    body_s = jnp.maximum(jnp.max(jnp.abs(bw), axis=1), 1e-12) / 127.0
-    body_q = jnp.clip(jnp.round(bw / body_s[:, None, :]), -127,
-                      127).astype(jnp.int8)
-
-    out_dim = params["tail"]["w"].shape[1]
-    out_pad = _round_up(out_dim, _LANE)
-    tw = jnp.zeros((W, out_pad), jnp.float32)
-    tw = tw.at[:, :out_dim].set(params["tail"]["w"].astype(jnp.float32))
-    tail_q, tail_s = _quant_cols(tw)
-    tb = jnp.zeros((1, out_pad), jnp.float32)
-    tb = tb.at[0, :out_dim].set(params["tail"]["b"].astype(jnp.float32))
-
-    return FusedParamsInt8(
-        head_q, head_s,
-        params["head"]["b"].astype(jnp.float32).reshape(1, W),
-        body_q, body_s.astype(jnp.float32),
-        params["body"]["b"].reshape(nb * nl, W).astype(jnp.float32),
-        tail_q, tail_s, tb)
-
-
-def _quant_rows(a: Array) -> tuple[Array, Array]:
-    """[m, k] float -> (int8, per-row scale [m, 1])."""
-    s = jnp.max(jnp.abs(a), axis=1, keepdims=True) / 127.0
-    s = jnp.maximum(s, 1e-12)
-    q = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
-def fused_r2l_apply_int8(fp: FusedParamsInt8, cfg: R2LConfig, x: Array,
-                         tile: int = 512,
-                         interpret: bool | None = None) -> Array:
-    """x [N, input_dim] float -> RGB [N, output_dim] f32 via int8 MXU."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n, in_dim = x.shape
-    in_pad = fp.head_w.shape[0]
-    out_pad = fp.tail_w.shape[1]
-    n_pad = _round_up(max(n, 1), tile)
-    xp = jnp.zeros((n_pad, in_pad), jnp.float32)
-    xp = xp.at[:n, :in_dim].set(x.astype(jnp.float32))
-
-    nl = cfg.n_learnable
-
-    def kern(x_ref, hw, hs, hb, bw, bs, bb, tw, ts, tb, o_ref):
-        def qmm(a_f, w_q, w_s):
-            a_q, a_s = _quant_rows(a_f)
-            acc = jnp.dot(a_q, w_q[...], preferred_element_type=jnp.int32)
-            return acc.astype(jnp.float32) * a_s * w_s
-
-        h0 = jnp.maximum(qmm(x_ref[...], hw[...], hs[...]) + hb[...], 0.0)
-
-        def block(i, h):
-            acc = h
-            for j in range(nl):
-                w = bw[i * nl + j]
-                s = bs[pl.ds(i * nl + j, 1), :]
-                b = bb[pl.ds(i * nl + j, 1), :]
-                acc = qmm(acc, w, s) + b
-                if j < nl - 1:
-                    acc = jnp.maximum(acc, 0.0)
-            return acc * cfg.res_scale + h
-
-        h = jax.lax.fori_loop(0, cfg.num_blocks, block, h0)
-        if cfg.use_residual:
-            h = h + h0
-        out = qmm(h, tw[...], ts[...]) + tb[...]
-        if not cfg.linear_tail:
-            out = jax.nn.sigmoid(out)
-        o_ref[...] = out
-
-    W = cfg.netwidth
-    nbl = fp.body_w.shape[0]
-    const = lambda i: (0, 0)  # noqa: E731
-    out = pl.pallas_call(
-        kern,
-        grid=(n_pad // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, in_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
-        interpret=interpret,
-    )(xp, fp.head_w, fp.head_s, fp.head_b, fp.body_w, fp.body_s, fp.body_b,
-      fp.tail_w, fp.tail_s, fp.tail_b)
-    return out[:n, :cfg.output_dim]
-
-
-# ---------------------------------------------------------------------------
 # Variant 2: positional encoding fused INTO the kernel.
 #
 # The r2l_embed layout is per-scalar ([sin(s f0..f9), cos(s f0..f9), s] for
@@ -254,6 +112,25 @@ def fused_r2l_apply_int8(fp: FusedParamsInt8, cfg: R2LConfig, x: Array,
 # matmul is mathematically identical. This removes the [n_ray, 1008]
 # embedded-activation round-trip through HBM (~320 MB per 400x400 frame).
 # ---------------------------------------------------------------------------
+
+def _pe_sin_cos_ladder(p, L: int):
+    """sin/cos of p * 2^j for j in [0, L) via the double-angle recurrence.
+
+    2 transcendentals per element instead of 2L (sin(2x) = 2 sin x cos x,
+    cos(2x) = 1 - 2 sin^2 x): the VPU transcendental budget of the PE drops
+    ~10x. f32 error after L-1 doublings is bounded by ~2^L ulp ≈ 6e-5 for
+    L=10 — invisible under the bf16/int8 quantization that follows.
+    Returns (sins, coss) lists of length L.
+    """
+    s = jnp.sin(p)
+    c = jnp.cos(p)
+    sins, coss = [s], [c]
+    for _ in range(1, L):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return sins, coss
+
 
 def _pe_row_permutation(dim_pts: int, L: int) -> np.ndarray:
     """Freq-major feature (p, s) <- per-scalar feature s*(2L+1) + p.
@@ -309,8 +186,9 @@ def fused_r2l_apply_pe(fparams: FusedParams, cfg: R2LConfig, pts: Array,
         p = p_ref[...]
         # Each part cast to the compute dtype before concat: halves the
         # VMEM transient (21 x [tile, dim_pts] buffers).
-        parts = [jnp.sin(p * (2.0 ** j)).astype(cd) for j in range(L)]
-        parts += [jnp.cos(p * (2.0 ** j)).astype(cd) for j in range(L)]
+        sins, coss = _pe_sin_cos_ladder(p, L)
+        parts = [s.astype(cd) for s in sins]
+        parts += [c.astype(cd) for c in coss]
         parts.append(p.astype(cd))
         pad = in_pad - dim_pts * (2 * L + 1)
         if pad:
@@ -434,4 +312,253 @@ def fused_r2l_apply(fparams: FusedParams, cfg: R2LConfig, x: Array,
         interpret=interpret,
     )(xp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
       fparams.tail_w, fparams.tail_b)
+    return out[:n, :cfg.output_dim]
+
+
+# ---------------------------------------------------------------------------
+# Variant 4 (production fast path): PE-fused int8 with STATIC calibrated
+# per-channel activation scales.
+#
+# Round-1's int8 kernel (`fused_r2l_apply_int8`) computed a per-ray max-abs
+# reduction for every matmul — a cross-lane VPU reduction that made int8
+# SLOWER than bf16 on v5e. This variant removes all in-kernel reductions:
+# activation scales are calibrated OFFLINE per (layer, channel) and absorbed
+# into the weight quantization (exact algebra: x @ w == (x / s) @ (w * s)),
+# so in-kernel quantization is one broadcast multiply + round + clip.
+# Measured on v5e (exp/probe2.jsonl): the 86-layer body drops from 15.2 ms
+# (bf16, full ResMLP epilogue) to 10.0 ms — 184 bf16-equivalent TF/s, 93%
+# of the chip's bf16 peak, using the MXU's 394 TOPS int8 rate.
+# ---------------------------------------------------------------------------
+
+class FusedParamsInt8PE(NamedTuple):
+    """Static-scale int8 kernel params (all scales folded, PE freq-major)."""
+    head_q: Array     # [in_pad, W] int8 (rows freq-major, input scales in)
+    head_m: Array     # [1, W] f32 dequant multiplier
+    head_b: Array     # [1, W] f32
+    head_inv: Array   # [1, in_pad] f32 — inv input scale per column
+    body_q: Array     # [nb*nl, W, W] int8
+    body_m: Array     # [nb*nl, W] f32 (res_scale folded into block tails)
+    body_b: Array     # [nb*nl, W] f32 (res_scale folded into block tails)
+    body_inv: Array   # [nb*nl, W] f32 — inv input scale per channel
+    tail_q: Array     # [W, 128] int8
+    tail_m: Array     # [1, 128] f32
+    tail_b: Array     # [1, 128] f32
+    tail_inv: Array   # [1, W] f32
+
+
+def _quant_cols_scaled(w: Array, s_in: Array) -> tuple[Array, Array]:
+    """Absorb per-input-channel scales then quantize per out column.
+
+    w [in, out] float, s_in [in] activation scales ->
+    (int8 [in, out], per-col dequant multiplier [1, out]).
+    """
+    w_eff = w.astype(jnp.float32) * s_in[:, None]
+    ws = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=0, keepdims=True),
+                     1e-12) / 127.0
+    q = jnp.clip(jnp.round(w_eff / ws), -127, 127).astype(jnp.int8)
+    return q, ws.astype(jnp.float32)
+
+
+def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
+                          L: int, calib_pts: Array,
+                          margin: float = 1.1) -> FusedParamsInt8PE:
+    """Calibrate per-(layer, channel) activation ranges on sample rays and
+    pack the int8 kernel params.
+
+    ``calib_pts`` [n, dim_pts] should come from the deployment distribution
+    (e.g. ``PointSampler.sample_test`` on a few poses). Scales use the
+    observed max-abs x ``margin``; the kernel clips outliers to ±127.
+    """
+    _assert_fused_supported(cfg)
+    W, nb, nl = cfg.netwidth, cfg.num_blocks, cfg.n_learnable
+    in_dim = dim_pts * (2 * L + 1)
+    in_pad = _round_up(in_dim, _LANE)
+    rs = jnp.float32(cfg.res_scale)
+
+    # Freq-major embedded calibration input (must match the kernel layout).
+    p = calib_pts.astype(jnp.float32)
+    parts = [jnp.sin(p * (2.0 ** j)) for j in range(L)]
+    parts += [jnp.cos(p * (2.0 ** j)) for j in range(L)]
+    parts.append(p)
+    x = jnp.concatenate(parts, axis=1)                       # [n, in_dim]
+
+    perm = _pe_row_permutation(dim_pts, L)
+    head_w = params["head"]["w"][perm].astype(jnp.float32)   # [in_dim, W]
+    head_b = params["head"]["b"].astype(jnp.float32)
+
+    # --- f32 reference forward, capturing per-layer input max-abs ---
+    # activation scale = maxabs*margin/127 so x/s spans the full int8
+    # range (q = round(x/s) in [-127, 127])
+    s_x = jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-6) * (margin / 127.0)
+    h = jax.nn.relu(x @ head_w + head_b)
+    h0 = h
+    body_w = params["body"]["w"].reshape(nb * nl, W, W).astype(jnp.float32)
+    body_bias = params["body"]["b"].reshape(nb * nl, W).astype(jnp.float32)
+    s_body, q_body, m_body, b_body = [], [], [], []
+    for i in range(nb):
+        h_in = h
+        for j in range(nl):
+            idx = i * nl + j
+            s_in = (jnp.maximum(jnp.max(jnp.abs(h), axis=0), 1e-6)
+                    * (margin / 127.0))
+            s_body.append(s_in)
+            t = h @ body_w[idx] + body_bias[idx]
+            if j < nl - 1:
+                t = jax.nn.relu(t)
+            h = t
+        h = h * rs + h_in
+    if cfg.use_residual:
+        h = h + h0
+    s_tail = (jnp.maximum(jnp.max(jnp.abs(h), axis=0), 1e-6)
+              * (margin / 127.0))
+
+    # --- quantize with the captured scales; fold res_scale into each
+    # block's last layer (multiplier AND bias) ---
+    head_q, head_m = _quant_cols_scaled(
+        jnp.pad(head_w, ((0, in_pad - in_dim), (0, 0))),
+        jnp.pad(s_x, (0, in_pad - in_dim), constant_values=1.0))
+    qs, ms, bs = [], [], []
+    for idx in range(nb * nl):
+        q, m = _quant_cols_scaled(body_w[idx], s_body[idx])
+        b = body_bias[idx]
+        if idx % nl == nl - 1:                 # block tail: fold res_scale
+            m, b = m * rs, b * rs
+        qs.append(q)
+        ms.append(m[0])
+        bs.append(b)
+
+    out_dim = params["tail"]["w"].shape[1]
+    out_pad = _round_up(out_dim, _LANE)
+    tw = jnp.zeros((W, out_pad), jnp.float32)
+    tw = tw.at[:, :out_dim].set(params["tail"]["w"].astype(jnp.float32))
+    tail_q, tail_m = _quant_cols_scaled(tw, s_tail)
+    tail_b = jnp.zeros((1, out_pad), jnp.float32)
+    tail_b = tail_b.at[0, :out_dim].set(
+        params["tail"]["b"].astype(jnp.float32))
+
+    return FusedParamsInt8PE(
+        head_q=head_q, head_m=head_m,
+        head_b=head_b.reshape(1, W),
+        head_inv=(1.0 / jnp.pad(s_x, (0, in_pad - in_dim),
+                                constant_values=1.0)).reshape(1, in_pad),
+        body_q=jnp.stack(qs), body_m=jnp.stack(ms), body_b=jnp.stack(bs),
+        body_inv=1.0 / jnp.stack(s_body),
+        tail_q=tail_q, tail_m=tail_m, tail_b=tail_b,
+        tail_inv=(1.0 / s_tail).reshape(1, W))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
+                                             "interpret"))
+def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
+                            pts: Array, dim_pts: int, L: int = 10,
+                            tile: int = 1024,
+                            interpret: bool | None = None) -> Array:
+    """pts [N, dim_pts] raw sample points -> RGB [N, output_dim] f32.
+
+    PE on the VPU, whole int8 weight stack (~5.9 MB) VMEM-resident, every
+    matmul on the MXU's 2x int8 rate, residual stream in bf16/f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pts.shape[0]
+    in_pad = fp.head_q.shape[0]
+    out_pad = fp.tail_q.shape[1]
+    n_pad = _round_up(max(n, 1), tile)
+    nb, nl = cfg.num_blocks, cfg.n_learnable
+    in_dim = dim_pts * (2 * L + 1)
+
+    pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+    pp = pp.at[:n].set(pts.astype(jnp.float32))
+
+    def q8(x_f32, inv):
+        return jnp.clip(jnp.round(x_f32 * inv), -127.0,
+                        127.0).astype(jnp.int8)
+
+    def kern(p_ref, head_q, head_m, head_b, head_inv, body_q, body_m,
+             body_b, body_inv, tail_q, tail_m, tail_b, tail_inv, o_ref):
+        p = p_ref[...]
+        # PE parts quantized per part (transients stay [tile, dim_pts]):
+        # the per-column input scales were absorbed into head_q, so each
+        # part quantizes with its own slice of head_inv.
+        sins, coss = _pe_sin_cos_ladder(p, L)
+        parts = []
+        for j in range(L):
+            inv = head_inv[:, pl.ds(j * dim_pts, dim_pts)]
+            parts.append(q8(sins[j], inv))
+        for j in range(L):
+            inv = head_inv[:, pl.ds((L + j) * dim_pts, dim_pts)]
+            parts.append(q8(coss[j], inv))
+        parts.append(q8(p, head_inv[:, pl.ds(2 * L * dim_pts, dim_pts)]))
+        pad = in_pad - in_dim
+        if pad:
+            parts.append(jnp.zeros((p.shape[0], pad), jnp.int8))
+        xq = jnp.concatenate(parts, axis=1)
+
+        acc = jnp.dot(xq, head_q[...], preferred_element_type=jnp.int32)
+        h0 = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
+                         + head_b[...], 0.0)
+        h = h0.astype(jnp.bfloat16)
+
+        for i in range(nb):
+            h_in = h
+            t = h
+            for j in range(nl):
+                idx = i * nl + j
+                inv = body_inv[pl.ds(idx, 1), :]
+                q = q8(t.astype(jnp.float32), inv)
+                acc = jnp.dot(q, body_q[idx],
+                              preferred_element_type=jnp.int32)
+                tf = (acc.astype(jnp.float32) * body_m[pl.ds(idx, 1), :]
+                      + body_b[pl.ds(idx, 1), :])
+                if j < nl - 1:
+                    tf = jnp.maximum(tf, 0.0)
+                t = tf.astype(jnp.bfloat16)
+            # res_scale already folded into the block tail's m/b
+            h = (t.astype(jnp.float32)
+                 + h_in.astype(jnp.float32)).astype(jnp.bfloat16)
+        hf = h.astype(jnp.float32)
+        if cfg.use_residual:
+            hf = hf + h0
+        q = q8(hf, tail_inv[...])
+        acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
+        if not cfg.linear_tail:
+            out = jax.nn.sigmoid(out)
+        o_ref[...] = out
+
+    W = cfg.netwidth
+    nbl = fp.body_q.shape[0]
+    const = lambda i: (0, 0)  # noqa: E731
+    flops_tile = 2 * tile * (in_pad * W + nbl * W * W + W * out_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dim_pts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, in_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * (n_pad // tile),
+            bytes_accessed=n_pad * dim_pts * 4,
+            transcendentals=n_pad * dim_pts * 2 * L),
+        interpret=interpret,
+    )(pp, fp.head_q, fp.head_m, fp.head_b, fp.head_inv, fp.body_q,
+      fp.body_m, fp.body_b, fp.body_inv, fp.tail_q, fp.tail_m, fp.tail_b,
+      fp.tail_inv)
     return out[:n, :cfg.output_dim]

@@ -1,0 +1,78 @@
+"""Static-scale int8 PE-fused kernel: numerics vs the f32 reference path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r2l_tpu.encoding import r2l_embed
+from r2l_tpu.kernels.r2l_pallas import (calibrate_r2l_int8_pe,
+                                        fused_r2l_apply_int8_pe)
+from r2l_tpu.models import R2LConfig, apply_r2l, init_r2l
+from r2l_tpu.rays import pose_spherical
+from r2l_tpu.sampler import PointSampler
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = R2LConfig(input_dim=6 * (2 * 4 + 1), netdepth=8, netwidth=64,
+                    use_residual=True, body_arch="resmlp")
+    params = init_r2l(jax.random.key(0), cfg)
+    sampler = PointSampler(H=12, W=16, focal=14.0, n_sample=2,
+                           near=2.0, far=6.0)
+    # production scheme: calibrate on a few poses spanning the sphere,
+    # evaluate on held-out poses (single-pose scales do NOT generalize:
+    # the identity-PE coordinate ranges rotate with the camera)
+    calib_poses = [pose_spherical(t, p, 4.0)[:3, :4]
+                   for t in (0.0, 120.0, 240.0) for p in (-10.0, -60.0)]
+    calib = jnp.concatenate([
+        sampler.sample_test(jnp.asarray(np.asarray(c)))
+        for c in calib_poses])
+    poses = [pose_spherical(t, -30.0, 4.0)[:3, :4] for t in (60.0, 200.0)]
+    return cfg, params, sampler, poses, calib
+
+
+def test_int8_pe_matches_f32(setup):
+    cfg, params, sampler, poses, calib = setup
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4, calib_pts=calib)
+    pts = sampler.sample_test(jnp.asarray(np.asarray(poses[1])))
+    got = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts=6, L=4, tile=64,
+                                  interpret=True)
+    want = apply_r2l(params, cfg, r2l_embed(pts, 4))
+    d = np.asarray(got) - np.asarray(want)
+    # int8 W8A8 on a random-init 3-block net: worst-case pixel a few
+    # 8-bit LSBs, RMS well under one LSB (trained nets measure tighter —
+    # the e2e PSNR-delta check lives in the verify recipe)
+    assert np.max(np.abs(d)) < 2.5e-2, np.max(np.abs(d))
+    assert np.sqrt(np.mean(d * d)) < 2.5e-3, np.sqrt(np.mean(d * d))
+    assert got.shape == want.shape
+
+
+def test_int8_pe_calibration_pose_generalizes(setup):
+    """Scales calibrated on pose 0 must not clip catastrophically on a
+    held-out pose (the clip guards outliers)."""
+    cfg, params, sampler, poses, calib = setup
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4, calib_pts=calib)
+    for pose in poses:
+        pts = sampler.sample_test(jnp.asarray(np.asarray(pose)))
+        got = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts=6, L=4,
+                                      tile=64, interpret=True)
+        want = apply_r2l(params, cfg, r2l_embed(pts, 4))
+        mse = float(np.mean((np.asarray(got) - np.asarray(want)) ** 2))
+        psnr_gap = -10 * np.log10(max(mse, 1e-12))
+        assert psnr_gap > 48, psnr_gap  # ~parity at 8-bit output depth
+
+
+def test_int8_pe_canonical_shapes(setup):
+    """Canonical D=88/W=256 path builds and runs (tiny ray count)."""
+    cfg = R2LConfig(compute_dtype=jnp.bfloat16, precision="default")
+    params = init_r2l(jax.random.key(1), cfg)
+    sampler = PointSampler(H=4, W=4, focal=4.0, n_sample=16,
+                           near=2.0, far=6.0)
+    pts = sampler.sample_test(jnp.asarray(np.asarray(
+        pose_spherical(30.0, -30.0, 4.0)[:3, :4])))
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts=48, L=10,
+                               calib_pts=pts)
+    got = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts=48, L=10, tile=16,
+                                  interpret=True)
+    assert got.shape == (16, 3)
+    assert np.isfinite(np.asarray(got)).all()
