@@ -218,9 +218,16 @@ def vol_config(args, ns) -> VolRenderConfig:
 # ---------------------------------------------------------------------------
 
 def _load_lpips(args, logger):
-    """Optional LPIPS weights (reference uses pip lpips alexnet,
-    `main.py:47`; here a torch state_dict is converted on load)."""
+    """Optional LPIPS weights (reference uses pip lpips, `main.py:47`,
+    net per --lpips_net; here a torch state_dict is converted on load)."""
     if not args.lpips_weights:
+        logger.print(
+            "WARNING: LPIPS metric SKIPPED — pretrained weights are not "
+            "bundled (offline image). Export them once on a connected "
+            "machine:  python -c \"import lpips, torch; torch.save("
+            f"lpips.LPIPS(net='{args.lpips_net}').state_dict(), "
+            f"'lpips_{args.lpips_net}.pt')\"  then pass "
+            "--lpips_weights <path>. PSNR/SSIM/FLIP are unaffected.")
         return None
     import torch
 
@@ -229,8 +236,9 @@ def _load_lpips(args, logger):
                     weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    logger.print(f"loaded LPIPS weights from {args.lpips_weights}")
-    return load_torch_lpips(sd)
+    logger.print(f"loaded LPIPS weights from {args.lpips_weights} "
+                 f"(net={args.lpips_net})")
+    return load_torch_lpips(sd, net=args.lpips_net)
 
 
 def run_render_only(args, ns, logger) -> EvalResult:
@@ -277,7 +285,8 @@ def run_render_only(args, ns, logger) -> EvalResult:
         # render() receives the already-downsampled H/W/focal).
         ndc_params = (H, W, focal) if ns.ndc else None
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
-                                      ndc_params, ncfg_fine=ncfg_fine)
+                                      ndc_params, ncfg_fine=ncfg_fine,
+                                      perturb_test=args.perturb_test > 0)
 
     if args.render_test:
         poses = ns.poses[ns.i_test]
@@ -304,30 +313,41 @@ def run_render_only(args, ns, logger) -> EvalResult:
 
 
 def run_benchmark(args, ns, logger) -> float:
-    """Frame-latency benchmark (reference `main.py:1124-1133`, 100 reps)."""
+    """Frame-latency benchmark (reference `main.py:1124-1133`, 100 reps).
+
+    Protocol: K frames rendered inside ONE jit (lax.map over poses) with a
+    scalar checksum readback, repeated until ~100 frames total — the only
+    timing that measures the device rather than this image's ~30 ms
+    dispatch tunnel (see ``make_r2l_bench_fn`` / bench.py).
+    """
+    from .evaluate import make_r2l_bench_fn
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
     cfg, params, _ = build_r2l(args, logger)
     sampler = PointSampler(H=H, W=W, focal=focal,
                            n_sample=args.n_sample_per_ray,
                            near=ns.near, far=ns.far)
-    frame_fn = make_r2l_frame_fn(params, cfg, sampler,
+    bench_fn = make_r2l_bench_fn(params, cfg, sampler,
                                  embed_L=args.multires,
                                  plucker=args.plucker,
                                  use_pallas=args.use_pallas,
                                  pallas_tile=args.pallas_tile,
                                  quantize=args.quantize)
-    pose = jnp.asarray(ns.poses[0][:3, :4])
-    jax.block_until_ready(frame_fn(pose))
-    # 100 reps as the reference (`main.py:1124-1133`); --render_iters
-    # multiplies the forwards per frame. Every output is synced.
-    n = 100 * max(args.render_iters, 1)
-    t0 = time.perf_counter()
-    outs = [frame_fn(pose) for _ in range(n)]
-    for o in outs:
-        jax.block_until_ready(o)
-    dt = (time.perf_counter() - t0) / n
+    K = 16
+    poses = jnp.asarray(np.stack([np.asarray(p)[:3, :4]
+                                  for p in ns.video_poses[:K]]))
+    if poses.shape[0] < K:
+        poses = jnp.tile(poses, (math.ceil(K / poses.shape[0]), 1, 1))[:K]
+    float(bench_fn(poses))  # compile + warmup (readback = execution)
+    reps = max(100 * max(args.render_iters, 1) // K, 1)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(bench_fn(poses))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / K
     logger.print(f"benchmark: {dt*1e3:.3f} ms/frame = {1/dt:.1f} FPS "
-                 f"({H}x{W}, {args.model_name})")
+                 f"({H}x{W}, {args.model_name}, {K} frames/jit x "
+                 f"{reps} reps)")
     return 1.0 / dt
 
 
@@ -345,17 +365,23 @@ def run_export(args, ns, logger) -> str:
 
 def run_distill(args, ns, logger):
     """R2L distillation training (reference `main.py:1175-1513`,
-    data_mode='rays')."""
+    data_mode='rays' or 'images')."""
+    images_mode = args.data_mode == "images"
     cfg, params, start = build_r2l(args, logger)
-    # In rays mode the reference's N_rand counts 4096-ray shards per batch
-    # (N_rand=20 -> 81,920 rays, `main.py:1304-1311`); large values are
-    # taken as a direct ray count.
-    batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
+    if images_mode:
+        # images mode: N_rand counts PIXELS per step (`main.py:1267-1302`).
+        batch_size = args.N_rand
+    else:
+        # In rays mode the reference's N_rand counts 4096-ray shards per
+        # batch (N_rand=20 -> 81,920 rays, `main.py:1304-1311`); large
+        # values are taken as a direct ray count.
+        batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
     n_hard_in, n_hard_out = parse_hard_ratio(args.hard_ratio, batch_size)
     # The fresh (host-fed) part of the batch must shard evenly over devices.
     n_dev = len(jax.devices())
     fresh = batch_size - n_hard_out
-    n_hard_out += fresh % n_dev
+    if not images_mode:
+        n_hard_out += fresh % n_dev
     dcfg = DistillConfig(
         batch_size=batch_size, lrate=args.lrate, lrate_decay=args.lrate_decay,
         warmup_lr=args.warmup_lr or None, lw_rgb=args.lw_rgb,
@@ -370,8 +396,8 @@ def run_distill(args, ns, logger):
     # Multi-chip: shard the ray batch over the mesh 'data' axis, params
     # replicated (or width-sharded over 'model'); XLA inserts the psums.
     mesh_axes = parse_mesh_spec(args.mesh)
-    batch_shd = None
-    if mesh_axes or len(jax.devices()) > 1:
+    batch_shd, mesh = None, None
+    if not images_mode and (mesh_axes or len(jax.devices()) > 1):
         from .parallel import (batch_sharding, make_mesh,
                                r2l_param_shardings, shard_pytree)
         mesh = make_mesh(mesh_axes)
@@ -380,21 +406,46 @@ def run_distill(args, ns, logger):
         logger.print(f"mesh: {dict(mesh.shape)}")
 
     datadir = args.datadir_kd or args.datadir
+    loader = dataset = None
+    frame_rng = np.random.default_rng(args.seed + 3)
 
-    def make_loader(seed):
-        ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
-                             hold_ratio=args.pseudo_data_hold_ratio)
-        return ds, RayBatchLoader(
-            ds, batch_size - n_hard_out, seed=seed,
-            pseudo_ratio_schedule=args.pseudo_ratio_schedule or None)
+    if images_mode:
+        from .data.blender import ImageFrameDataset
+        from .data.rayshards import get_pseudo_ratio
 
-    dataset, loader = make_loader(args.seed)
-    logger.print(f"ray dataset: {len(dataset)} rays "
-                 f"({dataset.n_real} real / {dataset.n_pseudo} pseudo), "
-                 f"batch {batch_size}")
+        def make_image_dataset(step_i):
+            pr = (get_pseudo_ratio(args.pseudo_ratio_schedule, step_i)
+                  if args.pseudo_ratio_schedule else
+                  (args.pseudo_ratio if args.pseudo_ratio >= 0 else 0.5))
+            ds = ImageFrameDataset(
+                np.asarray(ns.images[ns.i_train]),
+                np.asarray(ns.poses[ns.i_train]),
+                datadir_kd=args.datadir_kd or None, pseudo_ratio=pr,
+                mode=("llff" if args.dataset_type == "llff" else "blender"),
+                seed=args.seed + step_i)
+            return ds
+
+        dataset = make_image_dataset(1)
+        record_dim = 9
+        logger.print(f"image dataset: {dataset.n_real} real + "
+                     f"{dataset.n_pseudo} pseudo frames, "
+                     f"{batch_size} pixels/step")
+    else:
+        def make_loader(seed):
+            ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
+                                 hold_ratio=args.pseudo_data_hold_ratio)
+            return ds, RayBatchLoader(
+                ds, batch_size - n_hard_out, seed=seed,
+                pseudo_ratio_schedule=args.pseudo_ratio_schedule or None)
+
+        dataset, loader = make_loader(args.seed)
+        record_dim = dataset.record_dim
+        logger.print(f"ray dataset: {len(dataset)} rays "
+                     f"({dataset.n_real} real / {dataset.n_pseudo} pseudo), "
+                     f"batch {batch_size}")
 
     state, tx = init_train_state(jax.random.key(args.seed), params, dcfg,
-                                 record_dim=dataset.record_dim)
+                                 record_dim=record_dim)
     if args.freeze_pretrained:
         # Reference semantics: the model's params are excluded from the
         # optimizer (`main.py:461-462`) — updates become zero.
@@ -403,7 +454,15 @@ def run_distill(args, ns, logger):
         state = state._replace(opt_state=tx.init(state.params))
     if start > 0:
         state = state._replace(step=jnp.asarray(start, jnp.int32))
-    step_fn = make_distill_step(cfg, dcfg, sampler, tx)
+    if images_mode:
+        from .train import make_distill_step_images
+        step_fn = make_distill_step_images(
+            cfg, dcfg, sampler, tx, ns.H, ns.W, ns.focal,
+            precrop_iters=args.precrop_iters,
+            precrop_frac=args.precrop_frac,
+            select_pixel_mode=args.select_pixel_mode, ndc=ns.ndc)
+    else:
+        step_fn = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh)
 
     # Eval renderer rebuilt whenever params change materially (cheap jit
     # cache; params are donated so pass them explicitly).
@@ -428,18 +487,42 @@ def run_distill(args, ns, logger):
     lossline = LossLine(ema=0.95)
     key = jax.random.key(args.seed + 1)
 
+    n_pseudo_img, n_seen_img = 0, 0
     for i in range(start + 1, args.N_iters + 1):
-        batch = next(loader)
-        batch = (jax.device_put(batch, batch_shd) if batch_shd is not None
-                 else jnp.asarray(batch))
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
+        if images_mode:
+            img, pose, is_pseudo = dataset.sample(frame_rng)
+            n_pseudo_img += int(is_pseudo)
+            n_seen_img += 1
+            state, metrics = step_fn(state, jnp.asarray(img),
+                                     jnp.asarray(pose), sub)
+        else:
+            batch = next(loader)
+            batch = (jax.device_put(batch, batch_shd)
+                     if batch_shd is not None else jnp.asarray(batch))
+            state, metrics = step_fn(state, batch, sub)
 
         if i % args.i_print == 0:
             loss = lossline.update("loss", float(metrics["loss"]))
             psnr = lossline.update("train_psnr", float(metrics["psnr"]))
+            extra = ""
+            if images_mode and n_seen_img:
+                # pseudo_img_ratio log line (reference `main.py:1250-1252`).
+                extra = f" pseudo_img_ratio {n_pseudo_img / n_seen_img:.4f}"
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
-                         f"psnr {psnr:.4f}")
+                         f"psnr {psnr:.4f}{extra}")
+
+        if args.i_img > 0 and i % args.i_img == 0 and i % args.i_testset:
+            # Periodic one-image check render (--i_img; parsed-but-dead in
+            # the reference — restored to its nerf-pytorch meaning here).
+            frame_fn = make_r2l_frame_fn(
+                state.params, cfg, sampler, embed_L=args.multires,
+                plucker=args.plucker, use_pallas=args.use_pallas,
+                pallas_tile=args.pallas_tile, quantize=args.quantize)
+            res = render_path(frame_fn, test_poses[:1],
+                              gt_images=test_gt[:1], compute_flip=False,
+                              savedir=logger.gen_img_dir)
+            logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
 
         if i % args.i_testset == 0 or i == args.N_iters:
             frame_fn = make_r2l_frame_fn(
@@ -479,11 +562,17 @@ def run_distill(args, ns, logger):
         # (reference --i_update_data, `main.py:1220-1229,1254-1262`).
         if (args.i_update_data > 0 and i % args.i_update_data == 0
                 and i < args.N_iters):
-            loader.close()
-            dataset, loader = make_loader(args.seed + i)
-            logger.print(f"reloaded ray dataset: {len(dataset)} rays")
+            if images_mode:
+                dataset = make_image_dataset(i)
+                logger.print(f"reloaded image dataset: {dataset.n_real} "
+                             f"real + {dataset.n_pseudo} pseudo frames")
+            else:
+                loader.close()
+                dataset, loader = make_loader(args.seed + i)
+                logger.print(f"reloaded ray dataset: {len(dataset)} rays")
 
-    loader.close()
+    if loader is not None:
+        loader.close()
     return state, best_psnr
 
 
@@ -497,13 +586,24 @@ def _save(logger, name: str, state: TrainState, step: int,
 
 
 def run_teacher_train(args, ns, logger):
-    """NeRF teacher training (reference §3.2 call stack)."""
+    """NeRF teacher training (reference §3.2 call stack).
+
+    Multi-device: the per-step ray batch shards over the mesh 'data' axis
+    with params replicated — the GSPMD analog of the reference's
+    DataParallel-wrapped teacher (`main.py:472-479`).
+    """
     ncfg, ncfg_fine, pc, pf, start = build_teacher(args, logger)
     vcfg = vol_config(args, ns)
     tcfg = TeacherTrainConfig(
         n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
         select_pixel_mode=args.select_pixel_mode)
+    mesh = None
+    mesh_axes = parse_mesh_spec(args.mesh)
+    if mesh_axes or len(jax.devices()) > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(mesh_axes or {"data": len(jax.devices())})
+        logger.print(f"teacher mesh: {dict(mesh.shape)}")
     state, tx = init_teacher_state(pc, pf, tcfg)
 
     # use_batching (reference default for LLFF): pre-generate the global
@@ -519,13 +619,18 @@ def run_teacher_train(args, ns, logger):
             ndc=ns.ndc)
         rng = np.random.default_rng(args.seed)
         ray_pool = jnp.asarray(records[rng.permutation(records.shape[0])])
+        if mesh is not None:
+            from .parallel import batch_sharding
+            ray_pool = jax.device_put(ray_pool, batch_sharding(mesh))
         logger.print(f"use_batching: ray pool {ray_pool.shape}")
         step_fn_b = make_teacher_step_batched(ncfg, vcfg, tcfg, tx,
-                                              ncfg_fine=ncfg_fine)
+                                              ncfg_fine=ncfg_fine,
+                                              mesh=mesh)
     else:
         step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx,
                                     ns.H, ns.W, ns.focal,
-                                    ncfg_fine=ncfg_fine, ndc=ns.ndc)
+                                    ncfg_fine=ncfg_fine, ndc=ns.ndc,
+                                    mesh=mesh)
 
     images = jnp.asarray(ns.images[ns.i_train])
     poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
@@ -535,11 +640,33 @@ def run_teacher_train(args, ns, logger):
     from .logging_ import LossLine
     lossline = LossLine(ema=0.95)
     key = jax.random.key(args.seed)
+    shuffle_rng = np.random.default_rng(args.seed + 17)
     best_psnr = -1.0
+    i_batch = 0
+
+    def _eval_frame_fn():
+        sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
+                               n_sample=args.N_samples,
+                               near=ns.near, far=ns.far)
+        ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
+        return make_nerf_frame_fn(
+            state.params_coarse, state.params_fine or None, ncfg,
+            vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine,
+            perturb_test=args.perturb_test > 0)
+
     for i in range(start + 1, args.N_iters + 1):
         key, sub = jax.random.split(key)
         if use_batching:
-            state, metrics = step_fn_b(state, ray_pool, sub)
+            state, metrics = step_fn_b(state, ray_pool,
+                                       jnp.asarray(i_batch, jnp.int32), sub)
+            i_batch += args.N_rand
+            if i_batch + args.N_rand > ray_pool.shape[0]:
+                # Epoch exhausted: reshuffle the global ray pool
+                # (reference `main.py:1204-1209`).
+                logger.print("Shuffle data after an epoch!")
+                perm = shuffle_rng.permutation(ray_pool.shape[0])
+                ray_pool = jnp.asarray(np.asarray(ray_pool)[perm])
+                i_batch = 0
         else:
             state, metrics = step_fn(state, images, poses, sub)
         if i % args.i_print == 0:
@@ -547,20 +674,29 @@ def run_teacher_train(args, ns, logger):
             psnr = lossline.update("psnr", float(metrics["psnr"]))
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}")
+        if args.i_img > 0 and i % args.i_img == 0 and i < args.N_iters:
+            # Periodic one-image check render (--i_img; the flag is parsed
+            # but dead in the reference — here it renders the first test
+            # pose, the nerf-pytorch behavior the flag descends from).
+            res = render_path(_eval_frame_fn(), test_poses[:1],
+                              gt_images=test_gt[:1], compute_flip=False,
+                              savedir=logger.gen_img_dir)
+            logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
         if i % args.i_testset == 0 or i == args.N_iters:
-            sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
-                                   n_sample=args.N_samples,
-                                   near=ns.near, far=ns.far)
-            ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
-            frame_fn = make_nerf_frame_fn(
-                state.params_coarse, state.params_fine or None, ncfg,
-                vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine)
             # Full test split (subsampled by --testskip), as the
             # reference's i_testset eval (`main.py:1442-1471`).
-            res = render_path(frame_fn, test_poses,
+            res = render_path(_eval_frame_fn(), test_poses,
                               gt_images=test_gt, compute_flip=False)
             logger.print(f"[eval] iter {i} PSNR {res.test_psnr:.4f}")
-            best_psnr = max(best_psnr, res.test_psnr)
+            if res.test_psnr > best_psnr:
+                best_psnr = res.test_psnr
+                ckpt.save_checkpoint(
+                    os.path.join(logger.weights_dir,
+                                 "teacher_best.msgpack"),
+                    {"coarse": state.params_coarse,
+                     "fine": state.params_fine},
+                    meta={"global_step": i, "best_psnr": best_psnr})
+                logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
         if i % args.i_weights == 0 or i == args.N_iters:
             ckpt.save_checkpoint(
                 os.path.join(logger.weights_dir, "teacher.msgpack"),

@@ -99,3 +99,70 @@ def load_blender_data(basedir: str, half_res: bool = False,
     return BlenderData(images=imgs.astype(np.float32),
                        poses=poses, H=int(H), W=int(W), focal=float(focal),
                        i_split=i_split)
+
+
+class ImageFrameDataset:
+    """Frame source for ``--data_mode images`` student training: the real
+    train frames mixed with teacher-rendered pseudo frames.
+
+    TPU-native rework of the reference ``BlenderDataset``
+    (`dataset/load_blender.py:224-254`) + its LLFF branch
+    (`main.py:1240-1249`): pseudo frames come from the consolidated
+    ``pseudo_images_*.npz`` packs written by
+    ``datagen.generate_pseudo_images`` (instead of 1 npy per frame + a
+    growing transforms_train.json), loaded once as memory-mapped arrays.
+
+    Mixing semantics (reference `load_blender.py:236-242`): a fixed
+    random subset of ``n_pseudo = n_real/(1-pseudo_ratio) - n_real``
+    pseudo frames joins the real frames; ``sample()`` draws uniformly
+    over the mixture. ``mode='llff'`` instead keeps ALL pseudo frames
+    and draws pseudo with probability n_pseudo/(n_real+n_pseudo)
+    (reference `main.py:1240-1246`). Rebuild the dataset (i_update_data)
+    to re-draw the subset / pick up new packs.
+    """
+
+    def __init__(self, images: np.ndarray, poses: np.ndarray,
+                 datadir_kd: str | None = None, pseudo_ratio: float = 0.5,
+                 mode: str = "blender", seed: int = 0):
+        self.real_images = np.asarray(images, np.float32)
+        self.real_poses = np.asarray(poses, np.float32)[:, :3, :4]
+        self.mode = mode
+        self.p_imgs: list[np.ndarray] = []   # per-pack [n, H, W, 3] mmaps
+        self.p_poses: list[np.ndarray] = []
+        self._index: list[tuple[int, int]] = []
+        if datadir_kd and os.path.isdir(datadir_kd):
+            packs = sorted(f for f in os.listdir(datadir_kd)
+                           if f.startswith("pseudo_images")
+                           and f.endswith(".npz"))
+            for pi, name in enumerate(packs):
+                z = np.load(os.path.join(datadir_kd, name), mmap_mode="r")
+                self.p_imgs.append(z["images"])
+                self.p_poses.append(np.asarray(z["poses"], np.float32))
+                self._index += [(pi, j) for j in range(len(z["poses"]))]
+        rng = np.random.default_rng(seed)
+        n_real = len(self.real_images)
+        if mode == "blender" and self._index and 0 <= pseudo_ratio < 1:
+            n_pseudo = int(n_real / (1.0 - pseudo_ratio) - n_real)
+            pick = rng.permutation(len(self._index))[:n_pseudo]
+            self._index = [self._index[i] for i in pick]
+
+    @property
+    def n_real(self) -> int:
+        return len(self.real_images)
+
+    @property
+    def n_pseudo(self) -> int:
+        return len(self._index)
+
+    def __len__(self) -> int:
+        return self.n_real + self.n_pseudo
+
+    def sample(self, rng: np.random.Generator):
+        """-> (image [H, W, 3] f32, pose [3, 4] f32, is_pseudo)."""
+        i = int(rng.integers(0, len(self)))
+        if i < self.n_real:
+            return self.real_images[i], self.real_poses[i], False
+        pi, j = self._index[i - self.n_real]
+        img = np.asarray(self.p_imgs[pi][j], np.float32)
+        pose = self.p_poses[pi][j][:3, :4]
+        return img, pose, True

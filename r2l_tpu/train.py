@@ -126,49 +126,136 @@ def distill_loss_fn(params: Any, cfg: R2LConfig, dcfg: DistillConfig,
     return loss, per_ray
 
 
+def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
+                  cfg: R2LConfig, dcfg: DistillConfig,
+                  sampler: PointSampler, tx: optax.GradientTransformation,
+                  n_fresh: int, mesh=None):
+    """Shared inner distill step: hard-pool augment -> grad -> update ->
+    pool refresh. ``fresh`` are host-fed records [n_fresh, record_dim].
+
+    ``mesh``: pin the distributed layout with explicit sharding
+    constraints — batch and hard pool sharded over 'data', params by
+    ``r2l_param_shardings`` — instead of relying on XLA's propagation
+    from input placement (one heuristic change away from an all-gather
+    in the hot loop otherwise).
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import r2l_param_shardings
+        wsc = jax.lax.with_sharding_constraint
+        fresh = wsc(fresh, NamedSharding(mesh, P("data")))
+        state = state._replace(
+            params=wsc(state.params,
+                       r2l_param_shardings(mesh, state.params)),
+            pool=state.pool._replace(
+                rays=wsc(state.pool.rays,
+                         NamedSharding(mesh, P("data", None)))))
+    k_hard, k_perturb = jax.random.split(key)
+    if dcfg.n_hard_out > 0:
+        hard, idx = sample_hard(state.pool, k_hard, dcfg.n_hard_out,
+                                fresh)
+        batch = jnp.concatenate([fresh, hard], axis=0)
+    else:
+        idx = jnp.zeros((1,), jnp.int32)
+        batch = fresh
+
+    (loss, per_ray), grads = jax.value_and_grad(
+        distill_loss_fn, has_aux=True)(
+            state.params, cfg, dcfg, sampler, batch, k_perturb)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    pool = state.pool
+    if dcfg.n_hard_in > 0:
+        # Hard examples are collected from the FRESH rays only
+        # (reference takes rgb[:batch_size], `main.py:1409-1416`) —
+        # re-selecting pool rays would fill the pool with duplicates.
+        _, hard_ids = jax.lax.top_k(per_ray[:n_fresh], dcfg.n_hard_in)
+        pool = update_pool(pool, batch[hard_ids], idx)
+
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1, pool=pool)
+    # PSNR from the RGB MSE alone (the loss may include the depth
+    # term, which would bias the logged PSNR).
+    rgb_mse = jnp.mean(per_ray)
+    metrics = {"loss": loss,
+               "psnr": -10.0 * jnp.log10(jnp.maximum(rgb_mse, 1e-12))}
+    return new_state, metrics
+
+
 def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       sampler: PointSampler,
-                      tx: optax.GradientTransformation):
-    """Build the jitted distillation train step.
+                      tx: optax.GradientTransformation, mesh=None):
+    """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
-               (state, metrics dict). State buffers are donated.
+               (state, metrics dict). State buffers are donated; with a
+    ``mesh`` the batch/pool/param layouts are pinned (see _distill_core).
     """
 
     def step(state: TrainState, fresh: Array, key: jax.Array):
-        k_hard, k_perturb = jax.random.split(key)
-        if dcfg.n_hard_out > 0:
-            hard, idx = sample_hard(state.pool, k_hard, dcfg.n_hard_out,
-                                    fresh)
-            batch = jnp.concatenate([fresh, hard], axis=0)
+        return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,
+                             n_fresh=dcfg.batch_size - dcfg.n_hard_out,
+                             mesh=mesh)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
+                             sampler: PointSampler,
+                             tx: optax.GradientTransformation,
+                             H: int, W: int, focal: float,
+                             precrop_iters: int = 0,
+                             precrop_frac: float = 0.5,
+                             select_pixel_mode: str = "rand_pixel",
+                             ndc: bool = False):
+    """Distillation step for ``--data_mode images`` (reference
+    `main.py:1267-1302`): one (image, pose) per iter; N_rand pixels are
+    selected ON DEVICE (central precrop early, rand_pixel or rand_patch),
+    rays built with get_rays, then the same loss/hard-mining core as rays
+    mode. Signature: (state, image [H, W, 3], pose [3, 4], key).
+    """
+    from .rays import get_rays, ndc_rays
+    n_fresh = dcfg.batch_size - dcfg.n_hard_out
+
+    def step(state: TrainState, image: Array, pose: Array, key: jax.Array):
+        k_coord, k_core = jax.random.split(key)
+        rays_o, rays_d = get_rays(H, W, focal, pose)     # [H, W, 3]
+        if ndc:
+            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+
+        use_crop = state.step < precrop_iters
+        # Reference precrop box (`main.py:1270-1280`): the central
+        # 2*dH x 2*dW crop.
+        dH = int(H // 2 * precrop_frac)
+        dW = int(W // 2 * precrop_frac)
+        hs = jnp.where(use_crop, H // 2 - dH, 0)
+        ws = jnp.where(use_crop, W // 2 - dW, 0)
+        hn = jnp.where(use_crop, 2 * dH, H)
+        wn = jnp.where(use_crop, 2 * dW, W)
+        if select_pixel_mode == "rand_patch":
+            side = int(n_fresh ** 0.5)
+            assert side * side == n_fresh, \
+                "rand_patch requires a square fresh-batch size"
+            u = jax.random.uniform(k_coord, (2,))
+            h0 = (hs + (u[0] * jnp.maximum(hn - side, 1))
+                  .astype(jnp.int32)).clip(0, H - side)
+            w0 = (ws + (u[1] * jnp.maximum(wn - side, 1))
+                  .astype(jnp.int32)).clip(0, W - side)
+            dh = jnp.arange(side, dtype=jnp.int32)
+            hh = (h0 + jnp.repeat(dh, side)).clip(0, H - 1)
+            ww = (w0 + jnp.tile(dh, side)).clip(0, W - 1)
         else:
-            idx = jnp.zeros((1,), jnp.int32)
-            batch = fresh
+            u = jax.random.uniform(k_coord, (n_fresh, 2))
+            hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
+            ww = (ws + (u[:, 1] * wn).astype(jnp.int32)).clip(0, W - 1)
 
-        (loss, per_ray), grads = jax.value_and_grad(
-            distill_loss_fn, has_aux=True)(
-                state.params, cfg, dcfg, sampler, batch, k_perturb)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        pool = state.pool
-        if dcfg.n_hard_in > 0:
-            # Hard examples are collected from the FRESH rays only
-            # (reference takes rgb[:batch_size], `main.py:1409-1416`) —
-            # re-selecting pool rays would fill the pool with duplicates.
-            n_fresh = dcfg.batch_size - dcfg.n_hard_out
-            _, hard_ids = jax.lax.top_k(per_ray[:n_fresh], dcfg.n_hard_in)
-            pool = update_pool(pool, batch[hard_ids], idx)
-
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1, pool=pool)
-        # PSNR from the RGB MSE alone (the loss may include the depth
-        # term, which would bias the logged PSNR).
-        rgb_mse = jnp.mean(per_ray)
-        metrics = {"loss": loss,
-                   "psnr": -10.0 * jnp.log10(jnp.maximum(rgb_mse, 1e-12))}
-        return new_state, metrics
+        fresh = jnp.concatenate(
+            [rays_o[hh, ww], rays_d[hh, ww], image[hh, ww]], axis=-1)
+        return _distill_core(state, fresh, k_core, cfg, dcfg, sampler, tx,
+                             n_fresh=n_fresh)
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -205,20 +292,35 @@ def init_teacher_state(params_coarse: Any, params_fine: Any,
                         jnp.zeros((), jnp.int32)), tx
 
 
+def _teacher_batch_constraint(batch: Array, mesh):
+    """Pin the selected ray batch over the mesh 'data' axis — the
+    DataParallel analog for teacher training (reference wraps the teacher
+    in torch DataParallel, `main.py:472-479`); grads psum automatically."""
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        batch, NamedSharding(mesh, P("data")))
+
+
 def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                               tcfg: TeacherTrainConfig,
                               tx: optax.GradientTransformation,
-                              ncfg_fine: NeRFConfig | None = None):
+                              ncfg_fine: NeRFConfig | None = None,
+                              mesh=None):
     """Teacher step over a pre-shuffled global ray pool (the reference's
     ``use_batching`` mode, `main.py:1135-1162,1199-1209`): rays live on
-    device as one [N, 9] array; each step takes the next ``n_rand`` slice
-    by rolling offset (wrap-around re-shuffle is the caller's choice)."""
+    device as one [N, 9] array; each step takes the ``n_rand`` slice at
+    ``offset``. The caller advances the offset linearly and RESHUFFLES the
+    pool when an epoch completes (reference `main.py:1204-1209`) — see
+    ``app.run_teacher_train``. With a ``mesh`` the ray batch is sharded
+    over 'data' (multi-device teacher training, reference DataParallel
+    `main.py:472-479`)."""
 
-    def step(state: TeacherState, ray_pool: Array, key: jax.Array):
-        n = ray_pool.shape[0]
-        offset = (state.step * tcfg.n_rand) % jnp.maximum(
-            n - tcfg.n_rand, 1)
+    def step(state: TeacherState, ray_pool: Array, offset: Array,
+             key: jax.Array):
         batch = jax.lax.dynamic_slice_in_dim(ray_pool, offset, tcfg.n_rand)
+        batch = _teacher_batch_constraint(batch, mesh)
         ro, rd, tgt = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
 
         def loss_fn(both):
@@ -247,12 +349,13 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       tx: optax.GradientTransformation,
                       H: int, W: int, focal: float,
                       ncfg_fine: NeRFConfig | None = None,
-                      ndc: bool = False):
+                      ndc: bool = False, mesh=None):
     """Jitted teacher step over on-device images [N, H, W, 3] + poses.
 
     Per step: random training image, random pixel subset (central crop for
     the first ``precrop_iters``), volumetric render, MSE(+coarse MSE)
-    (reference `main.py:1267-1406`).
+    (reference `main.py:1267-1406`). With a ``mesh`` the selected rays
+    shard over 'data' (DataParallel analog).
     """
     from .rays import get_rays
 
@@ -296,9 +399,10 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
             hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
             ww = (ws + (u[:, 1] * wn).astype(jnp.int32)).clip(0, W - 1)
 
-        ro = rays_o[hh, ww]
-        rd = rays_d[hh, ww]
-        tgt = target[hh, ww]
+        batch = jnp.concatenate([rays_o[hh, ww], rays_d[hh, ww],
+                                 target[hh, ww]], axis=-1)
+        batch = _teacher_batch_constraint(batch, mesh)
+        ro, rd, tgt = batch[:, 0:3], batch[:, 3:6], batch[:, 6:9]
 
         def loss_fn(both):
             out = render_rays_nerf(both["coarse"],

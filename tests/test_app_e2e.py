@@ -213,3 +213,71 @@ def test_distill_resume(tiny_scene, tmp_path):
                 metas.append(_json.load(open(os.path.join(root, f)))
                              ["global_step"])
     assert 6 in metas
+
+
+def test_images_mode_distill(tiny_scene, tmp_path):
+    """spiral datagen -> images-mode distillation with real/pseudo frame
+    mixing (reference `main.py:1267-1302` + `load_blender.py:224-254`):
+    the full consumer of generate_pseudo_images."""
+    exps = str(tmp_path / "ExpI")
+    from r2l_tpu.app import build_teacher, load_dataset, vol_config
+    from r2l_tpu.data.blender import ImageFrameDataset
+    from r2l_tpu.datagen import DataGenConfig, generate_pseudo_images
+    from r2l_tpu.logging_ import Logger
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+    import jax
+
+    args = parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--experiments_dir", exps, "--experiment_name", "gen"])
+    lg = Logger("gen", experiments_dir=exps)
+    ns = load_dataset(args, lg)
+    ncfg, _, pc, pf, _ = build_teacher(args, lg)
+    datadir_kd = str(tmp_path / "pimg")
+    n = generate_pseudo_images(pc, None, ncfg, vol_config(args, ns),
+                               DataGenConfig(n_pose=4, H=ns.H, W=ns.W,
+                                             focal=ns.focal),
+                               datadir_kd, n_pose=4)
+    assert n == 4
+
+    # mixing semantics: pseudo_ratio=0.5 picks n_real pseudo frames
+    ds = ImageFrameDataset(ns.images[ns.i_train], ns.poses[ns.i_train],
+                           datadir_kd=datadir_kd, pseudo_ratio=0.5)
+    assert ds.n_real == 3 and ds.n_pseudo == 3
+    rng = np.random.default_rng(0)
+    kinds = {ds.sample(rng)[2] for _ in range(50)}
+    assert kinds == {False, True}
+    img, pose, _ = ds.sample(rng)
+    assert img.shape == (ns.H, ns.W, 3) and pose.shape == (3, 4)
+
+    # end-to-end images-mode training: loss decreases, ckpt written
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--datadir_kd", datadir_kd, "--data_mode", "images",
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "256", "--N_iters", "6", "--i_testset", "6",
+        "--i_weights", "6", "--precrop_iters", "2",
+        "--hard_ratio", "0.1,0.2", "--hard_mul", "2",
+        "--experiment_name", "di", "--experiments_dir", exps]))
+    best = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "ckpt_best.msgpack":
+                best = os.path.join(root, f)
+    assert best, "images-mode best checkpoint not written"
+
+
+def test_images_mode_rand_patch(tiny_scene, tmp_path):
+    """rand_patch pixel selection in images mode (get_selected_coords,
+    reference `helpers:385-405`)."""
+    exps = str(tmp_path / "ExpP")
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--data_mode", "images", "--select_pixel_mode", "rand_patch",
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "64", "--N_iters", "3", "--i_testset", "3",
+        "--i_weights", "3",
+        "--experiment_name", "dp", "--experiments_dir", exps]))

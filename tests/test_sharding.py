@@ -85,3 +85,84 @@ def test_batch_sharding_places_shards():
     assert xs.addressable_shards[0].data.shape == (2, 1)
     r = jax.device_put(x, replicated_sharding(mesh))
     assert r.sharding.is_fully_replicated
+
+
+def _mk_distill(mesh, key, n_hard=16):
+    from r2l_tpu.sampler import PointSampler
+    from r2l_tpu.train import (DistillConfig, init_train_state,
+                               make_distill_step)
+    cfg = R2LConfig(input_dim=6 * 21, netwidth=32, netdepth=4)
+    params = init_r2l(key, cfg)
+    dcfg = DistillConfig(batch_size=128, n_hard_in=8, n_hard_out=n_hard,
+                         hard_mul=2.0, embed_L=10)
+    sampler = PointSampler(H=8, W=8, focal=8.0, n_sample=2,
+                           near=2.0, far=6.0)
+    state, tx = init_train_state(jax.random.key(7), params, dcfg)
+    step = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh)
+    return cfg, dcfg, state, step
+
+
+def test_distill_step_pins_pool_and_params_on_dp_tp_mesh(key):
+    """Explicit sharding constraints keep the hard pool device-local
+    (sharded over 'data') and params replicated/model-sharded across
+    steps on a dp x tp mesh — not left to XLA propagation heuristics."""
+    mesh = make_mesh({"data": 4, "model": 2})
+    cfg, dcfg, state, step = _mk_distill(mesh, key)
+    state = state._replace(
+        pool=state.pool._replace(
+            rays=jax.device_put(state.pool.rays,
+                                NamedSharding(mesh, P("data", None)))))
+    fresh = jax.device_put(
+        jax.random.normal(jax.random.key(1),
+                          (dcfg.batch_size - dcfg.n_hard_out, 9)),
+        batch_sharding(mesh))
+    for i in range(2):
+        state, metrics = step(state, fresh, jax.random.key(i))
+    pool_shd = state.pool.rays.sharding
+    assert pool_shd.spec in (P("data"), P("data", None)), pool_shd
+    assert len(state.pool.rays.addressable_shards) == 8
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_distill_step_mesh_matches_single_device(key):
+    """The mesh-pinned step computes the same update as the unpinned
+    single-logical-device step."""
+    mesh = make_mesh({"data": 8})
+    _, dcfg, state_a, step_a = _mk_distill(None, key, n_hard=0)
+    _, _, state_b, step_b = _mk_distill(mesh, key, n_hard=0)
+    fresh = jax.random.normal(jax.random.key(1), (dcfg.batch_size, 9))
+    sa, ma = step_a(state_a, fresh, jax.random.key(5))
+    sb, mb = step_b(state_b, jax.device_put(fresh, batch_sharding(mesh)),
+                    jax.random.key(5))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_teacher_batched_step_shards_over_mesh(key):
+    """Teacher use_batching step with a mesh: pool data-sharded, loss
+    finite, params replicated (DataParallel analog)."""
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+    from r2l_tpu.render import VolRenderConfig
+    from r2l_tpu.train import (TeacherTrainConfig, init_teacher_state,
+                               make_teacher_step_batched)
+    mesh = make_mesh()
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=0, use_viewdirs=False)
+    tcfg = TeacherTrainConfig(n_rand=64)
+    state, tx = init_teacher_state(pc, {}, tcfg)
+    step = make_teacher_step_batched(ncfg, vcfg, tcfg, tx, mesh=mesh)
+    rng = np.random.default_rng(0)
+    pool = jax.device_put(
+        jnp.asarray(rng.normal(size=(512, 9)).astype(np.float32)),
+        batch_sharding(mesh))
+    for i in range(2):
+        state, m = step(state, pool, jnp.asarray(i * 64, jnp.int32),
+                        jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+    assert state.params_coarse["pts_linears"][0]["w"] \
+        .sharding.is_fully_replicated

@@ -104,7 +104,8 @@ def test_teacher_step_batched(key, rng):
         rng.uniform(0, 1, (256, 3)).astype(np.float32)], axis=1)
     losses = []
     for i in range(10):
-        state, m = step(state, jnp.asarray(pool), jax.random.key(i))
+        off = jnp.asarray((i * 32) % (pool.shape[0] - 32), jnp.int32)
+        state, m = step(state, jnp.asarray(pool), off, jax.random.key(i))
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert int(state.step) == 10
