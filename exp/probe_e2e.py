@@ -46,11 +46,9 @@ def main():
         [pose_spherical(t, -30.0, 4.0)[:3, :4]
          for t in np.linspace(-180, 180, K, endpoint=False)]))
 
-    for name, quant, tile in [("int8_t1024", "int8", 1024),
-                              ("int8_t512", "int8", 512),
-                              ("int8_t2048", "int8", 2048),
-                              ("bf16_t512", "", 512),
-                              ("bf16_t1024", "", 1024)]:
+    for name, quant, tile in [("int8q_t512", "int8", 512),
+                              ("int8q_t640", "int8", 640),
+                              ("int8q_t1024", "int8", 1024)]:
         t0 = time.time()
         try:
             fn = make_r2l_bench_fn(params, cfg, sampler, embed_L=10,

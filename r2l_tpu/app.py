@@ -724,7 +724,8 @@ def train(args) -> None:
         experiment_name=args.experiment_name or args.expname or "r2l",
         experiments_dir=args.experiments_dir, debug=args.debug,
         resume_time_id=args.resume_TimeID, args=args,
-        main_process=jax.process_index() == 0)
+        main_process=jax.process_index() == 0,
+        rank=jax.process_index())
     logger.print(f"devices: {jax.devices()}")
 
     if args.debug_nans:

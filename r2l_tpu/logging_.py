@@ -135,9 +135,10 @@ class Logger:
 
     def __init__(self, experiment_name: str = "", experiments_dir: str =
                  "Experiments", debug: bool = False, resume_time_id: str = "",
-                 args=None, main_process: bool = True):
+                 args=None, main_process: bool = True, rank: int = 0):
         self.name = experiment_name or "exp"
         self.main_process = main_process
+        self.rank = rank
         ts = datetime.now().strftime("%Y%m%d-%H%M%S")
         if debug:
             root, self.expid = os.path.join(experiments_dir, "Debug_Dir"), "Debug"
@@ -172,7 +173,17 @@ class Logger:
             self._f = open(self._log_path, "a")
             self._capture_environment(args)
         else:
-            self._f = None
+            # Non-main processes log under OtherRanks/rank_<r>/ so
+            # multi-host runs keep every process's output (reference
+            # `logger.py:240-241` routes non-zero ranks to OtherRanks/).
+            rank_root = os.path.join(root, "OtherRanks", f"rank_{rank}")
+            self.log_dir = os.path.join(rank_root, "log")
+            self.weights_dir = os.path.join(rank_root, "weights")
+            self.gen_img_dir = os.path.join(rank_root, "gen_img")
+            for d in (self.weights_dir, self.gen_img_dir, self.log_dir):
+                os.makedirs(d, exist_ok=True)
+            self._log_path = os.path.join(self.log_dir, "log.txt")
+            self._f = open(self._log_path, "a")
 
     def _capture_environment(self, args):
         """Record invocation line, sorted args, git state
@@ -214,10 +225,11 @@ class Logger:
                 f"{datetime.now().strftime('%m/%d %H:%M:%S')}]")
 
     def print(self, *msg, main_process_only: bool = True):
-        if main_process_only and not self.main_process:
-            return
         line = f"{self._stamp()} " + " ".join(str(m) for m in msg)
-        print(line, flush=True)
+        if self.main_process or not main_process_only:
+            print(line, flush=True)
+        # Non-main processes still tee into their OtherRanks/ log file
+        # (reference `logger.py:309-310` gates the console, not the file).
         if self._f is not None:
             self._f.write(line + "\n")
             self._f.flush()

@@ -33,11 +33,13 @@ def test_logger_resume_latest(tmp_path):
     b.close()
 
 
-def test_logger_non_main_process_writes_nothing(tmp_path):
+def test_logger_non_main_process_writes_to_otherranks(tmp_path):
+    """Non-main processes used to write nothing; they now tee into
+    OtherRanks/ (see test_nonmain_process_logs_under_otherranks)."""
     log = Logger("quiet", experiments_dir=str(tmp_path / "sub"),
-                 main_process=False)
-    log.print("should not appear")
-    assert not os.path.isdir(str(tmp_path / "sub"))
+                 main_process=False, rank=1)
+    log.print("rank line")
+    assert os.path.isdir(os.path.join(log.exp_dir, "OtherRanks", "rank_1"))
     log.close()
 
 
@@ -79,3 +81,18 @@ def test_code_cache(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "pkg/a.py" in names and "readme.txt" not in names
     log.close()
+
+
+def test_nonmain_process_logs_under_otherranks(tmp_path):
+    """Non-main processes tee into OtherRanks/rank_<r>/log/log.txt
+    (reference smilelogging `logger.py:240-241,309-310`)."""
+    from r2l_tpu.logging_ import Logger
+    lg = Logger("mh", experiments_dir=str(tmp_path), main_process=False,
+                rank=3)
+    lg.print("hello from rank 3")  # console-gated, file-teed
+    assert "OtherRanks/rank_3" in lg.log_dir.replace("\\", "/")
+    text = open(lg._log_path).read()
+    assert "hello from rank 3" in text
+    # main process layout unchanged
+    lg0 = Logger("mh", experiments_dir=str(tmp_path), main_process=True)
+    assert "OtherRanks" not in lg0.log_dir
