@@ -286,7 +286,8 @@ def run_render_only(args, ns, logger) -> EvalResult:
         ndc_params = (H, W, focal) if ns.ndc else None
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       ndc_params, ncfg_fine=ncfg_fine,
-                                      perturb_test=args.perturb_test > 0)
+                                      perturb_test=args.perturb_test > 0,
+                                      use_pallas=args.use_pallas)
 
     if args.render_test:
         poses = ns.poses[ns.i_test]
@@ -652,7 +653,8 @@ def run_teacher_train(args, ns, logger):
         return make_nerf_frame_fn(
             state.params_coarse, state.params_fine or None, ncfg,
             vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine,
-            perturb_test=args.perturb_test > 0)
+            perturb_test=args.perturb_test > 0,
+            use_pallas=args.use_pallas)
 
     for i in range(start + 1, args.N_iters + 1):
         key, sub = jax.random.split(key)

@@ -25,7 +25,8 @@ import numpy as np
 from .data.rayshards import shuffle_rays, write_ray_shards
 from .models.nerf import NeRFConfig
 from .rays import get_rand_pose, get_rays
-from .render import VolRenderConfig, render_frame_nerf
+from .render import (VolRenderConfig, render_frame_nerf,
+                     render_frame_nerf_fused)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,10 +42,11 @@ class DataGenConfig:
     seed: int = 0
     poses_per_batch: int = 1        # frames per device dispatch (amortizes
     #                                 the ~30 ms tunnel RTT per call)
-    use_pallas: bool = False        # fused NeRF-query kernel (measured
-    #                                 SLOWER than the XLA schedule once
-    #                                 sample_pdf went gather-free: 1.15 s
-    #                                 vs 0.68 s/frame on v5e — keep off)
+    use_pallas: bool = True         # fully-fused volumetric Pallas pass
+    #                                 (sampling+PE+MLP+compositing in
+    #                                 VMEM; 607 vs 691 ms/frame on v5e —
+    #                                 auto-falls back when
+    #                                 raw_noise_std > 0)
 
 
 def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
@@ -76,14 +78,14 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         from .parallel.mesh import batch_sharding
         batch_shd = batch_sharding(mesh)
 
-    # Fused NeRF-query kernel on TPU: keeps the MLP activations in VMEM
-    # (the XLA schedule is HBM-bound at ~16 TFLOP/s on v5e).
-    qc = qf = None
-    if gcfg.use_pallas and jax.default_backend() == "tpu" and mesh is None:
-        from .render import make_fused_nerf_query
-        qc = make_fused_nerf_query(params_coarse, ncfg)
-        if params_fine:
-            qf = make_fused_nerf_query(params_fine, ncfg)
+    # Fully-fused volumetric Pallas pass on TPU (sampling + PE + MLP +
+    # compositing in VMEM; 607 vs 691 ms per canonical frame,
+    # exp/probe10.jsonl). Requires a zero sigma-noise regularizer —
+    # blender datagen always qualifies; LLFF configs with
+    # raw_noise_std=1.0 fall back to the XLA schedule for parity.
+    use_fused = (gcfg.use_pallas and jax.default_backend() == "tpu"
+                 and mesh is None and vcfg.raw_noise_std == 0.0
+                 and vcfg.multires > 0)
 
     # The reference renders pseudo data through the TRAIN kwargs, i.e.
     # with stratified-perturbed z (`create_data.py:802-806` reuses
@@ -91,11 +93,11 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # explicit per-batch key.
     @jax.jit
     def render_batch(rays_o, rays_d, key):
-        out = render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
-                                rays_o, rays_d,
-                                key=key if vcfg.perturb else None,
-                                query_coarse=qc, query_fine=qf,
-                                ncfg_fine=ncfg_fine)
+        render = render_frame_nerf_fused if use_fused else render_frame_nerf
+        out = render(params_coarse, params_fine, ncfg, vcfg,
+                     rays_o, rays_d,
+                     key=key if vcfg.perturb else None,
+                     ncfg_fine=ncfg_fine)
         return out["rgb"], out["depth"]
 
     writer_q: queue.Queue = queue.Queue(maxsize=2)

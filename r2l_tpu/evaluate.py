@@ -179,35 +179,26 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
     """
     vcfg_t = dataclasses.replace(vcfg, perturb=perturb_test,
                                  raw_noise_std=0.0)
-    fused = bool(use_pallas and jax.default_backend() == "tpu")
-    fpc = fpf = None
-    if fused:
-        from .kernels.nerf_pallas import prepare_fused_nerf
-        fpc = prepare_fused_nerf(params_coarse, ncfg)
-        if params_fine:
-            fpf = prepare_fused_nerf(params_fine, ncfg_fine or ncfg)
+    fused = bool(use_pallas and jax.default_backend() == "tpu"
+                 and vcfg.multires > 0)
     jit_fn = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
                              perturb_test, fused)
     pf = params_fine if params_fine else None
-    return lambda c2w: jit_fn(params_coarse, pf, fpc, fpf, c2w)
+    return lambda c2w: jit_fn(params_coarse, pf, c2w)
 
 
 @functools.lru_cache(maxsize=64)
 def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
                     sampler: PointSampler, ndc_params, perturb_test: bool,
                     fused: bool) -> Callable:
-    """Jitted (params_coarse, params_fine, fused_coarse, fused_fine, c2w)
-    -> [H, W, 3], cached on static config (see ``_r2l_frame_jit``)."""
+    """Jitted (params_coarse, params_fine, c2w) -> [H, W, 3], cached on
+    static config (see ``_r2l_frame_jit``). ``fused`` routes through the
+    fully-fused Pallas volumetric pass (eval is noise-free, so it always
+    qualifies)."""
     from .rays import ndc_rays
+    from .render import render_frame_nerf_fused
 
-    def frame(pc, pf, fpc, fpf, c2w):
-        qc = qf = None
-        if fused:
-            from .kernels.nerf_pallas import fused_nerf_query
-            qc = lambda emb: fused_nerf_query(fpc, ncfg, emb)  # noqa: E731
-            if fpf is not None:
-                qf = lambda emb: fused_nerf_query(  # noqa: E731
-                    fpf, ncfg_fine or ncfg, emb)
+    def frame(pc, pf, c2w):
         rays_o, rays_d = sampler.frame_rays(c2w)
         if ndc_params is not None:
             h, w, f = ndc_params
@@ -218,10 +209,9 @@ def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
                                                 jnp.int32)
             key = jax.random.fold_in(jax.random.key(0),
                                      jnp.sum(bits).astype(jnp.uint32))
-        out = render_frame_nerf(pc, pf, ncfg, vcfg_t,
-                                rays_o, rays_d, key=key,
-                                query_coarse=qc, query_fine=qf,
-                                ncfg_fine=ncfg_fine)
+        render = render_frame_nerf_fused if fused else render_frame_nerf
+        out = render(pc, pf, ncfg, vcfg_t, rays_o, rays_d, key=key,
+                     ncfg_fine=ncfg_fine)
         return out["rgb"].reshape(sampler.H, sampler.W, 3)
 
     return jax.jit(frame)

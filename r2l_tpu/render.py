@@ -96,48 +96,21 @@ def _coarse_z(vcfg: VolRenderConfig, n_ray: int,
 
 
 def _query_nerf(params: dict, ncfg: NeRFConfig, vcfg: VolRenderConfig,
-                pts: Array, viewdirs: Array | None,
-                query_fn=None) -> Array:
-    """pts [n_ray, n_s, 3] (+viewdirs [n_ray, 3]) -> raw [n_ray, n_s, 4].
-
-    ``query_fn`` (an ``emb [n, ch] -> raw [n, 4]`` closure, e.g. the fused
-    Pallas kernel from ``make_fused_nerf_query``) replaces ``apply_nerf``
-    when given.
-    """
+                pts: Array, viewdirs: Array | None) -> Array:
+    """pts [n_ray, n_s, 3] (+viewdirs [n_ray, 3]) -> raw [n_ray, n_s, 4]."""
     emb = nerf_embed(pts, vcfg.multires)
     if vcfg.use_viewdirs:
         vemb = nerf_embed(viewdirs, vcfg.multires_views)
         vemb = jnp.broadcast_to(vemb[:, None, :],
                                 (*pts.shape[:2], vemb.shape[-1]))
         emb = jnp.concatenate([emb, vemb], axis=-1)
-    if query_fn is not None:
-        flat = emb.reshape(-1, emb.shape[-1])
-        return query_fn(flat).reshape(*pts.shape[:2], -1)
     return apply_nerf(params, ncfg, emb)
-
-
-def make_fused_nerf_query(params: dict, ncfg: NeRFConfig,
-                          tile: int = 2048):
-    """Build a fused-Pallas point-query closure for ``_query_nerf``.
-
-    Keeps the whole (bf16) weight stack + activation tile in VMEM — the
-    XLA schedule is HBM-bound on the [N, W] activations (SURVEY §3.4 hot
-    loop; measured 2.9 s -> target sub-second per 400^2 frame on v5e).
-    """
-    from .kernels.nerf_pallas import fused_nerf_query, prepare_fused_nerf
-    fp = prepare_fused_nerf(params, ncfg)
-
-    def query(emb: Array) -> Array:
-        return fused_nerf_query(fp, ncfg, emb, tile=tile)
-
-    return query
 
 
 def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
                      ncfg: NeRFConfig, vcfg: VolRenderConfig,
                      rays_o: Array, rays_d: Array,
                      key: jax.Array | None = None,
-                     query_coarse=None, query_fine=None,
                      ncfg_fine: NeRFConfig | None = None) -> VolOutputs:
     """Core volumetric pass over a flat ray batch [n_ray, 3]x2.
 
@@ -155,8 +128,7 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
 
     z_vals = _coarse_z(vcfg, n_ray, k_strat)
     pts = ray_points(rays_o, rays_d, z_vals)
-    raw = _query_nerf(params_coarse, ncfg, vcfg, pts, viewdirs,
-                      query_coarse)
+    raw = _query_nerf(params_coarse, ncfg, vcfg, pts, viewdirs)
     out_c = raw2outputs(raw, z_vals, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise)
 
@@ -174,11 +146,9 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
 
     pts_f = ray_points(rays_o, rays_d, z_all)
     pf = params_fine if params_fine is not None else params_coarse
-    qf = query_fine if params_fine is not None else (query_fine
-                                                     or query_coarse)
     nf = (ncfg_fine if (ncfg_fine is not None and params_fine is not None)
           else ncfg)
-    raw_f = _query_nerf(pf, nf, vcfg, pts_f, viewdirs, qf)
+    raw_f = _query_nerf(pf, nf, vcfg, pts_f, viewdirs)
     out_f = raw2outputs(raw_f, z_all, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise2)
 
@@ -199,8 +169,6 @@ def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
                       ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       rays_o: Array, rays_d: Array,
                       key: jax.Array | None = None,
-                      query_coarse=None,
-                      query_fine=None,
                       ncfg_fine: NeRFConfig | None = None) -> dict[str, Array]:
     """Chunked full-frame volumetric render over flat rays [N, 3]x2.
 
@@ -221,9 +189,81 @@ def render_frame_nerf(params_coarse: dict, params_fine: dict | None,
         o, d, k = args
         kk = k if key is not None else None
         out = render_rays_nerf(params_coarse, params_fine, ncfg, vcfg,
-                               o, d, kk, query_coarse=query_coarse,
-                               query_fine=query_fine, ncfg_fine=ncfg_fine)
+                               o, d, kk, ncfg_fine=ncfg_fine)
         return out.rgb_map, out.disp_map, out.acc_map, out.depth_map
+
+    rgb, disp, acc, depth = jax.lax.map(body, (ro, rd, keys))
+    return {
+        "rgb": rgb.reshape(-1, 3)[:n],
+        "disp": disp.reshape(-1)[:n],
+        "acc": acc.reshape(-1)[:n],
+        "depth": depth.reshape(-1)[:n],
+    }
+
+
+def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
+                            ncfg: NeRFConfig, vcfg: VolRenderConfig,
+                            rays_o: Array, rays_d: Array,
+                            key: jax.Array | None = None,
+                            ncfg_fine: NeRFConfig | None = None,
+                            tile: int = 2048) -> dict[str, Array]:
+    """Fully-fused volumetric frame render (TPU fast path, forward-only).
+
+    Same contract as ``render_frame_nerf`` but each pass (coarse, fine)
+    runs as ONE Pallas kernel per ray chunk — sampling, positional
+    encoding, MLP and compositing all in VMEM (see
+    kernels/nerf_render_pallas.py; measured 607 ms vs the XLA schedule\'s
+    691 ms per canonical 400^2 teacher frame on v5e, exp/probe10.jsonl).
+    Requires ``raw_noise_std == 0`` (the sigma-noise train regularizer
+    needs the XLA path); stratified z perturbation IS supported (z_vals
+    are built in XLA and passed in).
+    """
+    assert vcfg.raw_noise_std == 0.0, \
+        "fused render path is noise-free; use render_frame_nerf"
+    from .kernels.nerf_render_pallas import (fused_nerf_render,
+                                             prepare_fused_nerf)
+    from .volume import sample_pdf
+
+    fpc = prepare_fused_nerf(params_coarse, ncfg,
+                             weight_dtype=ncfg.compute_dtype)
+    nf_cfg = (ncfg_fine if (ncfg_fine is not None
+                            and params_fine is not None) else ncfg)
+    fpf = (prepare_fused_nerf(params_fine, nf_cfg,
+                              weight_dtype=nf_cfg.compute_dtype)
+           if params_fine else fpc)
+
+    chunk = min(vcfg.ray_chunk, max(rays_o.shape[0], 1))
+    ro, n = _pad_to_multiple(rays_o, chunk)
+    rd, _ = _pad_to_multiple(rays_d, chunk)
+    n_chunks = ro.shape[0] // chunk
+    ro = ro.reshape(n_chunks, chunk, 3)
+    rd = rd.reshape(n_chunks, chunk, 3)
+    keys = (jax.random.split(key, n_chunks) if key is not None
+            else jnp.zeros((n_chunks,)))
+
+    def body(args):
+        o, d, k = args
+        kk = k if key is not None else None
+        k_strat = k_pdf = None
+        if kk is not None:
+            k_strat, k_pdf = jax.random.split(kk)
+        z = _coarse_z(vcfg, chunk, k_strat)
+        rgb, acc, depth, w = fused_nerf_render(
+            fpc, ncfg, o, d, z, L_pts=vcfg.multires,
+            L_views=vcfg.multires_views, white_bkgd=vcfg.white_bkgd,
+            tile=min(tile, chunk))
+        if vcfg.n_fine > 0:
+            z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+            z_samp = sample_pdf(k_pdf, z_mid, w[:, 1:-1], vcfg.n_fine,
+                                det=(key is None or not vcfg.perturb))
+            z_all = jnp.sort(jnp.concatenate([z, z_samp], axis=-1),
+                             axis=-1)
+            rgb, acc, depth, _ = fused_nerf_render(
+                fpf, nf_cfg, o, d, z_all, L_pts=vcfg.multires,
+                L_views=vcfg.multires_views, white_bkgd=vcfg.white_bkgd,
+                tile=min(tile, chunk))
+        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        return rgb, disp, acc, depth
 
     rgb, disp, acc, depth = jax.lax.map(body, (ro, rd, keys))
     return {

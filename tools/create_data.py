@@ -64,7 +64,8 @@ def main() -> None:
                                near=ns.near, far=ns.far)
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       (ns.H, ns.W, ns.focal) if ns.ndc
-                                      else None)
+                                      else None,
+                                      use_pallas=args.use_pallas)
         res = render_path(frame_fn, ns.poses[ns.i_test],
                           gt_images=ns.images[ns.i_test],
                           compute_flip=False, logger=logger)
