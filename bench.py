@@ -42,7 +42,7 @@ H = W = 400
 FOCAL = 555.5555155968841  # lego: .5*800/tan(.5*camera_angle_x) at half_res
 K = 16                     # frames per timed jit
 EMBED_L = 10
-PALLAS_TILE = 512          # fastest e2e on v5e (exp/probe4.jsonl sweep)
+PALLAS_TILE = 800        # fastest e2e on v5e; divides 400x400 (no pad copy)
 
 
 def main() -> None:

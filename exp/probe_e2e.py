@@ -46,9 +46,10 @@ def main():
         [pose_spherical(t, -30.0, 4.0)[:3, :4]
          for t in np.linspace(-180, 180, K, endpoint=False)]))
 
-    for name, quant, tile in [("int8q_t512", "int8", 512),
-                              ("int8q_t640", "int8", 640),
-                              ("int8q_t1024", "int8", 1024)]:
+    for name, quant, tile in [("int8r_t640", "int8", 640),
+                              ("int8r_t800", "int8", 800),
+                              ("int8r_t1000", "int8", 1000),
+                              ("int8r_t512", "int8", 512)]:
         t0 = time.time()
         try:
             fn = make_r2l_bench_fn(params, cfg, sampler, embed_L=10,

@@ -204,7 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
              "full f32 (~300x slower than bf16 on v5e — avoid)")
     add('--use_pallas', type=_bool, nargs='?', const=True, default=True,
         help='use the fused Pallas inference kernel when rendering R2L')
-    add('--pallas_tile', type=int, default=512)
+    add('--pallas_tile', type=int, default=800)
     add('--poses_per_batch', type=int, default=8,
         help='frames per device dispatch in create_data (amortizes '
              'dispatch overhead; rays shard over the mesh data axis)')

@@ -178,8 +178,11 @@ def fused_r2l_apply_pe(fparams: FusedParams, cfg: R2LConfig, pts: Array,
     cd = (jnp.float32 if fparams.head_w.dtype == jnp.float32
           else cfg.compute_dtype)
 
-    pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
-    pp = pp.at[:n].set(pts.astype(jnp.float32))
+    if n_pad == n:
+        pp = pts.astype(jnp.float32)
+    else:
+        pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+        pp = pp.at[:n].set(pts.astype(jnp.float32))
 
     def kern(p_ref, head_w, head_b, body_w, body_b, tail_w, tail_b,
              out_ref):
@@ -467,8 +470,11 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
     nb, nl = cfg.num_blocks, cfg.n_learnable
     in_dim = dim_pts * (2 * L + 1)
 
-    pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
-    pp = pp.at[:n].set(pts.astype(jnp.float32))
+    if n_pad == n:
+        pp = pts.astype(jnp.float32)
+    else:
+        pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+        pp = pp.at[:n].set(pts.astype(jnp.float32))
 
     def q8(x_f32, inv):
         return jnp.clip(jnp.round(x_f32 * inv), -127.0,
