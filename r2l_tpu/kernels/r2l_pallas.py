@@ -450,6 +450,69 @@ def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
         tail_inv=(1.0 / s_tail).reshape(1, W))
 
 
+def _q8(x_f32, inv):
+    return jnp.clip(jnp.round(x_f32 * inv), -127.0, 127.0).astype(jnp.int8)
+
+
+def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
+                   body_b, body_inv, tail_q, tail_m, tail_b, tail_inv,
+                   o_ref, *, cfg: R2LConfig, dim_pts: int, L: int,
+                   in_dim: int, in_pad: int) -> None:
+    """Shared int8 PE + matmul chain: raw points p [T, dim_pts] (f32,
+    in-VMEM) -> o_ref (single source of truth for the int8 forward; the
+    pts-input and ray-gen kernels both wrap it)."""
+    q8 = _q8
+    nb, nl = cfg.num_blocks, cfg.n_learnable
+    # PE parts quantized per part (transients stay [tile, dim_pts]):
+    # the per-column input scales were absorbed into head_q, so each
+    # part quantizes with its own slice of head_inv.
+    sins, coss = _pe_sin_cos_ladder(p, L)
+    parts = []
+    for j in range(L):
+        inv = head_inv[:, pl.ds(j * dim_pts, dim_pts)]
+        parts.append(q8(sins[j], inv))
+    for j in range(L):
+        inv = head_inv[:, pl.ds((L + j) * dim_pts, dim_pts)]
+        parts.append(q8(coss[j], inv))
+    parts.append(q8(p, head_inv[:, pl.ds(2 * L * dim_pts, dim_pts)]))
+    pad = in_pad - in_dim
+    if pad:
+        parts.append(jnp.zeros((p.shape[0], pad), jnp.int8))
+    xq = jnp.concatenate(parts, axis=1)
+
+    acc = jnp.dot(xq, head_q[...], preferred_element_type=jnp.int32)
+    h0 = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
+                     + head_b[...], 0.0)
+    h = h0.astype(jnp.bfloat16)
+
+    for i in range(nb):
+        h_in = h
+        t = h
+        for j in range(nl):
+            idx = i * nl + j
+            inv = body_inv[pl.ds(idx, 1), :]
+            q = q8(t.astype(jnp.float32), inv)
+            acc = jnp.dot(q, body_q[idx],
+                          preferred_element_type=jnp.int32)
+            tf = (acc.astype(jnp.float32) * body_m[pl.ds(idx, 1), :]
+                  + body_b[pl.ds(idx, 1), :])
+            if j < nl - 1:
+                tf = jnp.maximum(tf, 0.0)
+            t = tf.astype(jnp.bfloat16)
+        # res_scale already folded into the block tail's m/b
+        h = (t.astype(jnp.float32)
+             + h_in.astype(jnp.float32)).astype(jnp.bfloat16)
+    hf = h.astype(jnp.float32)
+    if cfg.use_residual:
+        hf = hf + h0
+    q = q8(hf, tail_inv[...])
+    acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
+    if not cfg.linear_tail:
+        out = jax.nn.sigmoid(out)
+    o_ref[...] = out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
                                              "interpret"))
 def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
@@ -476,61 +539,12 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
         pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
         pp = pp.at[:n].set(pts.astype(jnp.float32))
 
-    def q8(x_f32, inv):
-        return jnp.clip(jnp.round(x_f32 * inv), -127.0,
-                        127.0).astype(jnp.int8)
-
     def kern(p_ref, head_q, head_m, head_b, head_inv, body_q, body_m,
              body_b, body_inv, tail_q, tail_m, tail_b, tail_inv, o_ref):
-        p = p_ref[...]
-        # PE parts quantized per part (transients stay [tile, dim_pts]):
-        # the per-column input scales were absorbed into head_q, so each
-        # part quantizes with its own slice of head_inv.
-        sins, coss = _pe_sin_cos_ladder(p, L)
-        parts = []
-        for j in range(L):
-            inv = head_inv[:, pl.ds(j * dim_pts, dim_pts)]
-            parts.append(q8(sins[j], inv))
-        for j in range(L):
-            inv = head_inv[:, pl.ds((L + j) * dim_pts, dim_pts)]
-            parts.append(q8(coss[j], inv))
-        parts.append(q8(p, head_inv[:, pl.ds(2 * L * dim_pts, dim_pts)]))
-        pad = in_pad - in_dim
-        if pad:
-            parts.append(jnp.zeros((p.shape[0], pad), jnp.int8))
-        xq = jnp.concatenate(parts, axis=1)
-
-        acc = jnp.dot(xq, head_q[...], preferred_element_type=jnp.int32)
-        h0 = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
-                         + head_b[...], 0.0)
-        h = h0.astype(jnp.bfloat16)
-
-        for i in range(nb):
-            h_in = h
-            t = h
-            for j in range(nl):
-                idx = i * nl + j
-                inv = body_inv[pl.ds(idx, 1), :]
-                q = q8(t.astype(jnp.float32), inv)
-                acc = jnp.dot(q, body_q[idx],
-                              preferred_element_type=jnp.int32)
-                tf = (acc.astype(jnp.float32) * body_m[pl.ds(idx, 1), :]
-                      + body_b[pl.ds(idx, 1), :])
-                if j < nl - 1:
-                    tf = jnp.maximum(tf, 0.0)
-                t = tf.astype(jnp.bfloat16)
-            # res_scale already folded into the block tail's m/b
-            h = (t.astype(jnp.float32)
-                 + h_in.astype(jnp.float32)).astype(jnp.bfloat16)
-        hf = h.astype(jnp.float32)
-        if cfg.use_residual:
-            hf = hf + h0
-        q = q8(hf, tail_inv[...])
-        acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
-        out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
-        if not cfg.linear_tail:
-            out = jax.nn.sigmoid(out)
-        o_ref[...] = out
+        _int8_pe_chain(p_ref[...], head_q, head_m, head_b, head_inv,
+                       body_q, body_m, body_b, body_inv, tail_q, tail_m,
+                       tail_b, tail_inv, o_ref, cfg=cfg, dim_pts=dim_pts,
+                       L=L, in_dim=in_dim, in_pad=in_pad)
 
     W = cfg.netwidth
     nbl = fp.body_q.shape[0]
