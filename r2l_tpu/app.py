@@ -274,7 +274,8 @@ def run_render_only(args, ns, logger) -> EvalResult:
         frame_fn = make_r2l_frame_fn(
             params, cfg, sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
-            pallas_tile=args.pallas_tile, quantize=args.quantize)
+            pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
     else:
         ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
         vcfg = vol_config(args, ns)
@@ -332,7 +333,8 @@ def run_benchmark(args, ns, logger) -> float:
                                  plucker=args.plucker,
                                  use_pallas=args.use_pallas,
                                  pallas_tile=args.pallas_tile,
-                                 quantize=args.quantize)
+                                 quantize=args.quantize,
+            calib_poses=ns.poses)
     K = 16
     poses = jnp.asarray(np.stack([np.asarray(p)[:3, :4]
                                   for p in ns.video_poses[:K]]))
@@ -398,6 +400,11 @@ def run_distill(args, ns, logger):
     # replicated (or width-sharded over 'model'); XLA inserts the psums.
     mesh_axes = parse_mesh_spec(args.mesh)
     batch_shd, mesh = None, None
+    if images_mode and mesh_axes:
+        logger.print("WARNING: --mesh is not supported in images data "
+                     "mode (one frame per step) — training on a single "
+                     "logical device; use --data_mode rays for "
+                     "data-parallel distillation.")
     if not images_mode and (mesh_axes or len(jax.devices()) > 1):
         from .parallel import (batch_sharding, make_mesh,
                                r2l_param_shardings, shard_pytree)
@@ -476,7 +483,8 @@ def run_distill(args, ns, logger):
         frame_fn = make_r2l_frame_fn(
             state.params, cfg, sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
-            pallas_tile=args.pallas_tile, quantize=args.quantize)
+            pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
         res = render_path(frame_fn, test_poses, gt_images=test_gt)
         logger.print(f"[test_pretrained] PSNR {res.test_psnr:.4f} "
                      f"PSNRv2 {res.test_psnr_v2:.4f} "
@@ -519,7 +527,8 @@ def run_distill(args, ns, logger):
             frame_fn = make_r2l_frame_fn(
                 state.params, cfg, sampler, embed_L=args.multires,
                 plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize)
+                pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
             res = render_path(frame_fn, test_poses[:1],
                               gt_images=test_gt[:1], compute_flip=False,
                               savedir=logger.gen_img_dir)
@@ -529,7 +538,8 @@ def run_distill(args, ns, logger):
             frame_fn = make_r2l_frame_fn(
                 state.params, cfg, sampler, embed_L=args.multires,
                 plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize)
+                pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
             res = render_path(frame_fn, test_poses, gt_images=test_gt)
             logger.print(
                 f"[eval] iter {i} PSNR {res.test_psnr:.4f} "
@@ -551,7 +561,8 @@ def run_distill(args, ns, logger):
             frame_fn = make_r2l_frame_fn(
                 state.params, cfg, sampler, embed_L=args.multires,
                 plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize)
+                pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
             vres = render_path(frame_fn, ns.video_poses)
             out = write_video(
                 os.path.join(logger.gen_img_dir,
@@ -668,6 +679,13 @@ def run_teacher_train(args, ns, logger):
                 logger.print("Shuffle data after an epoch!")
                 perm = shuffle_rng.permutation(ray_pool.shape[0])
                 ray_pool = jnp.asarray(np.asarray(ray_pool)[perm])
+                if mesh is not None:
+                    # keep the pool sharded over 'data' (device_put at
+                    # line ~625); a bare jnp.asarray would land it whole
+                    # on the default device from epoch 2 on
+                    from .parallel import batch_sharding
+                    ray_pool = jax.device_put(ray_pool,
+                                              batch_sharding(mesh))
                 i_batch = 0
         else:
             state, metrics = step_fn(state, images, poses, sub)

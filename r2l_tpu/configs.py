@@ -351,7 +351,7 @@ def normalize_args(args: argparse.Namespace) -> argparse.Namespace:
 _VESTIGIAL = {
     'use_bn': False, 'kernel_size': 1, 'padding': 0, 'split_layer': -1,
     'dropout_layer': '', 'dropout_ratio': 0.5, 'lw_kd': 0.001, 'D_head': 4,
-    'encode_input': False, 'render_iters': 1, 'lw_rgb1': 1,
+    'encode_input': False, 'lw_rgb1': 1,
     'video_poses_perturb': False, 'layerwise_netwidths2': '',
     'body_arch': 'conv',  # the non-trial CNN-body flag; R2L uses trial.*
 }

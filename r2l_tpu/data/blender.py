@@ -119,6 +119,11 @@ class ImageFrameDataset:
     and draws pseudo with probability n_pseudo/(n_real+n_pseudo)
     (reference `main.py:1240-1246`). Rebuild the dataset (i_update_data)
     to re-draw the subset / pick up new packs.
+
+    Pack formats: ``pseudo_images_XXXX.npy`` + ``pseudo_poses_XXXX.npy``
+    pairs are memory-mapped (frames load lazily); legacy
+    ``pseudo_images_*.npz`` packs are also read but decompress whole on
+    first frame access (npz members cannot be mmap'd).
     """
 
     def __init__(self, images: np.ndarray, poses: np.ndarray,
@@ -131,14 +136,26 @@ class ImageFrameDataset:
         self.p_poses: list[np.ndarray] = []
         self._index: list[tuple[int, int]] = []
         if datadir_kd and os.path.isdir(datadir_kd):
-            packs = sorted(f for f in os.listdir(datadir_kd)
-                           if f.startswith("pseudo_images")
-                           and f.endswith(".npz"))
-            for pi, name in enumerate(packs):
-                z = np.load(os.path.join(datadir_kd, name), mmap_mode="r")
-                self.p_imgs.append(z["images"])
-                self.p_poses.append(np.asarray(z["poses"], np.float32))
-                self._index += [(pi, j) for j in range(len(z["poses"]))]
+            names = sorted(os.listdir(datadir_kd))
+            pi = 0
+            for name in names:
+                if not name.startswith("pseudo_images"):
+                    continue
+                path = os.path.join(datadir_kd, name)
+                if name.endswith(".npy"):
+                    imgs = np.load(path, mmap_mode="r")
+                    poses_p = np.asarray(np.load(path.replace(
+                        "pseudo_images_", "pseudo_poses_")), np.float32)
+                elif name.endswith(".npz"):
+                    z = np.load(path)
+                    imgs = z["images"]      # eager (npz can't mmap)
+                    poses_p = np.asarray(z["poses"], np.float32)
+                else:
+                    continue
+                self.p_imgs.append(imgs)
+                self.p_poses.append(poses_p)
+                self._index += [(pi, j) for j in range(len(poses_p))]
+                pi += 1
         rng = np.random.default_rng(seed)
         n_real = len(self.real_images)
         if mode == "blender" and self._index and 0 <= pseudo_ratio < 1:

@@ -396,10 +396,14 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
                            _pose_key(gcfg.seed, len(imgs)))
         imgs.append(np.asarray(rgb).reshape(gcfg.H, gcfg.W, 3))
     existing = len([f for f in os.listdir(datadir)
-                    if f.startswith("pseudo_images")])
-    np.savez(os.path.join(datadir, f"pseudo_images_{existing:04d}.npz"),
-             images=np.stack(imgs).astype(np.float32),
-             poses=poses.astype(np.float32))
+                    if f.startswith("pseudo_images")
+                    and f.endswith(".npy")])
+    # plain .npy pairs so consumers can memory-map frames lazily (npz
+    # members decompress whole on access)
+    np.save(os.path.join(datadir, f"pseudo_images_{existing:04d}.npy"),
+            np.stack(imgs).astype(np.float32))
+    np.save(os.path.join(datadir, f"pseudo_poses_{existing:04d}.npy"),
+            poses.astype(np.float32))
     return len(imgs)
 
 

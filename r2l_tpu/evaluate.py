@@ -78,9 +78,16 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
 
 def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
                  embed_L: int, plucker: bool, use_pallas: bool,
-                 quantize: str):
+                 quantize: str, calib_poses=None):
     """Pick the fastest supported path and pack params for it.
-    Returns (prepared_params, kind, dim_pts)."""
+    Returns (prepared_params, kind, dim_pts).
+
+    ``calib_poses`` [M, 3/4, 4]: camera poses spanning the DEPLOYMENT
+    distribution, used to calibrate the int8 activation scales (the app
+    passes the scene's own poses). Without them the fallback assumes
+    blender-convention radius-4 spherical cameras — wrong for scenes
+    with other camera layouts, hence the warning.
+    """
     from .kernels.r2l_pallas import fused_kernel_supported
     if not fused_kernel_supported(cfg):
         # Non-canonical activations/arch: the fused kernels hardcode
@@ -90,20 +97,32 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
     dim_pts = 6 if plucker else cfg.input_dim // (2 * embed_L + 1)
     if quantize == "int8" and not plucker:
         # Static-scale int8 (v5e 394 TOPS MXU rate): calibrate per-layer
-        # per-channel activation ranges on sample_test rays from poses
-        # spanning the sphere (single-pose scales do not generalize — the
-        # identity-PE coordinate ranges rotate with the camera).
+        # per-channel activation ranges on sample_test rays from several
+        # poses (single-pose scales do not generalize — the identity-PE
+        # coordinate ranges rotate with the camera).
         from .kernels.r2l_pallas import calibrate_r2l_int8_pe
-        from .rays import pose_spherical
         sub = PointSampler(H=max(sampler.H // 8, 4),
                            W=max(sampler.W // 8, 4),
                            focal=sampler.focal / 8.0,
                            n_sample=sampler.n_sample,
                            near=sampler.near, far=sampler.far)
+        if calib_poses is not None and len(calib_poses) > 0:
+            arr = np.asarray(calib_poses)
+            pick = np.linspace(0, len(arr) - 1,
+                               min(len(arr), 8)).astype(int)
+            poses = [arr[i][:3, :4] for i in pick]
+        else:
+            import sys
+            from .rays import pose_spherical
+            print("WARNING: int8 calibration falling back to blender-"
+                  "convention radius-4 spherical cameras (no calib_poses "
+                  "given) — pass the scene's poses for other layouts.",
+                  file=sys.stderr)
+            poses = [pose_spherical(t, p, 4.0)[:3, :4]
+                     for t in (0.0, 90.0, 180.0, 270.0)
+                     for p in (-10.0, -70.0)]
         calib = jnp.concatenate([
-            sub.sample_test(jnp.asarray(np.asarray(
-                pose_spherical(t, p, 4.0)[:3, :4])))
-            for t in (0.0, 90.0, 180.0, 270.0) for p in (-10.0, -70.0)])
+            sub.sample_test(jnp.asarray(np.asarray(p))) for p in poses])
         prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
                                          calib_pts=calib)
         return prepared, "int8", dim_pts
@@ -125,10 +144,12 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       embed_L: int = 10, plucker: bool = False,
                       use_pallas: bool = True,
                       pallas_tile: int = 512,
-                      quantize: str = "") -> Callable[[Array], Array]:
+                      quantize: str = "",
+                      calib_poses=None) -> Callable[[Array], Array]:
     """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
     prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
-                                           plucker, use_pallas, quantize)
+                                           plucker, use_pallas, quantize,
+                                           calib_poses=calib_poses)
     jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
                             kind, dim_pts)
     return lambda c2w: jit_fn(prepared, c2w)
@@ -137,7 +158,8 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
 def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       embed_L: int = 10, plucker: bool = False,
                       use_pallas: bool = True, pallas_tile: int = 512,
-                      quantize: str = "") -> Callable[[Array], Array]:
+                      quantize: str = "",
+                      calib_poses=None) -> Callable[[Array], Array]:
     """Jitted poses [K, 3, 4] -> scalar checksum, rendering the K frames
     sequentially INSIDE one jit (``lax.map``).
 
@@ -149,7 +171,8 @@ def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     per-call sync timing is fine.
     """
     prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
-                                           plucker, use_pallas, quantize)
+                                           plucker, use_pallas, quantize,
+                                           calib_poses=calib_poses)
     frame = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
                            kind, dim_pts)
 

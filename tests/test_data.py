@@ -166,6 +166,7 @@ def test_spiral_pseudo_images(tmp_path, key):
                                str(tmp_path), n_pose=4)
     assert n == 4
     f = [x for x in os.listdir(tmp_path) if x.startswith("pseudo_images")][0]
-    z = np.load(tmp_path / f)
-    assert z["images"].shape == (4, 8, 8, 3)
-    assert z["poses"].shape == (4, 4, 4)
+    imgs = np.load(tmp_path / f, mmap_mode="r")  # mmap-able .npy pack
+    assert imgs.shape == (4, 8, 8, 3)
+    poses = np.load(tmp_path / f.replace("pseudo_images_", "pseudo_poses_"))
+    assert poses.shape[0] == 4
