@@ -281,3 +281,50 @@ def test_images_mode_rand_patch(tiny_scene, tmp_path):
         "--N_rand", "64", "--N_iters", "3", "--i_testset", "3",
         "--i_weights", "3",
         "--experiment_name", "dp", "--experiments_dir", exps]))
+
+
+def test_images_mode_llff_proportional_mixing(tmp_path):
+    """LLFF images mode draws pseudo frames with probability
+    n_pseudo/(n_real+n_pseudo) over ALL pseudo frames (reference
+    main.py:1240-1246), unlike blender's fixed-subset sizing."""
+    from r2l_tpu.data.blender import ImageFrameDataset
+    rng = np.random.default_rng(0)
+    real = rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (4, 1, 1))
+    kd = str(tmp_path / "kd")
+    os.makedirs(kd)
+    np.save(os.path.join(kd, "pseudo_images_0000.npy"),
+            rng.uniform(0, 1, (12, 8, 8, 3)).astype(np.float32))
+    np.save(os.path.join(kd, "pseudo_poses_0000.npy"),
+            np.tile(np.eye(4, dtype=np.float32)[None], (12, 1, 1)))
+    ds = ImageFrameDataset(real, poses, datadir_kd=kd, pseudo_ratio=0.5,
+                           mode="llff")
+    assert ds.n_real == 4 and ds.n_pseudo == 12  # ALL pseudo kept
+    draw = np.random.default_rng(1)
+    frac = np.mean([ds.sample(draw)[2] for _ in range(400)])
+    assert 0.6 < frac < 0.9  # ~12/16 = 0.75
+
+
+def test_images_mode_reload_picks_up_new_packs(tmp_path):
+    """i_update_data rebuild sees packs written after the first scan."""
+    from r2l_tpu.data.blender import ImageFrameDataset
+    rng = np.random.default_rng(0)
+    real = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    kd = str(tmp_path / "kd")
+    os.makedirs(kd)
+
+    def write_pack(i, n):
+        np.save(os.path.join(kd, f"pseudo_images_{i:04d}.npy"),
+                rng.uniform(0, 1, (n, 8, 8, 3)).astype(np.float32))
+        np.save(os.path.join(kd, f"pseudo_poses_{i:04d}.npy"),
+                np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1)))
+
+    write_pack(0, 3)
+    ds = ImageFrameDataset(real, poses, datadir_kd=kd, pseudo_ratio=-1,
+                           mode="llff")
+    n0 = ds.n_pseudo
+    write_pack(1, 5)
+    ds2 = ImageFrameDataset(real, poses, datadir_kd=kd, pseudo_ratio=-1,
+                            mode="llff")
+    assert ds2.n_pseudo == n0 + 5
