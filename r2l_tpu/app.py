@@ -717,11 +717,30 @@ def run_teacher_train(args, ns, logger):
                      "fine": state.params_fine},
                     meta={"global_step": i, "best_psnr": best_psnr})
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
+        if args.i_video > 0 and i % args.i_video == 0 and i < args.N_iters:
+            # Periodic novel-view video, as in the shared reference loop
+            # (`main.py:1472-1498`; the disparity video it also writes is
+            # NeRF-only there and is skipped here).
+            vres = render_path(_eval_frame_fn(), ns.video_poses)
+            out = write_video(
+                os.path.join(logger.gen_img_dir,
+                             f"video_{args.video_tag}_iter{i}.mp4"),
+                vres.frames)
+            logger.print(f"[video] iter {i} -> {out}")
         if i % args.i_weights == 0 or i == args.N_iters:
+            name = (f"teacher_{i:07d}.msgpack"
+                    if args.save_intermediate_models else "teacher.msgpack")
             ckpt.save_checkpoint(
-                os.path.join(logger.weights_dir, "teacher.msgpack"),
+                os.path.join(logger.weights_dir, name),
                 {"coarse": state.params_coarse, "fine": state.params_fine},
                 meta={"global_step": i})
+            if args.save_intermediate_models:
+                # keep the stable name current too (tools expect it)
+                ckpt.save_checkpoint(
+                    os.path.join(logger.weights_dir, "teacher.msgpack"),
+                    {"coarse": state.params_coarse,
+                     "fine": state.params_fine},
+                    meta={"global_step": i})
     return state, best_psnr
 
 

@@ -107,3 +107,45 @@ def test_use_batching_epoch_reshuffle(tmp_path, capsys):
         "--experiments_dir", str(tmp_path / "Exp")]))
     out = capsys.readouterr().out
     assert "Shuffle data after an epoch!" in out
+
+
+def test_teacher_i_video_and_intermediate_ckpts(tmp_path):
+    """Teacher training renders the periodic novel-view video and keeps
+    per-step checkpoints under --save_intermediate_models
+    (reference `main.py:1472-1510`)."""
+    import json as _json
+    import os
+    import numpy as np
+    import imageio.v2 as imageio
+    from r2l_tpu.app import train
+    from r2l_tpu.configs import parse_args
+
+    base = tmp_path / "scene"
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 2), ("val", 1), ("test", 1)):
+        os.makedirs(base / split, exist_ok=True)
+        frames = []
+        for k in range(n):
+            img = (rng.uniform(0, 255, (8, 8, 4))).astype(np.uint8)
+            imageio.imwrite(str(base / split / f"r_{k}.png"), img)
+            pose = np.eye(4); pose[2, 3] = 4.0
+            frames.append({"file_path": f"./{split}/r_{k}",
+                           "transform_matrix": pose.tolist()})
+        _json.dump({"camera_angle_x": 0.69, "frames": frames},
+                   open(base / f"transforms_{split}.json", "w"))
+    exps = str(tmp_path / "Exp")
+    train(parse_args([
+        "--model_name", "nerf", "--dataset_type", "blender",
+        "--datadir", str(base), "--white_bkgd", "--testskip", "1",
+        "--N_samples", "4", "--N_importance", "0", "--N_rand", "32",
+        "--N_iters", "4", "--i_print", "100", "--i_testset", "4",
+        "--i_weights", "2", "--i_img", "0", "--i_video", "2",
+        "--n_pose_video", "2", "--chunk", "256", "--no_batching",
+        "--save_intermediate_models",
+        "--experiment_name", "tv", "--experiments_dir", exps]))
+    files = []
+    for root, _, fs in os.walk(exps):
+        files += fs
+    assert "teacher_0000002.msgpack" in files
+    assert "teacher.msgpack" in files
+    assert any(f.startswith("video_") for f in files)
