@@ -33,31 +33,47 @@ def main():
                          hard_mul=20.0, embed_L=10)
     sampler = PointSampler(H=400, W=400, focal=555.555, n_sample=16,
                            near=2.0, far=6.0)
-    state, tx = init_train_state(jax.random.key(1), params, dcfg)
-    step = make_distill_step(cfg, dcfg, sampler, tx)
-    fresh = jax.random.uniform(jax.random.key(2),
-                               (dcfg.batch_size - dcfg.n_hard_out, 9))
-    fresh = jax.block_until_ready(fresh)
+    fresh0 = jax.random.uniform(jax.random.key(2),
+                                (dcfg.batch_size - dcfg.n_hard_out, 9))
+    fresh0 = jax.block_until_ready(fresh0)
 
-    t0 = time.time()
-    state, m = step(state, fresh, jax.random.key(3))
-    float(m["loss"])
-    compile_s = time.time() - t0
-
-    N = 50
-    t0 = time.perf_counter()
-    for i in range(N):
-        state, m = step(state, fresh, jax.random.key(10 + i))
-    float(m["loss"])  # single readback drains the pipeline
-    dt = (time.perf_counter() - t0) / N
-    rec = {"name": "distill_step_81920rays_hardmine_bf16",
-           "ms_per_step": round(dt * 1e3, 2),
-           "rays_per_sec": round(dcfg.batch_size / dt, 0),
-           "compile_s": round(compile_s, 1),
-           "device": str(jax.devices()[0].device_kind)}
-    print(json.dumps(rec), flush=True)
-    with open(OUT, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    import sys
+    variants = [("xla", dict()),
+                ("fused_gb4", dict(fused_vjp=True, fused_group_blocks=4)),
+                ("fused_gb6", dict(fused_vjp=True, fused_group_blocks=6)),
+                ("fused_gb8", dict(fused_vjp=True, fused_group_blocks=8))]
+    if len(sys.argv) > 1:
+        variants = [v for v in variants if v[0] in sys.argv[1:]]
+    for name, kw in variants:
+        params_i = jax.tree.map(jnp.array, params)
+        state, tx = init_train_state(jax.random.key(1), params_i, dcfg)
+        step = make_distill_step(cfg, dcfg, sampler, tx, **kw)
+        t0 = time.time()
+        try:
+            state, m = step(state, fresh0, jax.random.key(3))
+            float(m["loss"])
+        except Exception as e:  # noqa: BLE001
+            rec = {"name": name, "error": repr(e)[:300]}
+            print(json.dumps(rec), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            continue
+        compile_s = time.time() - t0
+        N = 50
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, m = step(state, fresh0, jax.random.key(10 + i))
+        float(m["loss"])  # single readback drains the pipeline
+        dt = (time.perf_counter() - t0) / N
+        rec = {"name": f"distill_step_{name}",
+               "ms_per_step": round(dt * 1e3, 2),
+               "rays_per_sec": round(dcfg.batch_size / dt, 0),
+               "compile_s": round(compile_s, 1),
+               "loss": float(m["loss"]),
+               "device": str(jax.devices()[0].device_kind)}
+        print(json.dumps(rec), flush=True)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

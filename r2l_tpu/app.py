@@ -470,7 +470,18 @@ def run_distill(args, ns, logger):
             precrop_frac=args.precrop_frac,
             select_pixel_mode=args.select_pixel_mode, ndc=ns.ndc)
     else:
-        step_fn = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh)
+        fused_vjp = bool(args.fused_train_vjp and mesh is None
+                         and not args.plucker
+                         and cfg.netwidth % 128 == 0
+                         and cfg.n_learnable == 2
+                         and cfg.body_arch == "resmlp")
+        if args.fused_train_vjp and not fused_vjp:
+            logger.print("WARNING: --fused_train_vjp requires a single "
+                         "device, non-Plücker rays, netwidth % 128 == 0 "
+                         "and the canonical 2-layer resmlp body — using "
+                         "the XLA step.")
+        step_fn = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh,
+                                    fused_vjp=fused_vjp)
 
     # Eval renderer rebuilt whenever params change materially (cheap jit
     # cache; params are donated so pass them explicitly).

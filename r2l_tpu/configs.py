@@ -231,6 +231,12 @@ def build_parser() -> argparse.ArgumentParser:
              'LPIPS metric during eval (weights are not bundled)')
     add('--profile_dir', type=str, default='',
         help='write jax.profiler traces here during training/render')
+    add('--fused_train_vjp', type=_bool, nargs='?', const=True,
+        default=False,
+        help='route distillation forward+backward through the Pallas '
+             'custom-VJP kernels (single device, canonical resmlp only; '
+             'measured 38 vs 34 ms/step on v5e — see PERF.md — expected '
+             'to win on v5p-class chips)')
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')

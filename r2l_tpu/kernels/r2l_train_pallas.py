@@ -1,0 +1,395 @@
+"""Fused R2L TRAINING forward/backward (custom VJP) in Pallas.
+
+MEASURED RESULT (v5e, canonical 81,920-ray step, exp/probe_train.jsonl):
+38.1 ms vs the XLA schedule's 34.1 ms — gradients are EXACT (f32 parity
+to 2e-7 vs jax.grad; identical losses step-for-step in bf16) but the
+backward hits the same ~50% bf16 matmul ceiling as everything else at
+K=N=256, and XLA's own schedule turned out better than the naive
+HBM-traffic estimate suggested. Kept as an OPT-IN
+(``--fused_train_vjp``): on v5p the MXU:HBM ratio roughly doubles
+(459 TF/s vs ~2.8 TB/s), which moves the XLA schedule into the
+HBM-bound regime this path avoids. Design:
+
+  * ``train_fwd``: the PE-fused bf16 forward (weights VMEM-resident),
+    which also DMAs a compact stash to HBM — per ResMLP block its input
+    h_i and its post-ReLU inner activation t_i, plus the head output
+    (2*nb + 1 rows of [B, W] bf16 ≈ 3.7 GB for the canonical step).
+  * ``train_bwd``: walks the blocks top-down in LAYER GROUPS; each group
+    is one Pallas call with grid over ray tiles — dW/db accumulate in a
+    REVISITED output block (init at tile 0), dh flows between groups as
+    a [B, W] array. Head/tail/PE edges run in XLA (cheap).
+
+``fused_r2l_train_apply`` wraps both in a ``jax.custom_vjp`` whose
+primal signature is (params, pts) -> rgb; pts are data (no grad).
+Gradients are numerically checked against ``jax.grad`` of ``apply_r2l``
+in tests/test_train_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.r2l import R2LConfig
+from .r2l_pallas import (_pe_row_permutation, _pe_sin_cos_ladder, _round_up,
+                         prepare_fused_params_pe)
+
+Array = jax.Array
+_LANE = 128
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
+                                             "interpret"))
+def train_fwd(fparams, cfg: R2LConfig, pts: Array, dim_pts: int,
+              L: int = 10, tile: int = 512,
+              interpret: bool | None = None):
+    """PE-fused bf16 forward with an HBM activation stash.
+
+    pts [N, dim_pts] -> (rgb [N, out_dim] f32, stash [2nb+1, N, W] bf16).
+    Stash rows: [h_0 (head out / block-0 input), h_1 .. h_{nb-1}
+    (block inputs), h_nb (body output, pre-global-residual)] at rows
+    0..nb, then t_i (block i's post-ReLU inner activation) at rows
+    nb+1+i. Requires the canonical n_learnable == 2 resmlp body.
+    """
+    assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pts.shape[0]
+    in_pad = fparams.head_w.shape[0]
+    out_pad = fparams.tail_w.shape[1]
+    nb = cfg.num_blocks
+    W = cfg.netwidth
+    n_pad = _round_up(max(n, 1), tile)
+    in_dim = dim_pts * (2 * L + 1)
+    cd = fparams.head_w.dtype   # compute dtype follows the packed weights
+
+    if n_pad == n:
+        pp = pts.astype(jnp.float32)
+    else:
+        pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+        pp = pp.at[:n].set(pts.astype(jnp.float32))
+
+    n_stash = 2 * nb + 1
+
+    NSLOT = 4  # stash DMA ring depth (immediate waits cost ~0.65 us each)
+
+    def kern(p_ref, head_w, head_b, body_w, body_b, tail_w, tail_b,
+             o_ref, stash_ref, bufs, sems):
+        i = pl.program_id(0)
+        p = p_ref[...]
+        sins, coss = _pe_sin_cos_ladder(p, L)
+        parts = [s.astype(cd) for s in sins]
+        parts += [c.astype(cd) for c in coss]
+        parts.append(p.astype(cd))
+        pad = in_pad - in_dim
+        if pad:
+            parts.append(jnp.zeros((p.shape[0], pad), cd))
+        x = jnp.concatenate(parts, axis=1)
+
+        def mm(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+        counter = [0]
+
+        def stash(row, val, _unused=None):
+            """Deferred-wait DMA ring: wait for the copy NSLOT stashes ago,
+            reuse its buffer, kick the new copy."""
+            c = counter[0]
+            slot = c % NSLOT
+            if c >= NSLOT:
+                pltpu.make_async_copy(bufs.at[slot], bufs.at[slot],
+                                      sems.at[slot]).wait()
+            bufs[slot] = val
+            pltpu.make_async_copy(
+                bufs.at[slot], stash_ref.at[row, pl.ds(i * tile, tile), :],
+                sems.at[slot]).start()
+            counter[0] = c + 1
+
+        def stash_drain():
+            c = counter[0]
+            for k in range(min(NSLOT, c)):
+                slot = (c - 1 - k) % NSLOT
+                pltpu.make_async_copy(bufs.at[slot], bufs.at[slot],
+                                      sems.at[slot]).wait()
+
+        h0 = jnp.maximum(mm(x, head_w[...]) + head_b[...], 0.0).astype(cd)
+        stash(0, h0, 0)
+        h = h0
+        for b in range(nb):
+            t1 = mm(h, body_w[2 * b]) + body_b[pl.ds(2 * b, 1), :]
+            t1r = jnp.maximum(t1, 0.0).astype(cd)
+            stash(nb + 1 + b, t1r, 1)
+            t2 = mm(t1r, body_w[2 * b + 1]) + body_b[pl.ds(2 * b + 1, 1), :]
+            h = (t2 * cfg.res_scale
+                 + h.astype(jnp.float32)).astype(cd)
+            stash(b + 1, h, 0)
+        hf = h.astype(jnp.float32)
+        if cfg.use_residual:
+            hf = hf + h0.astype(jnp.float32)
+        out = mm(hf.astype(cd), tail_w[...]) + tail_b[...]
+        if not cfg.linear_tail:
+            out = jax.nn.sigmoid(out)
+        o_ref[...] = out
+        stash_drain()
+
+    nbl = fparams.body_w.shape[0]
+    const = lambda i: (0, 0)  # noqa: E731
+    rgb, stash = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dim_pts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_stash, n_pad, W), cd),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, tile, W), cd),
+                        pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
+      fparams.tail_w, fparams.tail_b)
+    return rgb[:n, :cfg.output_dim], stash
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "b_start", "b_count",
+                                             "tile", "interpret"))
+def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
+              b_start: int, b_count: int, tile: int = 512,
+              interpret: bool | None = None):
+    """Backward through blocks [b_start, b_start+b_count) (descending
+    order inside), accumulating weight/bias grads across ray tiles in a
+    REVISITED output block.
+
+    body_w [2nb, W, W], stash from train_fwd, dh_in [N_pad, W] f32
+    (grad wrt block b_start+b_count-1's OUTPUT). Returns
+    (dh_out [N_pad, W] f32, dW [2*b_count, W, W] f32, db [2*b_count, W]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nb = cfg.num_blocks
+    W = cfg.netwidth
+    n_pad = dh_in.shape[0]
+    rs = cfg.res_scale
+    cd = body_w.dtype           # compute dtype follows the weights
+
+    # contraction helpers: rows-contracted (activation^T @ grad) and
+    # transposed-weight matmul, both as dot_general (no explicit
+    # transposes in VMEM)
+    def rowsT(a, b):     # [T, W]^T @ [T, W] -> [W, W]
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mm_wT(a, w):     # a @ w^T via contraction on w's last axis
+        return jax.lax.dot_general(a, w, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def kern(w_ref, dh_ref, *refs):
+        h_refs = refs[:b_count]            # block inputs, ascending
+        t_refs = refs[b_count:2 * b_count]  # inner activations, ascending
+        dh_out_ref, dw_ref, db_ref = refs[2 * b_count:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        dh = dh_ref[...]                                   # [T, W] f32
+        for k in range(b_count - 1, -1, -1):
+            li = 2 * k                    # local layer index (fc1 of blk)
+            h_in = h_refs[k][...]                          # [T, W] bf16
+            t1r = t_refs[k][...]                           # [T, W] bf16
+            dt2 = (dh * rs).astype(cd)
+            # fc2: t2 = t1r @ W2 + b2
+            dw_ref[li + 1] += rowsT(t1r, dt2)
+            db_ref[pl.ds(li + 1, 1), :] += jnp.sum(
+                dt2.astype(jnp.float32), axis=0, keepdims=True)
+            dt1r = mm_wT(dt2, w_ref[li + 1])               # [T, W] f32
+            # mask in f32: Mosaic rejects bf16 vector compares
+            mask = t1r.astype(jnp.float32) > 0.0
+            dt1 = jnp.where(mask, dt1r, 0.0).astype(cd)
+            # fc1: t1 = h_in @ W1 + b1
+            dw_ref[li] += rowsT(h_in, dt1)
+            db_ref[pl.ds(li, 1), :] += jnp.sum(
+                dt1.astype(jnp.float32), axis=0, keepdims=True)
+            # residual: h_out = t2*rs + h_in
+            dh = dh + mm_wT(dt1, w_ref[li])
+        dh_out_ref[...] = dh
+
+    const = lambda i: (0, 0)  # noqa: E731
+    w_slice = jax.lax.dynamic_slice_in_dim(body_w, 2 * b_start,
+                                           2 * b_count).astype(cd)
+    in_specs = [
+        pl.BlockSpec((2 * b_count, W, W), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, W), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [w_slice, dh_in]
+    for b in range(b_start, b_start + b_count):   # block inputs h_b
+        in_specs.append(pl.BlockSpec((tile, W), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(stash[b])
+    for b in range(b_start, b_start + b_count):   # inner t1r_b
+        in_specs.append(pl.BlockSpec((tile, W), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(stash[nb + 1 + b])
+
+    dh_out, dw, db = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((tile, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * b_count, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * b_count, W), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((2 * b_count, W, W), jnp.float32),
+            jax.ShapeDtypeStruct((2 * b_count, W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dh_out, dw, db
+
+
+def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
+                           tile: int = 512, group_blocks: int = 8,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool | None = None):
+    """Build ``apply(params, pts) -> rgb`` with a fused Pallas VJP.
+
+    The primal runs ``train_fwd`` (one fused pass + activation stash);
+    the cotangent walks the body top-down through ``bwd_group`` calls of
+    ``group_blocks`` blocks each, with the tail/head/PE edges in XLA.
+    ``pts`` are data: their cotangent is zero. Gradients match
+    ``jax.grad`` of ``apply_r2l`` (tests/test_train_pallas.py).
+    """
+    assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
+    assert cfg.act == "relu" and cfg.inact == "relu" and cfg.outact == "none"
+    # the stash DMA ring slices [1, tile, W] buffers: the lane dim must be
+    # tiling-aligned on real hardware (interpret mode does not care)
+    nb = cfg.num_blocks
+    W = cfg.netwidth
+    in_dim = dim_pts * (2 * L + 1)
+    in_pad = _round_up(in_dim, _LANE)
+    out_dim = cfg.output_dim
+    perm = _pe_row_permutation(dim_pts, L)
+    inv_perm = np.argsort(perm)
+    wd = compute_dtype
+
+    def _freq_major_embed(pts):
+        """The kernel's freq-major embedding, in XLA (head-grad edge)."""
+        p = pts.astype(jnp.float32)
+        sins, coss = _pe_sin_cos_ladder(p, L)
+        return jnp.concatenate(sins + coss + [p], axis=1)
+
+    @jax.custom_vjp
+    def apply_(params, pts):
+        fp = prepare_fused_params_pe(params, cfg, dim_pts, L,
+                                     weight_dtype=wd)
+        rgb, _ = train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
+                           interpret=interpret)
+        return rgb
+
+    def fwd(params, pts):
+        fp = prepare_fused_params_pe(params, cfg, dim_pts, L,
+                                     weight_dtype=wd)
+        rgb, stash = train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
+                               interpret=interpret)
+        return rgb, (params, pts, stash, rgb)
+
+    def bwd(res, d_rgb):
+        params, pts, stash, rgb = res
+        n = pts.shape[0]
+        n_pad = stash.shape[1]
+        cd = wd
+
+        body_w = params["body"]["w"].reshape(2 * nb, W, W).astype(cd)
+
+        # ---- tail edge (XLA) ----
+        hf = stash[nb].astype(jnp.float32)
+        if cfg.use_residual:
+            hf = hf + stash[0].astype(jnp.float32)
+        d_out = d_rgb.astype(jnp.float32)
+        if not cfg.linear_tail:
+            d_out = d_out * rgb * (1.0 - rgb)   # sigmoid'
+        d_out_pad = jnp.zeros((n_pad, out_dim), jnp.float32)
+        d_out_pad = d_out_pad.at[:n].set(d_out)
+        hf_b = hf.astype(cd)
+        d_tw = jax.lax.dot_general(
+            hf_b, d_out_pad.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [W, out_dim]
+        d_tb = jnp.sum(d_out_pad, axis=0)
+        dh = jax.lax.dot_general(
+            d_out_pad.astype(cd),
+            params["tail"]["w"].astype(cd),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [n_pad, W]
+        dh0_extra = dh if cfg.use_residual else None
+
+        # ---- body groups (fused Pallas), top-down ----
+        dws, dbs = [None] * nb, [None] * nb
+        b = nb
+        while b > 0:
+            cnt = min(group_blocks, b)
+            b -= cnt
+            dh, dw_g, db_g = bwd_group(body_w, stash, dh, cfg, b, cnt,
+                                       tile=tile, interpret=interpret)
+            for k in range(cnt):
+                dws[b + k] = dw_g[2 * k:2 * k + 2]
+                dbs[b + k] = db_g[2 * k:2 * k + 2]
+        d_body_w = jnp.stack(dws).reshape(nb, 2, W, W)
+        d_body_b = jnp.stack(dbs).reshape(nb, 2, W)
+
+        # ---- head + PE edge (XLA) ----
+        if dh0_extra is not None:
+            dh = dh + dh0_extra
+        d_pre = jnp.where(stash[0] > 0, dh, 0.0)         # relu'
+        pp = jnp.zeros((n_pad, dim_pts), jnp.float32).at[:n].set(
+            pts.astype(jnp.float32))
+        x_fm = _freq_major_embed(pp).astype(cd)          # [n_pad, in_dim]
+        d_hw_fm = jax.lax.dot_general(
+            x_fm, d_pre.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [in_dim, W]
+        d_hw = d_hw_fm[jnp.asarray(inv_perm)]            # pytree row order
+        d_hb = jnp.sum(d_pre, axis=0)
+
+        def like(g, p):
+            return g.astype(p.dtype)
+
+        d_params = {
+            "head": {"w": like(d_hw, params["head"]["w"]),
+                     "b": like(d_hb, params["head"]["b"])},
+            "body": {"w": like(d_body_w, params["body"]["w"]),
+                     "b": like(d_body_b, params["body"]["b"])},
+            "tail": {"w": like(d_tw[:, :out_dim], params["tail"]["w"]),
+                     "b": like(d_tb[:out_dim], params["tail"]["b"])},
+        }
+        return d_params, jnp.zeros_like(pts)
+
+    apply_.defvjp(fwd, bwd)
+    return apply_

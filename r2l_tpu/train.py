@@ -98,7 +98,7 @@ def init_train_state(key: jax.Array, params: Any, dcfg: DistillConfig,
 
 def _r2l_inputs(batch: Array, sampler: PointSampler, dcfg: DistillConfig,
                 key: jax.Array | None):
-    """Split records into (model_input, rgb_target, depth_target)."""
+    """Split records into (sample points, rgb_target, depth_target)."""
     rays_o, rays_d = batch[:, 0:3], batch[:, 3:6]
     rgb = batch[:, 6:9]
     depth = batch[:, 9:] if (dcfg.learn_depth and batch.shape[1] > 9) else None
@@ -107,14 +107,19 @@ def _r2l_inputs(batch: Array, sampler: PointSampler, dcfg: DistillConfig,
     else:
         pts = sampler.sample_train(rays_o, rays_d,
                                    key if dcfg.perturb else None)
-    return r2l_embed(pts, dcfg.embed_L), rgb, depth
+    return pts, rgb, depth
 
 
 def distill_loss_fn(params: Any, cfg: R2LConfig, dcfg: DistillConfig,
                     sampler: PointSampler, batch: Array,
-                    key: jax.Array | None):
-    x, rgb_t, depth_t = _r2l_inputs(batch, sampler, dcfg, key)
-    pred = apply_r2l(params, cfg, x)
+                    key: jax.Array | None, fused_apply=None):
+    pts, rgb_t, depth_t = _r2l_inputs(batch, sampler, dcfg, key)
+    if fused_apply is not None:
+        # Fused Pallas forward + custom-VJP backward (single-device;
+        # kernels/r2l_train_pallas.py) — PE happens in-kernel.
+        pred = fused_apply(params, pts)
+    else:
+        pred = apply_r2l(params, cfg, r2l_embed(pts, dcfg.embed_L))
     # RGB term uses the first 3 channels only — learn_depth models emit
     # [rgb, depth] (reference slices rgb[:, :3], `main.py:1377`).
     per_ray = jnp.mean((pred[..., :3] - rgb_t) ** 2, axis=-1)  # [B]
@@ -129,7 +134,7 @@ def distill_loss_fn(params: Any, cfg: R2LConfig, dcfg: DistillConfig,
 def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
                   cfg: R2LConfig, dcfg: DistillConfig,
                   sampler: PointSampler, tx: optax.GradientTransformation,
-                  n_fresh: int, mesh=None):
+                  n_fresh: int, mesh=None, fused_apply=None):
     """Shared inner distill step: hard-pool augment -> grad -> update ->
     pool refresh. ``fresh`` are host-fed records [n_fresh, record_dim].
 
@@ -162,7 +167,8 @@ def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
 
     (loss, per_ray), grads = jax.value_and_grad(
         distill_loss_fn, has_aux=True)(
-            state.params, cfg, dcfg, sampler, batch, k_perturb)
+            state.params, cfg, dcfg, sampler, batch, k_perturb,
+            fused_apply)
 
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -187,18 +193,36 @@ def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
 
 def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       sampler: PointSampler,
-                      tx: optax.GradientTransformation, mesh=None):
+                      tx: optax.GradientTransformation, mesh=None,
+                      fused_vjp: bool = False, fused_tile: int = 512,
+                      fused_group_blocks: int = 4):
     """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
                (state, metrics dict). State buffers are donated; with a
     ``mesh`` the batch/pool/param layouts are pinned (see _distill_core).
+
+    ``fused_vjp=True`` routes forward+backward through the Pallas
+    custom-VJP kernels (single device, canonical resmlp only) — the XLA
+    schedule round-trips the [B, W] activations through HBM between all
+    layers in both directions (PERF.md: HBM-bound at 44% MFU).
     """
+    fused_apply = None
+    if fused_vjp:
+        assert mesh is None, "fused_vjp is single-device (no GSPMD "\
+            "partitioning of pallas_call)"
+        from .kernels.r2l_train_pallas import make_fused_train_apply
+        dim_pts = 6 if dcfg.plucker else cfg.input_dim // (2 * dcfg.embed_L + 1)
+        assert not dcfg.plucker
+        fused_apply = make_fused_train_apply(
+            cfg, dim_pts, dcfg.embed_L, tile=fused_tile,
+            group_blocks=fused_group_blocks,
+            compute_dtype=cfg.compute_dtype)
 
     def step(state: TrainState, fresh: Array, key: jax.Array):
         return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,
                              n_fresh=dcfg.batch_size - dcfg.n_hard_out,
-                             mesh=mesh)
+                             mesh=mesh, fused_apply=fused_apply)
 
     return jax.jit(step, donate_argnums=(0,))
 

@@ -1,0 +1,120 @@
+"""Fused training VJP vs jax.grad of apply_r2l (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from r2l_tpu.encoding import r2l_embed
+from r2l_tpu.kernels.r2l_train_pallas import (bwd_group,
+                                              make_fused_train_apply,
+                                              train_fwd)
+from r2l_tpu.kernels.r2l_pallas import prepare_fused_params_pe
+from r2l_tpu.models import R2LConfig, apply_r2l, init_r2l
+
+CFG = R2LConfig(input_dim=6 * 9, netdepth=8, netwidth=32,
+                use_residual=True, body_arch="resmlp",
+                compute_dtype=jnp.bfloat16, precision="default")
+DIM, L, N, TILE = 6, 4, 64, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_r2l(jax.random.key(0), CFG)
+    pts = jax.random.uniform(jax.random.key(1), (N, DIM), minval=-2.0,
+                             maxval=2.0)
+    return params, pts
+
+
+def test_train_fwd_matches_apply(setup):
+    params, pts = setup
+    fp = prepare_fused_params_pe(params, CFG, DIM, L,
+                                 weight_dtype=jnp.bfloat16)
+    rgb, stash = train_fwd(fp, CFG, pts, DIM, L, tile=TILE, interpret=True)
+    want = apply_r2l(params, CFG, r2l_embed(pts, L))
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert stash.shape == (2 * CFG.num_blocks + 1, N, CFG.netwidth)
+    assert np.isfinite(np.asarray(stash, np.float32)).all()
+
+
+def test_fused_vjp_grads_exact_in_f32(setup):
+    """In f32 the fused VJP reproduces jax.grad to float precision —
+    the backward math is exact, not approximate."""
+    import dataclasses
+    params, pts = setup
+    cfg32 = dataclasses.replace(CFG, compute_dtype=jnp.float32,
+                                precision="highest")
+    tgt = jax.random.uniform(jax.random.key(2), (N, 3))
+    fused_apply = make_fused_train_apply(cfg32, DIM, L, tile=TILE,
+                                         group_blocks=2,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True)
+    gf = jax.grad(lambda p: jnp.mean((fused_apply(p, pts) - tgt) ** 2))(
+        params)
+    gr = jax.grad(lambda p: jnp.mean(
+        (apply_r2l(p, cfg32, r2l_embed(pts, L)) - tgt) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9) < 1e-5
+
+
+def test_fused_vjp_grads_match_autodiff(setup):
+    params, pts = setup
+    tgt = jax.random.uniform(jax.random.key(2), (N, 3))
+    fused_apply = make_fused_train_apply(CFG, DIM, L, tile=TILE,
+                                         group_blocks=2, interpret=True)
+
+    def loss_fused(p):
+        return jnp.mean((fused_apply(p, pts) - tgt) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((apply_r2l(p, CFG, r2l_embed(pts, L)) - tgt) ** 2)
+
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-2)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gf),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gr),
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16 ReLU-boundary masks can flip on a handful of elements
+        # between two bf16 evaluations (different accumulation order);
+        # require norm-level agreement + near-total elementwise match
+        # bf16-vs-bf16: both sides round differently near ReLU
+        # boundaries; exactness is proven by the f32 test above
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+        assert rel < 5e-2, (str(ka), rel)
+        scale = max(np.abs(b).max(), 1e-6)
+        frac_bad = np.mean(np.abs(a - b) / scale > 5e-2)
+        assert frac_bad < 2e-3, (str(ka), frac_bad)
+
+
+def test_distill_step_with_fused_vjp_matches_xla(setup):
+    """make_distill_step(fused_vjp=True) trains like the XLA step."""
+    from r2l_tpu.sampler import PointSampler
+    from r2l_tpu.train import (DistillConfig, init_train_state,
+                               make_distill_step)
+    params, _ = setup
+    dcfg = DistillConfig(batch_size=64, n_hard_in=8, n_hard_out=16,
+                         hard_mul=2.0, embed_L=L, perturb=True)
+    sampler = PointSampler(H=8, W=8, focal=8.0, n_sample=2,
+                           near=2.0, far=6.0)
+    fresh = jax.random.uniform(jax.random.key(3), (48, 9))
+
+    losses = {}
+    for fused in (False, True):
+        # fresh buffers each round: the step donates its state
+        p = jax.tree.map(jnp.array, params)
+        state, tx = init_train_state(jax.random.key(4), p, dcfg)
+        step = make_distill_step(CFG, dcfg, sampler, tx, fused_vjp=fused,
+                                 fused_tile=32, fused_group_blocks=2)
+        ls = []
+        for i in range(4):
+            state, m = step(state, fresh, jax.random.key(10 + i))
+            ls.append(float(m["loss"]))
+        losses[fused] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)
+    assert losses[True][-1] < losses[True][0]  # it learns
