@@ -95,6 +95,12 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
         use_pallas = False
         quantize = ""
     dim_pts = 6 if plucker else cfg.input_dim // (2 * embed_L + 1)
+    if quantize == "int8" and plucker:
+        import sys
+        print("WARNING: --quantize int8 is not implemented for Plücker "
+              "inputs (the static-scale calibration assumes the sampled-"
+              "points PE layout) — falling back to the bf16 PE-fused "
+              "kernel.", file=sys.stderr)
     if quantize == "int8" and not plucker:
         # Static-scale int8 (v5e 394 TOPS MXU rate): calibrate per-layer
         # per-channel activation ranges on sample_test rays from several

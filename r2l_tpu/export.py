@@ -27,10 +27,20 @@ def export_r2l(params: dict, cfg: R2LConfig, out_dir: str,
 
     The batch axis is exported symbolically, matching the reference's
     dynamic-batch ONNX axis (`main.py:1111-1115`).
+
+    The artifact is always the FULL-PRECISION forward (params are stored
+    f32; ``compute_dtype`` only selects the on-TPU activation dtype):
+    the reference likewise exports its f32 torch model, and the
+    rtol=1e-3/atol=1e-5 parity check below is meaningless for a bf16
+    graph, whose two compilations legitimately differ by ~bf16 eps.
     """
+    import dataclasses
+
     from jax import export as jexport
 
     os.makedirs(out_dir, exist_ok=True)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32,
+                              precision="highest")
 
     def forward(x):
         return apply_r2l(params, cfg, x)
@@ -50,8 +60,14 @@ def export_r2l(params: dict, cfg: R2LConfig, out_dir: str,
 
 def check_export(path: str, params: dict, cfg: R2LConfig,
                  sample_batch: int = 4096) -> None:
-    """Reload the artifact and assert parity (reference ``check_onnx``)."""
+    """Reload the artifact and assert parity (reference ``check_onnx``).
+    Compares against the f32 forward — the graph ``export_r2l`` writes."""
+    import dataclasses
+
     from jax import export as jexport
+
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32,
+                              precision="highest")
 
     with open(path, "rb") as f:
         restored = jexport.deserialize(f.read())

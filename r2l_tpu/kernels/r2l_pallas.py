@@ -362,6 +362,8 @@ def _quant_cols_scaled(w: Array, s_in: Array) -> tuple[Array, Array]:
     return q, ws.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L",
+                                             "margin"))
 def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
                           L: int, calib_pts: Array,
                           margin: float = 1.1) -> FusedParamsInt8PE:
@@ -371,6 +373,9 @@ def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
     ``calib_pts`` [n, dim_pts] should come from the deployment distribution
     (e.g. ``PointSampler.sample_test`` on a few poses). Scales use the
     observed max-abs x ``margin``; the kernel clips outliers to ±127.
+
+    Jitted (cfg/dims static): eagerly this is ~500 dispatches — at the
+    ~30 ms tunnel RTT that made every in-training eval rebuild pay ~15 s.
     """
     _assert_fused_supported(cfg)
     W, nb, nl = cfg.netwidth, cfg.num_blocks, cfg.n_learnable

@@ -159,6 +159,24 @@ class Logger:
         else:
             root, self.expid = os.path.join(
                 experiments_dir, f"{self.name}-{ts}"), ts
+            if not main_process:
+                # Non-main ranks must nest under the MAIN process's run
+                # root (reference `logger.py:240-241`), not a sibling dir
+                # from their own clock second — wait briefly for the main
+                # rank to create the newest matching experiment dir.
+                import re
+                import time as _time
+                pat = re.compile(re.escape(self.name) + r"-\d{8}-\d{6}$")
+                for _ in range(50):           # up to ~10 s
+                    cands = sorted(
+                        p for p in glob.glob(
+                            os.path.join(experiments_dir, f"{self.name}-*"))
+                        if pat.search(os.path.basename(p)))
+                    if cands:
+                        root = cands[-1]
+                        self.expid = os.path.basename(root).split("-", 1)[-1]
+                        break
+                    _time.sleep(0.2)
         self.exp_dir = root
         self.weights_dir = os.path.join(root, "weights")
         self.gen_img_dir = os.path.join(root, "gen_img")

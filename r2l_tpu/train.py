@@ -80,6 +80,39 @@ class DistillConfig:
     learn_depth: bool = False        # records carry a depth column
 
 
+def _patch_dims(H: int, W: int, n: int) -> tuple[int, int]:
+    """Aspect-matched patch dimensions covering >= n pixels.
+
+    The reference's rand_patch (`helpers:385-405`) sizes the patch as
+    [H*k, W*k] with k = sqrt(n/(H*W)), yielding <= n pixels and a
+    dynamic batch size; jit needs static shapes, so we ceil the width
+    and take exactly the first n row-major pixels of the patch.
+    """
+    import math
+    assert n <= H * W, f"N_rand {n} exceeds image pixels {H * W}"
+    k = math.sqrt(n / (H * W))
+    ph = max(1, min(H, int(H * k)))
+    pw = max(1, min(W, math.ceil(n / ph)))
+    if ph * pw < n:                     # pw hit W: grow the height
+        ph = min(H, math.ceil(n / pw))
+    return ph, pw
+
+
+def _patch_coords(k_coord, hs, ws, hn, wn, H: int, W: int, n: int,
+                  ph: int, pw: int):
+    """Random patch origin inside the (precrop) box + the first n
+    row-major pixel coordinates of the ph x pw patch."""
+    u = jax.random.uniform(k_coord, (2,))
+    h0 = (hs + (u[0] * jnp.maximum(hn - ph, 1))
+          .astype(jnp.int32)).clip(0, H - ph)
+    w0 = (ws + (u[1] * jnp.maximum(wn - pw, 1))
+          .astype(jnp.int32)).clip(0, W - pw)
+    flat = jnp.arange(n, dtype=jnp.int32)
+    hh = (h0 + flat // pw).clip(0, H - 1)
+    ww = (w0 + flat % pw).clip(0, W - 1)
+    return hh, ww
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -260,17 +293,9 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
         hn = jnp.where(use_crop, 2 * dH, H)
         wn = jnp.where(use_crop, 2 * dW, W)
         if select_pixel_mode == "rand_patch":
-            side = int(n_fresh ** 0.5)
-            assert side * side == n_fresh, \
-                "rand_patch requires a square fresh-batch size"
-            u = jax.random.uniform(k_coord, (2,))
-            h0 = (hs + (u[0] * jnp.maximum(hn - side, 1))
-                  .astype(jnp.int32)).clip(0, H - side)
-            w0 = (ws + (u[1] * jnp.maximum(wn - side, 1))
-                  .astype(jnp.int32)).clip(0, W - side)
-            dh = jnp.arange(side, dtype=jnp.int32)
-            hh = (h0 + jnp.repeat(dh, side)).clip(0, H - 1)
-            ww = (w0 + jnp.tile(dh, side)).clip(0, W - 1)
+            ph, pw = _patch_dims(H, W, n_fresh)
+            hh, ww = _patch_coords(k_coord, hs, ws, hn, wn, H, W,
+                                   n_fresh, ph, pw)
         else:
             u = jax.random.uniform(k_coord, (n_fresh, 2))
             hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)
@@ -406,18 +431,11 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         hn = jnp.where(use_crop, 2 * fH, H)
         wn = jnp.where(use_crop, 2 * fW, W)
         if tcfg.select_pixel_mode == "rand_patch":
-            # One contiguous sqrt(n_rand)^2 patch at a random origin.
-            side = int(tcfg.n_rand ** 0.5)
-            assert side * side == tcfg.n_rand, \
-                "rand_patch requires a square N_rand"
-            u = jax.random.uniform(k_coord, (2,))
-            h0 = (hs + (u[0] * jnp.maximum(hn - side, 1))
-                  .astype(jnp.int32)).clip(0, H - side)
-            w0 = (ws + (u[1] * jnp.maximum(wn - side, 1))
-                  .astype(jnp.int32)).clip(0, W - side)
-            dh = jnp.arange(side, dtype=jnp.int32)
-            hh = (h0 + jnp.repeat(dh, side)).clip(0, H - 1)
-            ww = (w0 + jnp.tile(dh, side)).clip(0, W - 1)
+            # One contiguous aspect-matched patch at a random origin
+            # (reference get_selected_coords, `helpers:394-405`).
+            ph, pw = _patch_dims(H, W, tcfg.n_rand)
+            hh, ww = _patch_coords(k_coord, hs, ws, hn, wn, H, W,
+                                   tcfg.n_rand, ph, pw)
         else:
             u = jax.random.uniform(k_coord, (tcfg.n_rand, 2))
             hh = (hs + (u[:, 0] * hn).astype(jnp.int32)).clip(0, H - 1)

@@ -26,6 +26,35 @@ def test_teacher_rand_patch_mode(key, rng):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_teacher_rand_patch_nonsquare_n_rand(key, rng):
+    """The reference's rand_patch sizes an aspect-matched patch for ANY
+    N_rand (`helpers:394-405`) — a non-perfect-square n_rand must work."""
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=0, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=20, select_pixel_mode="rand_patch")
+    state, tx = init_teacher_state(pc, {}, tcfg)
+    step = make_teacher_step(ncfg, vcfg, tcfg, tx, H=8, W=6, focal=10.0)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 8, 6, 3)).astype(np.float32))
+    poses = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2))
+    state, m = step(state, images, poses, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_patch_dims_cover_and_aspect():
+    from r2l_tpu.train import _patch_dims
+    for (H, W, n) in [(8, 8, 16), (8, 6, 20), (400, 400, 820),
+                      (100, 75, 1024), (16, 16, 256), (4, 4, 16),
+                      (33, 97, 7)]:
+        ph, pw = _patch_dims(H, W, n)
+        assert 1 <= ph <= H and 1 <= pw <= W
+        assert ph * pw >= n
+    # perfect square on a square image keeps the reference's side x side
+    assert _patch_dims(16, 16, 16) == (4, 4)
+
+
 def test_sample_train_patches(key):
     s = PointSampler(H=8, W=8, focal=10.0, n_sample=4, near=2.0, far=6.0)
     ro = jnp.zeros((2, 4, 4, 3))
