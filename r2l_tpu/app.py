@@ -759,7 +759,27 @@ def run_teacher_train(args, ns, logger):
 # Entry
 # ---------------------------------------------------------------------------
 
+def apply_platform(args) -> None:
+    """Apply --platform/--num_cpu_devices before the backend initializes.
+
+    The TPU plugin overrides the JAX_PLATFORMS env var, so forcing CPU
+    must go through jax.config (the same mechanism tests/conftest.py
+    uses). Must run before any jax op touches a device.
+    """
+    if getattr(args, "platform", "auto") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        if getattr(args, "num_cpu_devices", 0) > 1:
+            jax.config.update("jax_num_cpu_devices",
+                              int(args.num_cpu_devices))
+    elif getattr(args, "platform", "auto") == "tpu":
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                f"--platform tpu: default backend is "
+                f"{jax.default_backend()!r}, no TPU available")
+
+
 def train(args) -> None:
+    apply_platform(args)
     try:  # persistent compile cache (30-90 s/compile via remote helper)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_comp_cache"))

@@ -240,6 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')
+    add('--platform', type=str, default='auto',
+        choices=['auto', 'cpu', 'tpu'],
+        help="force the JAX backend: 'cpu' runs the whole CLI on host "
+             "(debugging / CI; Pallas kernels switch to interpret mode), "
+             "'tpu' asserts a TPU is present, 'auto' uses the default")
+    add('--num_cpu_devices', type=int, default=0,
+        help='with --platform cpu: create N virtual host devices (test '
+             'meshes without TPU hardware, like tests/conftest.py)')
     return p
 
 

@@ -44,9 +44,13 @@ class DataGenConfig:
     #                                 the ~30 ms tunnel RTT per call)
     use_pallas: bool = True         # fully-fused volumetric Pallas pass
     #                                 (sampling+PE+MLP+compositing in
-    #                                 VMEM; 607 vs 691 ms/frame on v5e —
+    #                                 VMEM; 606 vs 867 ms/frame on v5e,
+    #                                 exp/probe_teacher_int8.jsonl —
     #                                 auto-falls back when
     #                                 raw_noise_std > 0)
+    quantize: str = ""              # 'int8': static-scale int8 teacher
+    #                                 (calibrated on scene-pose samples;
+    #                                 TPU fused path only)
 
 
 def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
@@ -79,13 +83,53 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         batch_shd = batch_sharding(mesh)
 
     # Fully-fused volumetric Pallas pass on TPU (sampling + PE + MLP +
-    # compositing in VMEM; 607 vs 691 ms per canonical frame,
-    # exp/probe10.jsonl). Requires a zero sigma-noise regularizer —
+    # compositing in VMEM; 606 vs 867 ms per canonical frame,
+    # exp/probe_teacher_int8.jsonl). Requires a zero sigma-noise regularizer —
     # blender datagen always qualifies; LLFF configs with
     # raw_noise_std=1.0 fall back to the XLA schedule for parity.
     use_fused = (gcfg.use_pallas and jax.default_backend() == "tpu"
                  and mesh is None and vcfg.raw_noise_std == 0.0
                  and vcfg.multires > 0)
+
+    # Static-scale int8 teacher (the R2L int8 recipe applied to the fused
+    # volumetric kernel): calibrate per-(layer, channel) activation scales
+    # on sample points drawn from THIS run's pose distribution (incl. the
+    # rand-focal range and the NDC warp).
+    int8_calib = None
+    if gcfg.quantize == "int8" and not use_fused:
+        import warnings
+        warnings.warn(
+            "--quantize int8 requested for datagen but the fused TPU path "
+            "is unavailable (CPU backend, mesh sharding, or "
+            "raw_noise_std > 0) — generating with the full-precision "
+            "teacher instead", stacklevel=2)
+    if use_fused and gcfg.quantize == "int8":
+        crng = np.random.default_rng(gcfg.seed + 7)
+        c_pts, c_vds = [], []
+        for _ in range(8):
+            c2w = (pose_fn(crng) if pose_fn is not None
+                   else get_rand_pose(crng, radius=radius))
+            focal = gcfg.focal
+            if gcfg.use_rand_focal:
+                focal = gcfg.focal * crng.uniform(1.0, 2.0)
+            ro_c, rd_c = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
+            if ndc:
+                from .rays import ndc_rays
+                ro_c, rd_c = ndc_rays(H, W, gcfg.focal, 1.0, ro_c, rd_c)
+            ro_c = np.asarray(ro_c).reshape(-1, 3)[::max(H * W // 256, 1)]
+            rd_c = np.asarray(rd_c).reshape(-1, 3)[::max(H * W // 256, 1)]
+            z = np.linspace(vcfg.near, vcfg.far, 9, dtype=np.float32)
+            pts = (ro_c[:, None, :]
+                   + rd_c[:, None, :] * z[None, :, None]).reshape(-1, 3)
+            vd = rd_c / np.maximum(
+                np.linalg.norm(rd_c, axis=-1, keepdims=True), 1e-12)
+            c_pts.append(pts)
+            c_vds.append(np.broadcast_to(
+                vd[:, None, :], (vd.shape[0], z.shape[0], 3)
+            ).reshape(-1, 3))
+        int8_calib = (jnp.asarray(np.concatenate(c_pts)),
+                      jnp.asarray(np.concatenate(c_vds))
+                      if vcfg.use_viewdirs else None)
 
     # The reference renders pseudo data through the TRAIN kwargs, i.e.
     # with stratified-perturbed z (`create_data.py:802-806` reuses
@@ -93,11 +137,16 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # explicit per-batch key.
     @jax.jit
     def render_batch(rays_o, rays_d, key):
-        render = render_frame_nerf_fused if use_fused else render_frame_nerf
-        out = render(params_coarse, params_fine, ncfg, vcfg,
-                     rays_o, rays_d,
-                     key=key if vcfg.perturb else None,
-                     ncfg_fine=ncfg_fine)
+        if use_fused:
+            out = render_frame_nerf_fused(
+                params_coarse, params_fine, ncfg, vcfg, rays_o, rays_d,
+                key=key if vcfg.perturb else None, ncfg_fine=ncfg_fine,
+                int8_calib=int8_calib)
+        else:
+            out = render_frame_nerf(params_coarse, params_fine, ncfg,
+                                    vcfg, rays_o, rays_d,
+                                    key=key if vcfg.perturb else None,
+                                    ncfg_fine=ncfg_fine)
         return out["rgb"], out["depth"]
 
     writer_q: queue.Queue = queue.Queue(maxsize=2)

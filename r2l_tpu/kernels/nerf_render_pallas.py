@@ -7,11 +7,23 @@ and a per-point fused query (whose 128-lane-padded raw output alone is
 ~16 GB/frame — exp/probe9.jsonl). This kernel eliminates both: the grid is
 (ray_tile, sample) with the SAMPLE axis innermost and sequential; each
 grid step builds one sample's points (o + d*z), positional-encodes them
-in-VMEM (sin/cos double-angle ladder), runs the whole MLP with
-VMEM-resident weights, and folds the result into the transmittance
-compositing state held in VMEM scratch. HBM traffic collapses to the rays
-in (o, d, z per sample) and per-ray outputs (packed rgb/acc/depth + the
-[N, S] weights the hierarchical resampler needs).
+in-VMEM, runs the whole MLP with VMEM-resident weights, and folds the
+result into the transmittance compositing state held in VMEM scratch.
+
+LAYOUT: rays live in LANES, features in SUBLANES ([feature, ray]
+everywhere, matmuls as w.T @ x). A first-generation row-major kernel
+([ray, feature]) spent a large share of its runtime on per-sample
+[T,1] <-> [1,T] relayouts and 128-lane-padded epilogues; in the
+transposed layout every per-ray scalar (z, dist, alpha, transmittance,
+weights) is a NATIVE [1, T] row, sigma/rgb are static sublane slices of
+the head outputs, and the positional encoding collapses to one tiny
+[64, 3] @ [3, T] matmul plus a single sin() pass (cos(x) = sin(x + pi/2)
+via the bias column) — no transposes anywhere. Measured per canonical
+400^2 teacher frame on v5e (8x256 + skip, viewdirs, 64 coarse + 128
+fine, chunk 32768, exp/probe_teacher_int8.jsonl): 606 ms bf16, 561 ms
+static-scale int8 (the R2L int8 recipe: offline per-(layer, channel)
+activation scales absorbed into the weight quantization), vs 867 ms for
+the XLA schedule at the same config.
 
 Forward-only (datagen / evaluation; training keeps the XLA path for its
 backward) and deterministic (raw_noise_std=0 — the reference's test
@@ -26,226 +38,414 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from typing import NamedTuple
 
 from ..models.nerf import NeRFConfig
-from .r2l_pallas import _pe_sin_cos_ladder, _round_up
+from .r2l_pallas import _round_up
 
 Array = jax.Array
 _LANE = 128
 
 
-def _pad_w(w: Array, in_pad: int, out_pad: int, dtype) -> Array:
-    out = jnp.zeros((in_pad, out_pad), dtype)
-    return out.at[:w.shape[0], :w.shape[1]].set(w.astype(dtype))
+def _embed_f32(p, L: int):
+    """The kernel's PE layout in plain f32: [p, sin f0, cos f0, ...]
+    (used by the int8 calibration forward)."""
+    parts = [p]
+    for j in range(L):
+        parts += [jnp.sin(p * (2.0 ** j)), jnp.cos(p * (2.0 ** j))]
+    return jnp.concatenate(parts, axis=1)
 
 
-def _pad_b(b: Array, out_pad: int) -> Array:
-    out = jnp.zeros((1, out_pad), jnp.float32)
-    return out.at[0, :b.shape[0]].set(b.astype(jnp.float32))
+# ---------------------------------------------------------------------------
+# Transposed-layout fused volumetric pass: rays live in LANES, features in
+# SUBLANES ([feature, ray] everywhere, matmuls as w.T @ x). Why: the
+# row-major kernel above spends ~45% of its runtime on per-sample
+# [T,1] <-> [1,T] relayouts and 128-lane-padded epilogues (605 ms vs the
+# ~335 ms its own matmul chain measures in isolation). In this layout every
+# per-ray scalar (z, dist, alpha, transmittance, weights) is a NATIVE [1,T]
+# row, sigma/rgb are static sublane slices of the head outputs, and the
+# positional encoding collapses to one tiny [64,3] @ [3,T] matmul plus a
+# single sin() pass (cos(x) = sin(x + pi/2) via the bias column) — no
+# transposes anywhere in the kernel. Outputs come back transposed and are
+# un-transposed once per frame in XLA.
+# ---------------------------------------------------------------------------
 
 
-class FusedNeRFParams(NamedTuple):
-    pts_w: tuple      # per-layer [in_pad, W] (skip layers wider)
-    pts_b: tuple      # per-layer [1, W]
-    alpha_w: Array    # [W, 128] (1 used)
+def _pe_matrix(L: int) -> tuple:
+    """A [rows8, 3], b [rows8, 1] with sin(A @ p + b) == the NeRF PE's
+    [sin f0, cos f0, sin f1, ...] rows (3 dims per part); rows8 is
+    8-aligned (zero rows are harmless: sin(0)=0, matching zero weights)."""
+    rows = 6 * L
+    rows8 = _round_up(rows, 8)
+    A = np.zeros((rows8, 3), np.float32)
+    b = np.zeros((rows8, 1), np.float32)
+    for j in range(L):
+        for t in range(2):              # 0: sin, 1: cos
+            for k in range(3):
+                A[6 * j + 3 * t + k, k] = 2.0 ** j
+                b[6 * j + 3 * t + k, 0] = t * (np.pi / 2.0)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def _pe_row_map(L: int) -> np.ndarray:
+    """Kernel K-row index for each original PE feature row.
+
+    Original layout (nerf_embed): [p(3), sin f0(3), cos f0(3), ...].
+    Kernel layout: [p padded to 8 | sin f0, cos f0, ... padded to 8-mult].
+    """
+    idx = np.empty(3 + 6 * L, np.int64)
+    idx[0:3] = [0, 1, 2]
+    for r in range(6 * L):
+        idx[3 + r] = 8 + r
+    return idx
+
+
+class FusedNeRFParamsT(NamedTuple):
+    """Transposed-layout params; int8 mode carries scales, bf16 mode
+    carries m=None sentinels (empty arrays)."""
+    pts_w: tuple      # per layer [W, K_rows] (wT)
+    pts_m: tuple      # [W, 1] dequant multipliers (int8) or dummy
+    pts_b: tuple      # [W, 1]
+    pts_inv: tuple    # [K_rows, 1] inverse input scales (int8) or dummy
+    alpha_w: Array    # [8, W] (row 0 used)
+    alpha_m: Array
     alpha_b: Array
     feat_w: Array     # [W, W]
+    feat_m: Array
     feat_b: Array
-    views_w: Array    # [W + views_pad, W//2 pad]
+    h_inv: Array      # [W, 1]
+    views_w: Array    # [h_pad, W + v_rows]
+    views_m: Array
     views_b: Array
-    rgb_w: Array      # [W//2 pad, 128] (3 used)
+    hv_inv: Array     # [W + v_rows, 1]
+    rgb_w: Array      # [8, h_pad] (rows 0..2 used)
+    rgb_m: Array
     rgb_b: Array
-    out_w: Array      # no-viewdirs head [W, 128] (output_ch used)
+    hr_inv: Array     # [h_pad, 1]
+    out_w: Array      # [8, W] no-viewdirs head (output_ch rows)
+    out_m: Array
     out_b: Array
 
 
-def prepare_fused_nerf(params: dict, cfg: NeRFConfig,
-                       weight_dtype=jnp.bfloat16) -> FusedNeRFParams:
-    in_pad = _round_up(cfg.input_ch, _LANE)
-    v_pad = _round_up(max(cfg.input_ch_views, 1), _LANE)
+def _quant_rows_scaled_t(wt: Array, s_in: Array) -> tuple[Array, Array]:
+    """Transposed twin of _quant_cols_scaled: wt [out, in] float, s_in
+    [in] -> (int8 [out, in], per-out-ROW multiplier [out, 1])."""
+    w_eff = wt.astype(jnp.float32) * s_in[None, :]
+    ws = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    q = jnp.clip(jnp.round(w_eff / ws), -127, 127).astype(jnp.int8)
+    return q, ws.astype(jnp.float32)
+
+
+def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
+                         L_views: int, calib: tuple | None = None,
+                         weight_dtype=jnp.bfloat16,
+                         margin: float = 1.1) -> FusedNeRFParamsT:
+    """Pack teacher params for the transposed kernel.
+
+    ``calib=(pts [n,3], viewdirs [n,3]|None)`` switches to static-scale
+    int8 (per-(layer, channel) activation scales absorbed into the weight
+    quantization — the R2L recipe). Without it, weights are cast to
+    ``weight_dtype`` and the m/inv slots hold empty sentinels.
+    """
     W = cfg.W
     h_pad = _round_up(W // 2, _LANE)
+    k_pts = 8 + _round_up(6 * L_pts, 8)
+    v_rows = 8 + _round_up(6 * L_views, 8)
+    row_map_p = _pe_row_map(L_pts)
+    row_map_v = _pe_row_map(L_views)
+    int8 = calib is not None
+    none = jnp.zeros((1, 1), jnp.float32)
 
-    pts_w, pts_b = [], []
+    # f32 calibration forward (original layout) capturing input scales.
+    if int8:
+        c_pts, c_vd = calib
+        x = _embed_f32(c_pts.astype(jnp.float32), L_pts)    # [n, 63]
+        s_x = (jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-6)
+               * (margin / 127.0))
+
+    def pack_rows(w, row_map, k_rows):
+        """[in_orig, out] -> transposed [out, k_rows] with row remap."""
+        wt = jnp.zeros((w.shape[1], k_rows), jnp.float32)
+        return wt.at[:, row_map].set(w.astype(jnp.float32).T)
+
+    def s_of(a):
+        return (jnp.maximum(jnp.max(jnp.abs(a), axis=0), 1e-6)
+                * (margin / 127.0))
+
+    pts_w, pts_m, pts_b, pts_inv = [], [], [], []
+    h = x if int8 else None
     for i, layer in enumerate(params["pts_linears"]):
-        if i > 0 and (i - 1) in cfg.skips:
-            # Layer input is the kernel's concat [pts(in_pad) | h(W)]:
-            # original rows 0..input_ch-1 are pts, input_ch.. are h —
-            # split them around the padded pts block.
-            w = jnp.zeros((in_pad + W, W), weight_dtype)
-            w = w.at[:cfg.input_ch].set(
-                layer["w"][:cfg.input_ch].astype(weight_dtype))
-            w = w.at[in_pad:].set(
-                layer["w"][cfg.input_ch:].astype(weight_dtype))
-            pts_w.append(w)
+        w = layer["w"]
+        if i == 0:
+            wt = pack_rows(w, row_map_p, k_pts)
+            s_pack = (jnp.ones((k_pts,), jnp.float32)
+                      .at[row_map_p].set(s_x) if int8 else None)
+        elif (i - 1) in cfg.skips:
+            wt = jnp.zeros((W, k_pts + W), jnp.float32)
+            wt = wt.at[:, row_map_p].set(
+                w[:cfg.input_ch].astype(jnp.float32).T)
+            wt = wt.at[:, k_pts:].set(w[cfg.input_ch:].astype(jnp.float32).T)
+            if int8:
+                s_h = s_of(h)
+                s_pack = jnp.concatenate([
+                    jnp.ones((k_pts,), jnp.float32).at[row_map_p].set(s_x),
+                    s_h])
         else:
-            fan_in = in_pad if i == 0 else W
-            pts_w.append(_pad_w(layer["w"], fan_in, W, weight_dtype))
-        pts_b.append(_pad_b(layer["b"], W))
+            wt = w.astype(jnp.float32).T
+            s_pack = s_of(h) if int8 else None
+        if int8:
+            q, m = _quant_rows_scaled_t(wt, s_pack)
+            pts_w.append(q)
+            pts_m.append(m)
+            pts_inv.append((1.0 / s_pack).reshape(-1, 1))
+            inp = (jnp.concatenate([x, h], axis=1)
+                   if (i > 0 and (i - 1) in cfg.skips) else (x if i == 0 else h))
+            h = jax.nn.relu(inp @ layer["w"].astype(jnp.float32)
+                            + layer["b"].astype(jnp.float32))
+        else:
+            pts_w.append(wt.astype(weight_dtype))
+            pts_m.append(none)
+            pts_inv.append(none)
+        pts_b.append(layer["b"].astype(jnp.float32).reshape(-1, 1))
 
-    zero_wd = jnp.zeros((2, 2), weight_dtype)
-    zero_b = jnp.zeros((1, 2), jnp.float32)
+    def pack_head(w, out_rows, row_map=None, k_rows=None, s_in=None):
+        """[in, out] -> ([out_rows, in(k)], m, b ordering helper)."""
+        if row_map is not None:
+            wt = jnp.zeros((out_rows, k_rows), jnp.float32)
+            wt = wt.at[:w.shape[1], row_map[:w.shape[0]]].set(
+                w.astype(jnp.float32).T)
+        else:
+            wt = jnp.zeros((out_rows, w.shape[0]), jnp.float32)
+            wt = wt.at[:w.shape[1]].set(w.astype(jnp.float32).T)
+        if s_in is not None:
+            return _quant_rows_scaled_t(wt, s_in)
+        return wt.astype(weight_dtype), none
+
     if cfg.use_viewdirs:
-        # views_linears[0] input is concat([feature(W), viewdirs(n_v)])
-        # (apply_nerf / reference `model:394-397`): rows 0..W-1 feature,
-        # W.. viewdirs — append-only padding keeps both aligned with the
-        # kernel's [feat | views_pad] concat.
-        vw_re = _pad_w(params["views_linears"][0]["w"], W + v_pad, h_pad,
-                       weight_dtype)
-        return FusedNeRFParams(
-            tuple(pts_w), tuple(pts_b),
-            _pad_w(params["alpha_linear"]["w"], W, _LANE, weight_dtype),
-            _pad_b(params["alpha_linear"]["b"], _LANE),
-            _pad_w(params["feature_linear"]["w"], W, W, weight_dtype),
-            _pad_b(params["feature_linear"]["b"], W),
-            vw_re, _pad_b(params["views_linears"][0]["b"], h_pad),
-            _pad_w(params["rgb_linear"]["w"], h_pad, _LANE, weight_dtype),
-            _pad_b(params["rgb_linear"]["b"], _LANE),
-            zero_wd, zero_b)
-    return FusedNeRFParams(
-        tuple(pts_w), tuple(pts_b),
-        zero_wd, zero_b, zero_wd, zero_b, zero_wd, zero_b, zero_wd, zero_b,
-        _pad_w(params["output_linear"]["w"], W, _LANE, weight_dtype),
-        _pad_b(params["output_linear"]["b"], _LANE))
+        s_h = s_of(h) if int8 else None
+        aw, am = pack_head(params["alpha_linear"]["w"], 8, s_in=s_h)
+        ab = jnp.zeros((8, 1), jnp.float32).at[0, 0].set(
+            params["alpha_linear"]["b"].astype(jnp.float32)[0])
+        fw_, fm = pack_head(params["feature_linear"]["w"], W, s_in=s_h)
+        fb = params["feature_linear"]["b"].astype(jnp.float32).reshape(-1, 1)
 
+        vw = params["views_linears"][0]["w"]        # [W + n_v, W//2]
+        vwt = jnp.zeros((h_pad, W + v_rows), jnp.float32)
+        vwt = vwt.at[:W // 2, :W].set(vw[:W].astype(jnp.float32).T)
+        vwt = vwt.at[:W // 2, W + row_map_v[:cfg.input_ch_views]].set(
+            vw[W:].astype(jnp.float32).T)
+        if int8:
+            feat = (h @ params["feature_linear"]["w"].astype(jnp.float32)
+                    + params["feature_linear"]["b"].astype(jnp.float32))
+            vd_e = _embed_f32(c_vd.astype(jnp.float32), L_views)
+            s_hv = jnp.concatenate([
+                s_of(feat),
+                jnp.ones((v_rows,), jnp.float32)
+                .at[row_map_v].set(s_of(vd_e))])
+            vq, vm = _quant_rows_scaled_t(vwt, s_hv)
+            hv = jax.nn.relu(
+                jnp.concatenate([feat, vd_e], axis=1)
+                @ vw.astype(jnp.float32)
+                + params["views_linears"][0]["b"].astype(jnp.float32))
+            s_hr = jnp.ones((h_pad,), jnp.float32).at[:W // 2].set(s_of(hv))
+            rw, rm = pack_head(params["rgb_linear"]["w"], 8,
+                               s_in=s_hr[:W // 2])
+            # rgb_w input is [h_pad, T] padded — re-pack with padded rows
+            rwt = jnp.zeros((8, h_pad), jnp.float32)
+            rwt = rwt.at[:3, :W // 2].set(
+                params["rgb_linear"]["w"].astype(jnp.float32).T)
+            rw, rm = _quant_rows_scaled_t(rwt, s_hr)
+            hv_inv = (1.0 / s_hv).reshape(-1, 1)
+            hr_inv = (1.0 / s_hr).reshape(-1, 1)
+            h_inv = (1.0 / s_h).reshape(-1, 1)
+        else:
+            rwt = jnp.zeros((8, h_pad), jnp.float32)
+            rwt = rwt.at[:3, :W // 2].set(
+                params["rgb_linear"]["w"].astype(jnp.float32).T)
+            vq, vm = vwt.astype(weight_dtype), none
+            rw, rm = rwt.astype(weight_dtype), none
+            hv_inv = hr_inv = h_inv = none
+        vb = jnp.zeros((h_pad, 1), jnp.float32).at[:W // 2, 0].set(
+            params["views_linears"][0]["b"].astype(jnp.float32))
+        rb = jnp.zeros((8, 1), jnp.float32).at[:3, 0].set(
+            params["rgb_linear"]["b"].astype(jnp.float32))
+        z8 = jnp.zeros((2, 2), pts_w[0].dtype)
+        return FusedNeRFParamsT(
+            tuple(pts_w), tuple(pts_m), tuple(pts_b), tuple(pts_inv),
+            aw, am, ab, fw_, fm, fb, h_inv, vq, vm, vb, hv_inv,
+            rw, rm, rb, hr_inv, z8, none, none)
 
+    s_h = s_of(h) if int8 else None
+    ow_ = params["output_linear"]["w"]
+    owt = jnp.zeros((8, W), jnp.float32)
+    owt = owt.at[:ow_.shape[1]].set(ow_.astype(jnp.float32).T)
+    if int8:
+        oq, om = _quant_rows_scaled_t(owt, s_h)
+        h_inv = (1.0 / s_h).reshape(-1, 1)
+    else:
+        oq, om = owt.astype(weight_dtype), none
+        h_inv = none
+    ob = jnp.zeros((8, 1), jnp.float32).at[:ow_.shape[1], 0].set(
+        params["output_linear"]["b"].astype(jnp.float32))
+    z8 = jnp.zeros((2, 2), pts_w[0].dtype)
+    return FusedNeRFParamsT(
+        tuple(pts_w), tuple(pts_m), tuple(pts_b), tuple(pts_inv),
+        z8, none, none, z8, none, none, h_inv,
+        z8, none, none, none, z8, none, none, none,
+        oq, om, ob)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "L_pts", "L_views",
-                                             "white_bkgd", "tile",
+                                             "white_bkgd", "tile", "int8",
                                              "interpret"))
-def fused_nerf_render(fp: FusedNeRFParams, cfg: NeRFConfig,
-                      rays_o: Array, rays_d: Array, z_vals: Array,
-                      L_pts: int = 10, L_views: int = 4,
-                      white_bkgd: bool = False, tile: int = 1024,
-                      interpret: bool | None = None):
-    """One volumetric pass over flat rays.
-
-    rays_o/d [N, 3], z_vals [N, S] -> (rgb [N, 3] f32, acc [N], depth [N],
-    weights [N, S]). ``rays_d`` is the UNNORMALIZED camera direction (its
-    norm scales dists, its normalization is the viewdir) — the
-    reference's convention.
-    """
+def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
+                        rays_o: Array, rays_d: Array, z_vals: Array,
+                        L_pts: int = 10, L_views: int = 4,
+                        white_bkgd: bool = False, tile: int = 2048,
+                        int8: bool = False,
+                        interpret: bool | None = None):
+    """Transposed-layout volumetric pass; same contract as
+    ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S])."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, S = z_vals.shape
     n_pad = _round_up(max(n, 1), tile)
-    in_pad = _round_up(cfg.input_ch, _LANE)
-    v_pad = _round_up(max(cfg.input_ch_views, 1), _LANE)
-    cd = fp.pts_w[0].dtype
+    W = cfg.W
+    k_pts = 8 + _round_up(6 * L_pts, 8)
+    v_rows = 8 + _round_up(6 * L_views, 8)
     n_layers = len(fp.pts_w)
-
-    def padn(x):
-        out = jnp.zeros((n_pad, x.shape[1]), jnp.float32)
-        return out.at[:n].set(x.astype(jnp.float32))
-
-    ro, rd, zv = padn(rays_o), padn(rays_d), padn(z_vals)
-    # dist to the next sample, with the reference's 1e10 tail pad
-    # (`main.py:578-584`) — precomputed so every grid step is uniform.
-    z_next = jnp.concatenate([zv[:, 1:], zv[:, -1:] + 1e10], axis=1)
-    # The per-sample z columns travel TRANSPOSED [S8, N] in (8, tile)
-    # sublane blocks: Mosaic requires lane-dim indices to be 128-aligned,
-    # so per-sample (tile, 1) lane blocks are illegal while dynamic
-    # SUBLANE slices are fine; the [1, tile] <-> [tile, 1] transposes in
-    # the kernel are trivial relayouts.
+    cd = jnp.bfloat16 if int8 else fp.pts_w[0].dtype
+    A_p, b_p = _pe_matrix(L_pts)
+    A_v, b_v = _pe_matrix(L_views)
     S8 = _round_up(S, 8)
+
+    def pad_t3(x):
+        out = jnp.zeros((8, n_pad), jnp.float32)
+        return out.at[:3, :n].set(x.astype(jnp.float32).T)
 
     def pad_t(x):
         out = jnp.zeros((S8, n_pad), jnp.float32)
-        return out.at[:S].set(x.T)
+        return out.at[:S, :n].set(x.astype(jnp.float32).T)
 
-    zv_t, znx_t = pad_t(zv), pad_t(z_next)
+    ro_t, rd_t = pad_t3(rays_o), pad_t3(rays_d)
+    zv = z_vals.astype(jnp.float32)
+    z_next = jnp.concatenate([zv[:, 1:], zv[:, -1:] + 1e10], axis=1)
+    zv_t, znx_t = pad_t(zv), pad_t(jnp.asarray(z_next))
 
-    def kern(ro_ref, rd_ref, z_ref, znx_ref, *refs):
-        # z_ref/znx_ref: (8, tile) sublane blocks of the transposed z
+    def q8r(x, inv):        # row-scale int8 quantize ([rows,1] broadcast)
+        return jnp.clip(jnp.round(x * inv), -127.0, 127.0
+                        ).astype(jnp.int8)
+
+    def kern(ro_ref, rd_ref, z_ref, znx_ref, Ap, bp, Av, bv, *refs):
         pw = refs[:n_layers]
-        pb = refs[n_layers:2 * n_layers]
-        (aw, ab, fw, fb, vw, vb, rw, rb, ow, ob,
-         out_ref, w_ref, trans_ref, views_ref) = refs[2 * n_layers:]
+        pm = refs[n_layers:2 * n_layers]
+        pb = refs[2 * n_layers:3 * n_layers]
+        pinv = refs[3 * n_layers:4 * n_layers]
+        (aw, am, ab, fw, fm, fb, h_inv, vw, vm, vb, hv_inv, rw, rm, rb,
+         hr_inv, ow, om, ob,
+         out_ref, w_ref, trans_ref, views_ref) = refs[4 * n_layers:]
         j = pl.program_id(1)
         S_total = pl.num_programs(1)
 
-        d = rd_ref[...]
-        d_norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [T,1]
+        d3 = rd_ref[0:3, :]                              # [3, T]
+        d_norm = jnp.sqrt(jnp.sum(d3 * d3, axis=0, keepdims=True))
 
-        def mm(a, w_r, b_r):
-            acc = jnp.dot(a, w_r[...], preferred_element_type=jnp.float32)
+        def mmT(w_r, x, m_r, b_r):
+            if int8:
+                acc = jnp.dot(w_r[...], x,
+                              preferred_element_type=jnp.int32)
+                return acc.astype(jnp.float32) * m_r[...] + b_r[...]
+            acc = jnp.dot(w_r[...].astype(cd), x,
+                          preferred_element_type=jnp.float32)
             return acc + b_r[...]
 
-        def embed(p, L, width, d_in):
-            sins, coss = _pe_sin_cos_ladder(p, L)
-            parts = [p.astype(cd)]
-            for s, c in zip(sins, coss):
-                parts += [s.astype(cd), c.astype(cd)]
-            pad = width - (2 * L + 1) * d_in
-            if pad:
-                parts.append(jnp.zeros((p.shape[0], pad), cd))
-            return jnp.concatenate(parts, axis=1)
+        def embed_t(p3, A, bias, rows, inv):
+            """[3,T] -> [8 + rows8, T] PE block ([p|sin(Ap+b)])."""
+            y = jnp.dot(A[...].astype(jnp.float32), p3,
+                        preferred_element_type=jnp.float32) + bias[...]
+            sc = jnp.sin(y)
+            xx = jnp.concatenate(
+                [p3, jnp.zeros((5, p3.shape[1]), jnp.float32), sc], axis=0)
+            if int8:
+                return q8r(xx, inv)
+            return xx.astype(cd)
 
         @pl.when(j == 0)
         def _init():
             trans_ref[...] = jnp.ones_like(trans_ref)
             out_ref[...] = jnp.zeros_like(out_ref)
             if cfg.use_viewdirs:
-                vd = d / jnp.maximum(d_norm, 1e-12)
-                views_ref[...] = embed(vd, L_views, v_pad,
-                                       3).astype(jnp.float32)
+                vd = d3 / jnp.maximum(d_norm, 1e-12)
+                inv_v = hv_inv[...][W:, :] if int8 else None
+                views_ref[...] = embed_t(vd, Av, bv, v_rows, inv_v)
 
-        r = pl.program_id(1) % 8
-        z_i = jnp.transpose(z_ref[pl.ds(r, 1), :])        # [T, 1]
-        z_n = jnp.transpose(znx_ref[pl.ds(r, 1), :])
+        r = j % 8
+        z_i = z_ref[pl.ds(r, 1), :]                      # [1, T]
+        z_n = znx_ref[pl.ds(r, 1), :]
         dist = (z_n - z_i) * d_norm
 
-        p = ro_ref[...] + d * z_i                         # [T, 3]
-        pts_e = embed(p, L_pts, in_pad, 3)
-        h = jnp.maximum(mm(pts_e, pw[0], pb[0]), 0.0).astype(cd)
-        for li in range(1, n_layers):
-            if (li - 1) in cfg.skips:
-                h = jnp.concatenate([pts_e, h], axis=1)
-            h = jnp.maximum(mm(h, pw[li], pb[li]), 0.0).astype(cd)
+        p3 = ro_ref[0:3, :] + d3 * z_i                   # [3, T]
+        xq = embed_t(p3, Ap, bp, k_pts - 8,
+                     pinv[0][...] if int8 else None)     # [k_pts, T]
 
+        h = jnp.maximum(mmT(pw[0], xq, pm[0], pb[0]), 0.0)
+        h = h.astype(cd) if not int8 else h
+        for li in range(1, n_layers):
+            if int8:
+                if (li - 1) in cfg.skips:
+                    hq = q8r(h, pinv[li][...][k_pts:, :])
+                    q = jnp.concatenate([xq, hq], axis=0)
+                else:
+                    q = q8r(h, pinv[li][...])
+            else:
+                if (li - 1) in cfg.skips:
+                    q = jnp.concatenate([xq, h.astype(cd)], axis=0)
+                else:
+                    q = h.astype(cd)
+            h = jnp.maximum(mmT(pw[li], q, pm[li], pb[li]), 0.0)
+            if not int8:
+                h = h.astype(cd)
+
+        hq = q8r(h, h_inv[...]) if int8 else h.astype(cd)
         if cfg.use_viewdirs:
-            sigma = mm(h, aw, ab)[:, 0:1]                 # [T, 1]
-            feat = mm(h, fw, fb).astype(cd)
-            hv = jnp.concatenate([feat, views_ref[...].astype(cd)], axis=1)
-            hv = jnp.maximum(mm(hv, vw, vb), 0.0).astype(cd)
-            rgb_raw = mm(hv, rw, rb)                      # [T, 128]
+            sigma = mmT(aw, hq, am, ab)[0:1, :]          # [1, T]
+            feat = mmT(fw, hq, fm, fb)                   # [W, T]
+            if int8:
+                fq = q8r(feat, hv_inv[...][:W, :])
+            else:
+                fq = feat.astype(cd)
+            hv_in = jnp.concatenate([fq, views_ref[...]], axis=0)
+            hv = jnp.maximum(mmT(vw, hv_in, vm, vb), 0.0)
+            hvq = q8r(hv, hr_inv[...]) if int8 else hv.astype(cd)
+            rgb_raw = mmT(rw, hvq, rm, rb)               # [8, T]
         else:
-            out_all = mm(h, ow, ob)
-            rgb_raw = out_all
-            sigma = out_all[:, 3:4]
+            rgb_raw = mmT(ow, hq, om, ob)                # [8, T]
+            sigma = rgb_raw[3:4, :]
 
         trans = trans_ref[...]
         alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dist)
-        w = alpha * trans                                 # [T, 1]
+        w = alpha * trans                                # [1, T]
         trans_ref[...] = trans * (1.0 - alpha + 1e-10)
-        w_ref[pl.ds(r, 1), :] = jnp.transpose(w)
+        w_ref[pl.ds(r, 1), :] = w
 
-        # accumulate packed per-ray outputs:
-        # lanes 0-2 rgb, lane 3 acc, lane 4 depth
-        lane = jax.lax.broadcasted_iota(jnp.int32, rgb_raw.shape, 1)
-        contrib = jnp.where(lane < 3, w * jax.nn.sigmoid(rgb_raw), 0.0)
-        contrib = contrib + jnp.where(lane == 3,
-                                      jnp.broadcast_to(w, rgb_raw.shape),
-                                      0.0)
-        contrib = contrib + jnp.where(
-            lane == 4, jnp.broadcast_to(w * z_i, rgb_raw.shape), 0.0)
+        rgb_c = w * jax.nn.sigmoid(rgb_raw[0:3, :])      # [3, T]
+        contrib = jnp.concatenate(
+            [rgb_c, w, w * z_i,
+             jnp.zeros((3, w.shape[1]), jnp.float32)], axis=0)
         acc_out = out_ref[...] + contrib
 
         if white_bkgd:
-            # composite onto white once, at the last sample
-            # (rgb += 1 - acc; acc lives in lane 3)
             @pl.when(j == S_total - 1)
             def _white():
-                # lane 3 -> lane 0 (pltpu.roll needs non-negative shift)
-                a = pltpu.roll(acc_out, _LANE - 3, axis=1)[:, 0:1]
-                out_ref[...] = acc_out + jnp.where(
-                    lane < 3, 1.0 - jnp.broadcast_to(a, rgb_raw.shape),
-                    0.0)
+                a = acc_out[3:4, :]
+                out_ref[...] = acc_out + jnp.concatenate(
+                    [jnp.broadcast_to(1.0 - a, (3, a.shape[1])),
+                     jnp.zeros((5, a.shape[1]), jnp.float32)], axis=0)
 
             @pl.when(j < S_total - 1)
             def _nowhite():
@@ -255,26 +455,29 @@ def fused_nerf_render(fp: FusedNeRFParams, cfg: NeRFConfig,
 
     const = lambda i, j: (0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
+        pl.BlockSpec((8, tile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
+        pl.BlockSpec((8, tile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(A_p.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_p.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(A_v.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_v.shape, const, memory_space=pltpu.VMEM),
     ]
-    operands = [ro, rd, zv_t, znx_t]
-    for w in fp.pts_w:
-        in_specs.append(pl.BlockSpec(w.shape, const,
-                                     memory_space=pltpu.VMEM))
-        operands.append(w)
-    for b in fp.pts_b:
-        in_specs.append(pl.BlockSpec(b.shape, const,
-                                     memory_space=pltpu.VMEM))
-        operands.append(b)
-    for arr in (fp.alpha_w, fp.alpha_b, fp.feat_w, fp.feat_b, fp.views_w,
-                fp.views_b, fp.rgb_w, fp.rgb_b, fp.out_w, fp.out_b):
+    operands = [ro_t, rd_t, zv_t, znx_t, A_p, b_p, A_v, b_v]
+    for group in (fp.pts_w, fp.pts_m, fp.pts_b, fp.pts_inv):
+        for arr in group:
+            in_specs.append(pl.BlockSpec(arr.shape, const,
+                                         memory_space=pltpu.VMEM))
+            operands.append(arr)
+    for arr in (fp.alpha_w, fp.alpha_m, fp.alpha_b, fp.feat_w, fp.feat_m,
+                fp.feat_b, fp.h_inv, fp.views_w, fp.views_m, fp.views_b,
+                fp.hv_inv, fp.rgb_w, fp.rgb_m, fp.rgb_b, fp.hr_inv,
+                fp.out_w, fp.out_m, fp.out_b):
         in_specs.append(pl.BlockSpec(arr.shape, const,
                                      memory_space=pltpu.VMEM))
         operands.append(arr)
@@ -284,22 +487,23 @@ def fused_nerf_render(fp: FusedNeRFParams, cfg: NeRFConfig,
         grid=(n_pad // tile, S),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((tile, _LANE), lambda i, j: (i, 0),
+            pl.BlockSpec((8, tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((S8, n_pad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, 1), jnp.float32),        # transmittance
-            pltpu.VMEM((tile, v_pad), jnp.float32),    # viewdir embedding
+            pltpu.VMEM((1, tile), jnp.float32),            # transmittance
+            pltpu.VMEM((v_rows, tile),
+                       jnp.int8 if int8 else cd),          # viewdir PE
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*operands)
-    weights = weights_t[:S, :n].T
-    return (packed[:n, :3], packed[:n, 3], packed[:n, 4], weights)
+    return (packed[0:3, :n].T, packed[3, :n], packed[4, :n],
+            weights_t[:S, :n].T)

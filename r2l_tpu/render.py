@@ -206,31 +206,48 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                             rays_o: Array, rays_d: Array,
                             key: jax.Array | None = None,
                             ncfg_fine: NeRFConfig | None = None,
-                            tile: int = 2048) -> dict[str, Array]:
+                            tile: int = 2048,
+                            int8_calib: tuple | None = None
+                            ) -> dict[str, Array]:
     """Fully-fused volumetric frame render (TPU fast path, forward-only).
 
     Same contract as ``render_frame_nerf`` but each pass (coarse, fine)
-    runs as ONE Pallas kernel per ray chunk — sampling, positional
-    encoding, MLP and compositing all in VMEM (see
-    kernels/nerf_render_pallas.py; measured 607 ms vs the XLA schedule\'s
-    691 ms per canonical 400^2 teacher frame on v5e, exp/probe10.jsonl).
-    Requires ``raw_noise_std == 0`` (the sigma-noise train regularizer
-    needs the XLA path); stratified z perturbation IS supported (z_vals
-    are built in XLA and passed in).
+    runs as ONE transposed-layout Pallas kernel per ray chunk — sampling,
+    positional encoding, MLP and compositing all in VMEM, rays in lanes
+    (see kernels/nerf_render_pallas.py; measured 606 ms bf16 / 561 ms
+    int8 vs the XLA schedule's 867 ms per canonical 400^2 teacher frame
+    on v5e, exp/probe_teacher_int8.jsonl). Requires ``raw_noise_std ==
+    0`` (the sigma-noise train
+    regularizer needs the XLA path); stratified z perturbation IS
+    supported (z_vals are built in XLA and passed in).
+
+    ``int8_calib = (pts [n, 3], viewdirs [n, 3] | None)`` switches both
+    passes to static-scale int8, calibrating per-(layer, channel)
+    activation scales on the given sample points — the same recipe as
+    the R2L student's int8 fast path.
     """
     assert vcfg.raw_noise_std == 0.0, \
         "fused render path is noise-free; use render_frame_nerf"
-    from .kernels.nerf_render_pallas import (fused_nerf_render,
-                                             prepare_fused_nerf)
+    from .kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                             prepare_fused_nerf_t)
     from .volume import sample_pdf
 
-    fpc = prepare_fused_nerf(params_coarse, ncfg,
-                             weight_dtype=ncfg.compute_dtype)
     nf_cfg = (ncfg_fine if (ncfg_fine is not None
                             and params_fine is not None) else ncfg)
-    fpf = (prepare_fused_nerf(params_fine, nf_cfg,
-                              weight_dtype=nf_cfg.compute_dtype)
+    int8 = int8_calib is not None
+    fpc = prepare_fused_nerf_t(params_coarse, ncfg, vcfg.multires,
+                               vcfg.multires_views, calib=int8_calib,
+                               weight_dtype=ncfg.compute_dtype)
+    fpf = (prepare_fused_nerf_t(params_fine, nf_cfg, vcfg.multires,
+                                vcfg.multires_views, calib=int8_calib,
+                                weight_dtype=nf_cfg.compute_dtype)
            if params_fine else fpc)
+
+    def run_kernel(fp, cfg_, o, d, z, *, L_pts, L_views, white_bkgd,
+                   tile):
+        return fused_nerf_render_t(fp, cfg_, o, d, z, L_pts=L_pts,
+                                   L_views=L_views, white_bkgd=white_bkgd,
+                                   tile=tile, int8=int8)
 
     chunk = min(vcfg.ray_chunk, max(rays_o.shape[0], 1))
     ro, n = _pad_to_multiple(rays_o, chunk)
@@ -248,7 +265,7 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
         if kk is not None:
             k_strat, k_pdf = jax.random.split(kk)
         z = _coarse_z(vcfg, chunk, k_strat)
-        rgb, acc, depth, w = fused_nerf_render(
+        rgb, acc, depth, w = run_kernel(
             fpc, ncfg, o, d, z, L_pts=vcfg.multires,
             L_views=vcfg.multires_views, white_bkgd=vcfg.white_bkgd,
             tile=min(tile, chunk))
@@ -258,7 +275,7 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                                 det=(key is None or not vcfg.perturb))
             z_all = jnp.sort(jnp.concatenate([z, z_samp], axis=-1),
                              axis=-1)
-            rgb, acc, depth, _ = fused_nerf_render(
+            rgb, acc, depth, _ = run_kernel(
                 fpf, nf_cfg, o, d, z_all, L_pts=vcfg.multires,
                 L_views=vcfg.multires_views, white_bkgd=vcfg.white_bkgd,
                 tile=min(tile, chunk))

@@ -5,8 +5,6 @@ import numpy as np
 import pytest
 
 from r2l_tpu.encoding import nerf_embed, nerf_embed_dim
-from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render,
-                                                prepare_fused_nerf)
 from r2l_tpu.models.nerf import NeRFConfig, apply_nerf, init_nerf
 from r2l_tpu.volume import raw2outputs
 
@@ -25,7 +23,10 @@ def _xla_pass(params, cfg, ro, rd, z, Lp, Lv, white_bkgd):
 
 @pytest.mark.parametrize("viewdirs,white", [(True, True), (True, False),
                                             (False, True)])
-def test_fused_render_matches_xla(key, viewdirs, white):
+def test_fused_render_t_matches_xla(key, viewdirs, white):
+    """Transposed-layout kernel (f32 weights) == the XLA pass."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
     Lp, Lv = 6, 3
     cfg = NeRFConfig(
         D=4, W=32, skips=(2,), use_viewdirs=viewdirs,
@@ -33,26 +34,95 @@ def test_fused_render_matches_xla(key, viewdirs, white):
         input_ch_views=nerf_embed_dim(3, Lv) if viewdirs else 0,
         output_ch=5 if viewdirs else 4)
     params = init_nerf(key, cfg)
-    fp = prepare_fused_nerf(params, cfg, weight_dtype=jnp.float32)
+    fp = prepare_fused_nerf_t(params, cfg, Lp, Lv,
+                              weight_dtype=jnp.float32)
     n, S = 20, 7
     ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
     rd = jax.random.normal(jax.random.key(2), (n, 3))
     z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
                                     minval=2.0, maxval=6.0), axis=-1)
-
-    rgb, acc, depth, w = fused_nerf_render(
+    rgb, acc, depth, w = fused_nerf_render_t(
         fp, cfg, ro, rd, z, L_pts=Lp, L_views=Lv, white_bkgd=white,
         tile=8, interpret=True)
     ref = _xla_pass(params, cfg, ro, rd, z, Lp, Lv, white)
+    # sin(x + pi/2) vs cos(x): one-ulp-level trig differences only
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb_map),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(acc), np.asarray(ref.acc_map),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref.weights),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(depth),
                                np.asarray(ref.depth_map),
                                rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("viewdirs", [True, False])
+def test_fused_render_t_int8_close_to_f32(key, viewdirs):
+    """Transposed-layout int8: quantization noise bounded."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
+    Lp, Lv = 6, 3
+    cfg = NeRFConfig(
+        D=4, W=32, skips=(2,), use_viewdirs=viewdirs,
+        input_ch=nerf_embed_dim(3, Lp),
+        input_ch_views=nerf_embed_dim(3, Lv) if viewdirs else 0,
+        output_ch=5 if viewdirs else 4)
+    params = init_nerf(key, cfg)
+    n, S = 24, 7
+    ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.key(2), (n, 3))
+    z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = (ro[:, None, :] + rd[:, None, :] * z[..., None]).reshape(-1, 3)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    vds = jnp.broadcast_to(vd[:, None, :], (n, S, 3)).reshape(-1, 3)
+    fp = prepare_fused_nerf_t(params, cfg, Lp, Lv,
+                              calib=(pts, vds if viewdirs else None))
+    rgb, acc, depth, w = fused_nerf_render_t(
+        fp, cfg, ro, rd, z, L_pts=Lp, L_views=Lv, white_bkgd=True,
+        tile=8, int8=True, interpret=True)
+    ref = _xla_pass(params, cfg, ro, rd, z, Lp, Lv, True)
+    err = np.abs(np.asarray(rgb) - np.asarray(ref.rgb_map))
+    assert err.max() < 5e-2 and err.mean() < 1e-2, (err.max(), err.mean())
+    aerr = np.abs(np.asarray(acc) - np.asarray(ref.acc_map))
+    assert aerr.max() < 5e-2, aerr.max()
+    # Engagement guard: int8 must actually perturb the output — a silent
+    # fall-through to the float path would pass the bounds above.
+    assert err.max() > 1e-6, "int8 quantization did not engage"
+
+
+def test_render_frame_nerf_fused_int8_frame(key):
+    """Coarse+fine frame through the int8 fused path stays close to the
+    f32 XLA frame (deterministic resampling)."""
+    from r2l_tpu.render import (VolRenderConfig, render_frame_nerf,
+                                render_frame_nerf_fused)
+    Lp, Lv = 4, 2
+    cfg = NeRFConfig(D=3, W=32, skips=(1,), use_viewdirs=True,
+                     input_ch=nerf_embed_dim(3, Lp),
+                     input_ch_views=nerf_embed_dim(3, Lv), output_ch=5,
+                     compute_dtype=jnp.float32)
+    k1, k2 = jax.random.split(key)
+    pc, pf = init_nerf(k1, cfg), init_nerf(k2, cfg)
+    vcfg = VolRenderConfig(n_coarse=6, n_fine=4, perturb=False,
+                           use_viewdirs=True, multires=Lp,
+                           multires_views=Lv, near=2.0, far=6.0,
+                           white_bkgd=True, ray_chunk=16)
+    ro = jnp.zeros((24, 3))
+    rd = jax.random.normal(jax.random.key(3), (24, 3))
+    z = jnp.linspace(2.0, 6.0, 6)
+    pts = (ro[:, None, :] + rd[:, None, :] * z[None, :, None]).reshape(-1, 3)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    vds = jnp.broadcast_to(vd[:, None, :], (24, 6, 3)).reshape(-1, 3)
+
+    ref = render_frame_nerf(pc, pf, cfg, vcfg, ro, rd)
+    got = render_frame_nerf_fused(pc, pf, cfg, vcfg, ro, rd, tile=8,
+                                  int8_calib=(pts, vds))
+    for k in ("rgb", "acc"):
+        d = np.abs(np.asarray(got[k]) - np.asarray(ref[k]))
+        assert d.mean() < 2e-2 and d.max() < 1e-1, (k, d.mean(), d.max())
+    d = np.abs(np.asarray(got["rgb"]) - np.asarray(ref["rgb"]))
+    assert d.max() > 1e-6, "int8 quantization did not engage"
 
 
 def test_render_frame_nerf_fused_matches_xla(key):

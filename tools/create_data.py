@@ -39,6 +39,8 @@ from r2l_tpu.sampler import PointSampler  # noqa: E402
 
 def main() -> None:
     args = parse_args()
+    from r2l_tpu.app import apply_platform
+    apply_platform(args)
     logger = Logger(experiment_name=args.experiment_name or "create_data",
                     experiments_dir=args.experiments_dir, debug=args.debug,
                     args=args)
@@ -89,7 +91,8 @@ def main() -> None:
         use_rand_focal=args.use_rand_focal,
         learn_depth=bool(args.learn_depth),
         save_every=args.create_data_chunk, seed=args.seed,
-        poses_per_batch=args.poses_per_batch)
+        poses_per_batch=args.poses_per_batch,
+        quantize=args.quantize)
 
     if args.create_data == "rand":
         from r2l_tpu.configs import parse_mesh_spec
