@@ -143,7 +143,8 @@ def _conv2d_single(img: Array, kernel: Array) -> Array:
     out = jax.lax.conv_general_dilated(
         img[None, :, :, None], kernel[:, :, None, None],
         window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)  # metric: no bf16 MXU passes
     return out[0, :, :, 0]
 
 

@@ -155,7 +155,8 @@ def _conv(x: Array, p: dict, stride: int = 1, pad: int = 0) -> Array:
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)  # metric: no bf16 MXU passes
     return out + p["b"]
 
 
@@ -233,6 +234,7 @@ def lpips(params: dict, img0: Array, img1: Array) -> Array:
         w = params["lins"][i]["w"]  # [1, 1, C, 1]
         val = jax.lax.conv_general_dilated(
             d, jnp.maximum(w, 0.0), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
         total = total + jnp.mean(val, axis=(1, 2, 3))
     return jnp.mean(total)

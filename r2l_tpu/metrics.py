@@ -42,14 +42,21 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_conv2d(img: Array, kernel: Array) -> Array:
-    """img [N, H, W, C], kernel [kh, kw] applied per channel, SAME padding."""
+    """img [N, H, W, C], kernel [kh, kw] applied per channel, SAME padding.
+
+    precision=HIGHEST: TPU convs default to bf16 MXU passes, which costs
+    ~0.09 SSIM on real renders (measured 0.4801 TPU vs 0.5659 CPU on the
+    verify scene) — a metric must not depend on the backend.
+    """
     C = img.shape[-1]
+    img = img.astype(jnp.float32)
     k = jnp.broadcast_to(kernel[:, :, None, None],
-                         (*kernel.shape, 1, C)).astype(img.dtype)
+                         (*kernel.shape, 1, C)).astype(jnp.float32)
     return jax.lax.conv_general_dilated(
         img, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C)
+        feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: Array, img2: Array, window_size: int = 11,
@@ -57,6 +64,8 @@ def ssim(img1: Array, img2: Array, window_size: int = 11,
     """Mean SSIM of two [H, W, C] or [N, H, W, C] images in [0, 1]."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     w = jnp.asarray(_gaussian_window(window_size, sigma))
     mu1 = _depthwise_conv2d(img1, w)
     mu2 = _depthwise_conv2d(img2, w)
