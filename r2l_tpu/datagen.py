@@ -95,6 +95,22 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # volumetric kernel): calibrate per-(layer, channel) activation scales
     # on sample points drawn from THIS run's pose distribution (incl. the
     # rand-focal range and the NDC warp).
+    # ONE ray-construction helper shared by the main loop and the int8
+    # calibration — they MUST sample the identical pose/focal/NDC
+    # distribution or the static scales calibrate on stale rays.
+    def frame_rays(r) -> tuple[np.ndarray, np.ndarray]:
+        c2w = (pose_fn(r) if pose_fn is not None
+               else get_rand_pose(r, radius=radius))
+        focal = gcfg.focal
+        if gcfg.use_rand_focal:
+            focal = gcfg.focal * r.uniform(1.0, 2.0)
+        ro, rd = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
+        if ndc:
+            from .rays import ndc_rays
+            ro, rd = ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
+        return (np.asarray(ro).reshape(-1, 3),
+                np.asarray(rd).reshape(-1, 3))
+
     int8_calib = None
     if gcfg.quantize == "int8" and not use_fused:
         import warnings
@@ -107,17 +123,9 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         crng = np.random.default_rng(gcfg.seed + 7)
         c_pts, c_vds = [], []
         for _ in range(8):
-            c2w = (pose_fn(crng) if pose_fn is not None
-                   else get_rand_pose(crng, radius=radius))
-            focal = gcfg.focal
-            if gcfg.use_rand_focal:
-                focal = gcfg.focal * crng.uniform(1.0, 2.0)
-            ro_c, rd_c = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
-            if ndc:
-                from .rays import ndc_rays
-                ro_c, rd_c = ndc_rays(H, W, gcfg.focal, 1.0, ro_c, rd_c)
-            ro_c = np.asarray(ro_c).reshape(-1, 3)[::max(H * W // 256, 1)]
-            rd_c = np.asarray(rd_c).reshape(-1, 3)[::max(H * W // 256, 1)]
+            ro_c, rd_c = frame_rays(crng)
+            sub = slice(None, None, max(H * W // 256, 1))
+            ro_c, rd_c = ro_c[sub], rd_c[sub]
             z = np.linspace(vcfg.near, vcfg.far, 9, dtype=np.float32)
             pts = (ro_c[:, None, :]
                    + rd_c[:, None, :] * z[None, :, None]).reshape(-1, 3)
@@ -183,17 +191,9 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         k = min(ppb, gcfg.n_pose - done)
         ros, rds = [], []
         for _ in range(k):
-            c2w = (pose_fn(rng) if pose_fn is not None
-                   else get_rand_pose(rng, radius=radius))
-            focal = gcfg.focal
-            if gcfg.use_rand_focal:
-                focal = gcfg.focal * rng.uniform(1.0, 2.0)
-            ro, rd = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
-            if ndc:
-                from .rays import ndc_rays
-                ro, rd = ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
-            ros.append(np.asarray(ro).reshape(-1, 3))
-            rds.append(np.asarray(rd).reshape(-1, 3))
+            ro, rd = frame_rays(rng)
+            ros.append(ro)
+            rds.append(rd)
         ro_host = np.concatenate(ros, axis=0)
         rd_host = np.concatenate(rds, axis=0)
         if batch_shd is not None:
@@ -252,12 +252,19 @@ def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
 
 
 def _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                       ncfg_fine=None):
+                       ncfg_fine=None, gcfg: DataGenConfig | None = None):
     """Jitted rgb frame renderer threading a stratified-perturb key when
     vcfg.perturb — every reference datagen mode clones render_kwargs_train
     (perturb=1): `create_data.py:802-806` (rand), `:885-890` (rand_tworays),
     `:979-985` (rand_images), `:1031-1037` (3x3rays), `:1128-1134`
     (16x16patches), `:769` (spiral)."""
+    if gcfg is not None and gcfg.quantize:
+        import warnings
+        warnings.warn(
+            f"--quantize {gcfg.quantize} is only wired into the 'rand' "
+            "datagen mode's fused path — this mode renders with the "
+            "full-precision teacher", stacklevel=3)
+
     @jax.jit
     def render_frame(rays_o, rays_d, key):
         return render_frame_nerf(params_coarse, params_fine, ncfg, vcfg,
@@ -280,7 +287,8 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                                      gcfg=gcfg)
 
     total, buf = 0, []
     for i in range(gcfg.n_pose):
@@ -316,7 +324,8 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                                      gcfg=gcfg)
 
     offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
                (1, -1), (1, 0), (1, 1)]
@@ -357,7 +366,8 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
 
-    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                                      gcfg=gcfg)
 
     os.makedirs(datadir, exist_ok=True)
     frames = []
@@ -392,7 +402,8 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
     H, W = gcfg.H, gcfg.W
     ph, pw = H // patch_size, W // patch_size
 
-    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                                      gcfg=gcfg)
 
     os.makedirs(datadir, exist_ok=True)
     origins, patches = [], []
@@ -436,7 +447,8 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
     poses = get_novel_poses(n_pose if isinstance(n_pose, int)
                             else [int(x) for x in n_pose])
 
-    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg)
+    render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
+                                      gcfg=gcfg)
 
     imgs = []
     for c2w in poses:

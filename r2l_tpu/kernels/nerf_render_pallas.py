@@ -52,12 +52,11 @@ _LANE = 128
 
 
 def _embed_f32(p, L: int):
-    """The kernel's PE layout in plain f32: [p, sin f0, cos f0, ...]
-    (used by the int8 calibration forward)."""
-    parts = [p]
-    for j in range(L):
-        parts += [jnp.sin(p * (2.0 ** j)), jnp.cos(p * (2.0 ** j))]
-    return jnp.concatenate(parts, axis=1)
+    """The kernel's PE layout in plain f32: [p, sin f0, cos f0, ...] —
+    exactly ``encoding.nerf_embed`` (used by the int8 calibration
+    forward; single source of truth for the PE convention)."""
+    from ..encoding import nerf_embed
+    return nerf_embed(p.astype(jnp.float32), L)
 
 
 # ---------------------------------------------------------------------------
@@ -213,15 +212,10 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
             pts_inv.append(none)
         pts_b.append(layer["b"].astype(jnp.float32).reshape(-1, 1))
 
-    def pack_head(w, out_rows, row_map=None, k_rows=None, s_in=None):
-        """[in, out] -> ([out_rows, in(k)], m, b ordering helper)."""
-        if row_map is not None:
-            wt = jnp.zeros((out_rows, k_rows), jnp.float32)
-            wt = wt.at[:w.shape[1], row_map[:w.shape[0]]].set(
-                w.astype(jnp.float32).T)
-        else:
-            wt = jnp.zeros((out_rows, w.shape[0]), jnp.float32)
-            wt = wt.at[:w.shape[1]].set(w.astype(jnp.float32).T)
+    def pack_head(w, out_rows, s_in=None):
+        """[in, out] -> transposed, row-padded ([out_rows, in], m)."""
+        wt = jnp.zeros((out_rows, w.shape[0]), jnp.float32)
+        wt = wt.at[:w.shape[1]].set(w.astype(jnp.float32).T)
         if s_in is not None:
             return _quant_rows_scaled_t(wt, s_in)
         return wt.astype(weight_dtype), none
@@ -253,9 +247,7 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
                 @ vw.astype(jnp.float32)
                 + params["views_linears"][0]["b"].astype(jnp.float32))
             s_hr = jnp.ones((h_pad,), jnp.float32).at[:W // 2].set(s_of(hv))
-            rw, rm = pack_head(params["rgb_linear"]["w"], 8,
-                               s_in=s_hr[:W // 2])
-            # rgb_w input is [h_pad, T] padded — re-pack with padded rows
+            # rgb_w input is [h_pad, T] padded — pack with padded rows
             rwt = jnp.zeros((8, h_pad), jnp.float32)
             rwt = rwt.at[:3, :W // 2].set(
                 params["rgb_linear"]["w"].astype(jnp.float32).T)
@@ -360,14 +352,26 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                 acc = jnp.dot(w_r[...], x,
                               preferred_element_type=jnp.int32)
                 return acc.astype(jnp.float32) * m_r[...] + b_r[...]
+            # f32 weights must honor cfg.precision (XLA's _linear does).
+            # Mosaic's dot lowering supports only DEFAULT and HIGHEST —
+            # 'high' (3-pass) promotes to 'highest' (6-pass): at least as
+            # accurate as requested, never silently less.
+            prec = (None if (cd != jnp.float32
+                             or cfg.precision == "default")
+                    else "highest")
             acc = jnp.dot(w_r[...].astype(cd), x,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
             return acc + b_r[...]
 
-        def embed_t(p3, A, bias, rows, inv):
+        def embed_t(p3, A, bias, inv):
             """[3,T] -> [8 + rows8, T] PE block ([p|sin(Ap+b)])."""
+            # Always full-precision: y feeds sin() at octaves up to 2^(L-1);
+            # a bf16-rounded product is a phase error of up to |p|·2^(L-10)
+            # radians. K=3, so the cost is nil.
             y = jnp.dot(A[...].astype(jnp.float32), p3,
-                        preferred_element_type=jnp.float32) + bias[...]
+                        preferred_element_type=jnp.float32,
+                        precision="highest") + bias[...]
             sc = jnp.sin(y)
             xx = jnp.concatenate(
                 [p3, jnp.zeros((5, p3.shape[1]), jnp.float32), sc], axis=0)
@@ -382,7 +386,7 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
             if cfg.use_viewdirs:
                 vd = d3 / jnp.maximum(d_norm, 1e-12)
                 inv_v = hv_inv[...][W:, :] if int8 else None
-                views_ref[...] = embed_t(vd, Av, bv, v_rows, inv_v)
+                views_ref[...] = embed_t(vd, Av, bv, inv_v)
 
         r = j % 8
         z_i = z_ref[pl.ds(r, 1), :]                      # [1, T]
@@ -390,7 +394,7 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
         dist = (z_n - z_i) * d_norm
 
         p3 = ro_ref[0:3, :] + d3 * z_i                   # [3, T]
-        xq = embed_t(p3, Ap, bp, k_pts - 8,
+        xq = embed_t(p3, Ap, bp,
                      pinv[0][...] if int8 else None)     # [k_pts, T]
 
         h = jnp.maximum(mmT(pw[0], xq, pm[0], pb[0]), 0.0)
