@@ -94,6 +94,11 @@ def load_dataset(args, logger):
         # --focal_scale applies at every get_rays call in the reference
         # (`helpers:231-257`) == a global focal rescale.
         ns.focal = ns.focal * args.focal_scale
+    if getattr(args, "trans_origin", ""):
+        # Same global-application semantics as focal_scale
+        # (`helpers:214-227, 248-252`).
+        from .rays import set_default_trans_origin
+        set_default_trans_origin(args.trans_origin)
 
     trial = getattr(args, "trial", None)
     if trial is not None:  # trial.near/far override (`main.py:957-960`)
@@ -444,7 +449,11 @@ def run_distill(args, ns, logger):
                                  hold_ratio=args.pseudo_data_hold_ratio)
             return ds, RayBatchLoader(
                 ds, batch_size - n_hard_out, seed=seed,
-                pseudo_ratio_schedule=args.pseudo_ratio_schedule or None)
+                pseudo_ratio_schedule=args.pseudo_ratio_schedule or None,
+                # --num_workers: the reference's DataLoader worker count
+                # (`main.py:792,804`); here the analog is the prefetch
+                # queue depth of the background loader thread.
+                prefetch=max(1, args.num_workers // 4))
 
         dataset, loader = make_loader(args.seed)
         record_dim = dataset.record_dim

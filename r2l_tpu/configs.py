@@ -368,6 +368,10 @@ _VESTIGIAL = {
     'encode_input': False, 'lw_rgb1': 1,
     'video_poses_perturb': False, 'layerwise_netwidths2': '',
     'body_arch': 'conv',  # the non-trial CNN-body flag; R2L uses trial.*
+    'no_reload': False,   # ref parses but never reads (grep option.py only)
+    'ft_path': None,      # ref parses but never reads
+    'basedir': './logs/',  # superseded by smilelogging exp dirs in the ref
+    'no_scp': False,      # ref smilelogging scp upload; nothing scps here
 }
 
 
@@ -383,6 +387,20 @@ def _warn_vestigial(args) -> None:
         print("WARNING: --shuffle_input matches the reference exactly: "
               "its shuffle block permutes a size-1 group (main.py:1313-"
               "1322) and therefore has NO effect.", file=sys.stderr)
+    if args.netchunk != 1024 * 64:
+        # The reference slices MLP forwards into netchunk points
+        # (`main.py:51-62`); here XLA fuses the whole per-ray-chunk
+        # network, so memory is controlled by --chunk alone.
+        print("WARNING: --netchunk is subsumed by XLA fusion on this "
+              "framework — per-network chunking does not exist; use "
+              "--chunk to bound render memory.", file=sys.stderr)
+    if args.cache_code:
+        # Reference: a user shell script that caches the code tree
+        # (`logger.py:514-528`). Here the Logger zips the source tree
+        # itself (logging_.cache_code); the script path is ignored.
+        print("WARNING: --cache_code script is ignored — the Logger "
+              "snapshots the source tree to .caches/code.zip itself "
+              "(disable with --no_cache).", file=sys.stderr)
 
 
 def args_to_r2l_config(args):

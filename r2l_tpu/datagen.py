@@ -51,6 +51,9 @@ class DataGenConfig:
     quantize: str = ""              # 'int8': static-scale int8 teacher
     #                                 (calibrated on scene-pose samples;
     #                                 TPU fused path only)
+    max_save: int = 40000           # patches modes wrap shard numbering
+    #                                 modulo this to bound total files
+    #                                 (reference `create_data.py:1110`)
 
 
 def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
@@ -424,8 +427,11 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
         origins.append(np.asarray(ro)[0, 0])
         patches.append(tiles.astype(np.float32))
         if (i + 1) % gcfg.save_every == 0 or i == gcfg.n_pose - 1:
-            np.savez(os.path.join(datadir, f"patches_{n_batch:05d}.npz"),
-                     rays_o=np.stack(origins), patches=np.stack(patches))
+            # shard index wraps modulo max_save so a long run keeps a
+            # bounded file count (reference `create_data.py:1110,1317`)
+            np.savez(os.path.join(
+                datadir, f"patches_{n_batch % gcfg.max_save:05d}.npz"),
+                rays_o=np.stack(origins), patches=np.stack(patches))
             n_batch += 1
             origins, patches = [], []
     return gcfg.n_pose

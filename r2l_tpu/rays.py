@@ -34,16 +34,32 @@ def camera_ray_dirs(H: int, W: int, focal: float) -> Array:
     return dirs  # [H, W, 3]
 
 
+# --trans_origin applies at EVERY get_rays call in the reference (the
+# hack lives inside helpers.get_rays reading the global args singleton,
+# `helpers:214-227, 248-252`). Mirror that with one module default set
+# from the parsed args at startup (app.load_dataset) instead of
+# threading a debug flag through every ray-generating call chain.
+_DEFAULT_TRANS_ORIGIN = ""
+
+
+def set_default_trans_origin(value: str) -> None:
+    global _DEFAULT_TRANS_ORIGIN
+    _DEFAULT_TRANS_ORIGIN = value or ""
+
+
 def get_rays(H: int, W: int, focal: float, c2w: Array,
              focal_scale: float = 1.0,
-             trans_origin: str = "") -> tuple[Array, Array]:
+             trans_origin: str | None = None) -> tuple[Array, Array]:
     """Full-frame rays for camera-to-world pose ``c2w``.
 
     Returns (rays_o, rays_d), each [H, W, 3]. Mirrors reference
     `helpers:231-257`. ``trans_origin`` slides origins along the (unit)
     ray direction: ``'fixed'`` -> 30 units, a numeric string -> that
-    scale (reference ``translate_origin_fixed``, `helpers:214-227`).
+    scale (reference ``translate_origin_fixed``, `helpers:214-227`);
+    ``None`` uses the module default (--trans_origin).
     """
+    if trans_origin is None:
+        trans_origin = _DEFAULT_TRANS_ORIGIN
     dirs = camera_ray_dirs(H, W, focal * focal_scale)  # [H, W, 3]
     rays_d = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3], precision="highest")
     rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)

@@ -92,7 +92,7 @@ def main() -> None:
         learn_depth=bool(args.learn_depth),
         save_every=args.create_data_chunk, seed=args.seed,
         poses_per_batch=args.poses_per_batch,
-        quantize=args.quantize)
+        quantize=args.quantize, max_save=args.max_save)
 
     if args.create_data == "rand":
         from r2l_tpu.configs import parse_mesh_spec
