@@ -114,6 +114,26 @@ def load_dataset(args, logger):
     return ns
 
 
+def _resolve_steps_per_dispatch(args) -> int:
+    """--steps_per_dispatch, 0 = auto: 16 on TPU (each host dispatch
+    through this image's tunnel costs ~30x a small step's compute;
+    lax.scan-ing K steps per jit makes training compute-bound), 1
+    elsewhere (CPU tests keep the single-step path)."""
+    k = getattr(args, "steps_per_dispatch", 0)
+    if k > 0:
+        return k
+    return 16 if jax.default_backend() == "tpu" else 1
+
+
+def _next_event(i: int, periods, n_iters: int) -> int:
+    """Smallest upcoming iteration at which any periodic event fires."""
+    nxt = n_iters
+    for p in periods:
+        if p and p > 0:
+            nxt = min(nxt, (i // p + 1) * p)
+    return max(nxt, i + 1)
+
+
 def _render_downsample(args, H, W, focal):
     if args.render_factor and args.render_factor > 0:
         f = args.render_factor
@@ -471,13 +491,18 @@ def run_distill(args, ns, logger):
         state = state._replace(opt_state=tx.init(state.params))
     if start > 0:
         state = state._replace(step=jnp.asarray(start, jnp.int32))
+    _step_cache: dict = {}
     if images_mode:
-        from .train import make_distill_step_images
-        step_fn = make_distill_step_images(
-            cfg, dcfg, sampler, tx, ns.H, ns.W, ns.focal,
-            precrop_iters=args.precrop_iters,
-            precrop_frac=args.precrop_frac,
-            select_pixel_mode=args.select_pixel_mode, ndc=ns.ndc)
+        def step_k(k: int):
+            if k not in _step_cache:
+                from .train import make_distill_step_images
+                _step_cache[k] = make_distill_step_images(
+                    cfg, dcfg, sampler, tx, ns.H, ns.W, ns.focal,
+                    precrop_iters=args.precrop_iters,
+                    precrop_frac=args.precrop_frac,
+                    select_pixel_mode=args.select_pixel_mode, ndc=ns.ndc,
+                    scan_steps=k)
+            return _step_cache[k]
     else:
         fused_vjp = bool(args.fused_train_vjp and mesh is None
                          and not args.plucker
@@ -489,8 +514,13 @@ def run_distill(args, ns, logger):
                          "device, non-Plücker rays, netwidth % 128 == 0 "
                          "and the canonical 2-layer resmlp body — using "
                          "the XLA step.")
-        step_fn = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh,
-                                    fused_vjp=fused_vjp)
+
+        def step_k(k: int):
+            if k not in _step_cache:
+                _step_cache[k] = make_distill_step(
+                    cfg, dcfg, sampler, tx, mesh=mesh,
+                    fused_vjp=fused_vjp, scan_steps=k)
+            return _step_cache[k]
 
     # Eval renderer rebuilt whenever params change materially (cheap jit
     # cache; params are donated so pass them explicitly).
@@ -517,19 +547,50 @@ def run_distill(args, ns, logger):
     key = jax.random.key(args.seed + 1)
 
     n_pseudo_img, n_seen_img = 0, 0
-    for i in range(start + 1, args.N_iters + 1):
-        key, sub = jax.random.split(key)
+    K = _resolve_steps_per_dispatch(args)
+    if batch_shd is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_shd_k = NamedSharding(mesh, P(None, "data"))
+    i = start
+    while i < args.N_iters:
+        k = min(K, _next_event(i, (args.i_print, args.i_img,
+                                   args.i_testset, args.i_weights,
+                                   args.i_video, args.i_update_data),
+                               args.N_iters) - i)
         if images_mode:
-            img, pose, is_pseudo = dataset.sample(frame_rng)
-            n_pseudo_img += int(is_pseudo)
-            n_seen_img += 1
-            state, metrics = step_fn(state, jnp.asarray(img),
-                                     jnp.asarray(pose), sub)
+            imgs, poses_b = [], []
+            for _ in range(k):
+                img, pose, is_pseudo = dataset.sample(frame_rng)
+                n_pseudo_img += int(is_pseudo)
+                n_seen_img += 1
+                imgs.append(np.asarray(img))
+                poses_b.append(np.asarray(pose))
+            if k == 1:
+                key, sub = jax.random.split(key)
+                state, metrics = step_k(1)(state, jnp.asarray(imgs[0]),
+                                           jnp.asarray(poses_b[0]), sub)
+            else:
+                state, ms, key = step_k(k)(state,
+                                           jnp.asarray(np.stack(imgs)),
+                                           jnp.asarray(np.stack(poses_b)),
+                                           key)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
         else:
-            batch = next(loader)
-            batch = (jax.device_put(batch, batch_shd)
-                     if batch_shd is not None else jnp.asarray(batch))
-            state, metrics = step_fn(state, batch, sub)
+            if k == 1:
+                batch = next(loader)
+                batch = (jax.device_put(batch, batch_shd)
+                         if batch_shd is not None else jnp.asarray(batch))
+                key, sub = jax.random.split(key)
+                state, metrics = step_k(1)(state, batch, sub)
+            else:
+                batches = np.stack([np.asarray(next(loader))
+                                    for _ in range(k)])
+                batches = (jax.device_put(batches, batch_shd_k)
+                           if batch_shd is not None
+                           else jnp.asarray(batches))
+                state, ms, key = step_k(k)(state, batches, key)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
+        i += k
 
         if i % args.i_print == 0:
             loss = lossline.update("loss", float(metrics["loss"]))
@@ -655,14 +716,25 @@ def run_teacher_train(args, ns, logger):
             from .parallel import batch_sharding
             ray_pool = jax.device_put(ray_pool, batch_sharding(mesh))
         logger.print(f"use_batching: ray pool {ray_pool.shape}")
-        step_fn_b = make_teacher_step_batched(ncfg, vcfg, tcfg, tx,
-                                              ncfg_fine=ncfg_fine,
-                                              mesh=mesh)
-    else:
-        step_fn = make_teacher_step(ncfg, vcfg, tcfg, tx,
-                                    ns.H, ns.W, ns.focal,
-                                    ncfg_fine=ncfg_fine, ndc=ns.ndc,
-                                    mesh=mesh)
+
+    # Step builders cached per scan length (k varies near event/epoch
+    # boundaries; the persistent compile cache amortizes variants).
+    _cache_b: dict = {}
+    _cache_i: dict = {}
+
+    def step_k_b(k: int):
+        if k not in _cache_b:
+            from .train import make_teacher_step_batched as _mk
+            _cache_b[k] = _mk(ncfg, vcfg, tcfg, tx, ncfg_fine=ncfg_fine,
+                              mesh=mesh, scan_steps=k)
+        return _cache_b[k]
+
+    def step_k_i(k: int):
+        if k not in _cache_i:
+            _cache_i[k] = make_teacher_step(
+                ncfg, vcfg, tcfg, tx, ns.H, ns.W, ns.focal,
+                ncfg_fine=ncfg_fine, ndc=ns.ndc, mesh=mesh, scan_steps=k)
+        return _cache_i[k]
 
     images = jnp.asarray(ns.images[ns.i_train])
     poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
@@ -687,12 +759,27 @@ def run_teacher_train(args, ns, logger):
             perturb_test=args.perturb_test > 0,
             use_pallas=args.use_pallas)
 
-    for i in range(start + 1, args.N_iters + 1):
-        key, sub = jax.random.split(key)
+    K = _resolve_steps_per_dispatch(args)
+    i = start
+    while i < args.N_iters:
+        # Chunk up to K steps into one dispatch, never crossing an event
+        # boundary (print/eval/video/ckpt) or the epoch wrap.
+        k = min(K, _next_event(i, (args.i_print, args.i_img,
+                                   args.i_testset, args.i_video,
+                                   args.i_weights), args.N_iters) - i)
         if use_batching:
-            state, metrics = step_fn_b(state, ray_pool,
-                                       jnp.asarray(i_batch, jnp.int32), sub)
-            i_batch += args.N_rand
+            k = max(1, min(k, (ray_pool.shape[0] - i_batch)
+                           // args.N_rand))
+            fn = step_k_b(k)
+            if k == 1:
+                key, sub = jax.random.split(key)
+                state, metrics = fn(state, ray_pool,
+                                    jnp.asarray(i_batch, jnp.int32), sub)
+            else:
+                state, ms, key = fn(state, ray_pool,
+                                    jnp.asarray(i_batch, jnp.int32), key)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
+            i_batch += k * args.N_rand
             if i_batch + args.N_rand > ray_pool.shape[0]:
                 # Epoch exhausted: reshuffle the global ray pool
                 # (reference `main.py:1204-1209`).
@@ -708,7 +795,14 @@ def run_teacher_train(args, ns, logger):
                                               batch_sharding(mesh))
                 i_batch = 0
         else:
-            state, metrics = step_fn(state, images, poses, sub)
+            fn = step_k_i(k)
+            if k == 1:
+                key, sub = jax.random.split(key)
+                state, metrics = fn(state, images, poses, sub)
+            else:
+                state, ms, key = fn(state, images, poses, key)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
+        i += k
         if i % args.i_print == 0:
             loss = lossline.update("loss", float(metrics["loss"]))
             psnr = lossline.update("psnr", float(metrics["psnr"]))

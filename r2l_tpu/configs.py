@@ -240,6 +240,11 @@ def build_parser() -> argparse.ArgumentParser:
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')
+    add('--steps_per_dispatch', type=int, default=0,
+        help='train K optimizer steps inside ONE jitted lax.scan per '
+             'device dispatch (0 = auto: 16 on TPU, 1 elsewhere). '
+             'Amortizes host-dispatch latency; bit-identical to the '
+             'per-iter loop (same key chain)')
     add('--platform', type=str, default='auto',
         choices=['auto', 'cpu', 'tpu'],
         help="force the JAX backend: 'cpu' runs the whole CLI on host "

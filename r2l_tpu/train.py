@@ -224,11 +224,73 @@ def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
     return new_state, metrics
 
 
+def _maybe_scan(step, n: int, mode: str, stride: int = 0):
+    """Jit ``step``, or — when ``n > 1`` — a ``lax.scan`` of n steps per
+    dispatch.
+
+    Through this image's device tunnel a dispatch costs ~30x the actual
+    step compute for small scenes (per-iter host round trips: key split,
+    arg transfer, step). Scanning n optimizer steps inside ONE jit makes
+    the loop compute-bound (TPU-native: keep control flow on device,
+    `lax.scan` not Python). The in-scan key chain replicates the host
+    loop exactly (``key, sub = split(key)`` once per step) so training
+    is bit-identical to the per-iter dispatch path; the final key is
+    returned for the host to continue the chain. Metrics come back
+    stacked [n].
+
+    Scanned signatures (state donated):
+      teacher_batched: (state, ray_pool, offset, key)
+                       -> (state, metrics[n], key)   offset += stride/step
+      teacher_images:  (state, images, poses, key) -> (state, metrics[n], key)
+      distill:         (state, batches [n, B, D], key) -> ...
+      distill_images:  (state, images [n, H, W, 3], poses [n, 3, 4], key)
+    """
+    if n <= 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def body_of(per_step):
+        def body(carry, x):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, m = per_step(state, x, sub)
+            return (state, key), m
+        return body
+
+    if mode == "teacher_batched":
+        def scan_fn(state, ray_pool, offset, key):
+            body = body_of(lambda s, j, k: step(
+                s, ray_pool, offset + j * stride, k))
+            (state, key), ms = jax.lax.scan(
+                body, (state, key), jnp.arange(n))
+            return state, ms, key
+    elif mode == "teacher_images":
+        def scan_fn(state, images, poses, key):
+            body = body_of(lambda s, _, k: step(s, images, poses, k))
+            (state, key), ms = jax.lax.scan(
+                body, (state, key), jnp.arange(n))
+            return state, ms, key
+    elif mode == "distill":
+        def scan_fn(state, batches, key):
+            body = body_of(lambda s, b, k: step(s, b, k))
+            (state, key), ms = jax.lax.scan(body, (state, key), batches)
+            return state, ms, key
+    elif mode == "distill_images":
+        def scan_fn(state, images, poses, key):
+            body = body_of(lambda s, ip, k: step(s, ip[0], ip[1], k))
+            (state, key), ms = jax.lax.scan(
+                body, (state, key), (images, poses))
+            return state, ms, key
+    else:
+        raise ValueError(mode)
+    return jax.jit(scan_fn, donate_argnums=(0,))
+
+
 def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       sampler: PointSampler,
                       tx: optax.GradientTransformation, mesh=None,
                       fused_vjp: bool = False, fused_tile: int = 512,
-                      fused_group_blocks: int = 4):
+                      fused_group_blocks: int = 4,
+                      scan_steps: int = 1):
     """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
@@ -257,7 +319,7 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                              n_fresh=dcfg.batch_size - dcfg.n_hard_out,
                              mesh=mesh, fused_apply=fused_apply)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return _maybe_scan(step, scan_steps, "distill")
 
 
 def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
@@ -267,7 +329,7 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
                              precrop_iters: int = 0,
                              precrop_frac: float = 0.5,
                              select_pixel_mode: str = "rand_pixel",
-                             ndc: bool = False):
+                             ndc: bool = False, scan_steps: int = 1):
     """Distillation step for ``--data_mode images`` (reference
     `main.py:1267-1302`): one (image, pose) per iter; N_rand pixels are
     selected ON DEVICE (central precrop early, rand_pixel or rand_patch),
@@ -306,7 +368,7 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
         return _distill_core(state, fresh, k_core, cfg, dcfg, sampler, tx,
                              n_fresh=n_fresh)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return _maybe_scan(step, scan_steps, "distill_images")
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +418,7 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                               tcfg: TeacherTrainConfig,
                               tx: optax.GradientTransformation,
                               ncfg_fine: NeRFConfig | None = None,
-                              mesh=None):
+                              mesh=None, scan_steps: int = 1):
     """Teacher step over a pre-shuffled global ray pool (the reference's
     ``use_batching`` mode, `main.py:1135-1162,1199-1209`): rays live on
     device as one [N, 9] array; each step takes the ``n_rand`` slice at
@@ -390,7 +452,8 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                                  state.step + 1)
         return new_state, {"loss": loss, "psnr": -10.0 * jnp.log10(loss)}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return _maybe_scan(step, scan_steps, "teacher_batched",
+                       stride=tcfg.n_rand)
 
 
 def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
@@ -398,7 +461,7 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                       tx: optax.GradientTransformation,
                       H: int, W: int, focal: float,
                       ncfg_fine: NeRFConfig | None = None,
-                      ndc: bool = False, mesh=None):
+                      ndc: bool = False, mesh=None, scan_steps: int = 1):
     """Jitted teacher step over on-device images [N, H, W, 3] + poses.
 
     Per step: random training image, random pixel subset (central crop for
@@ -465,4 +528,4 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         return new_state, {"loss": loss,
                            "psnr": -10.0 * jnp.log10(loss)}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return _maybe_scan(step, scan_steps, "teacher_images")

@@ -328,3 +328,54 @@ def test_images_mode_reload_picks_up_new_packs(tmp_path):
     ds2 = ImageFrameDataset(real, poses, datadir_kd=kd, pseudo_ratio=-1,
                             mode="llff")
     assert ds2.n_pseudo == n0 + 5
+
+
+def test_teacher_steps_per_dispatch(tiny_scene, tmp_path):
+    """Chunked dispatch (--steps_per_dispatch) hits print/eval boundaries
+    exactly and saves at the right global step."""
+    exps = str(tmp_path / "ExpK")
+    train(parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--N_rand", "32", "--N_iters", "10", "--i_print", "5",
+        "--i_testset", "10", "--i_weights", "10",
+        "--steps_per_dispatch", "4",
+        "--experiment_name", "tk", "--experiments_dir", exps]))
+    meta = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "teacher.msgpack.meta.json":
+                meta = json.load(open(os.path.join(root, f)))
+    assert meta and meta["global_step"] == 10
+
+
+def test_distill_steps_per_dispatch(tiny_scene, tmp_path):
+    """Rays-mode distillation with scanned multi-step dispatch."""
+    exps = str(tmp_path / "ExpKD")
+    from r2l_tpu.app import load_dataset
+    from r2l_tpu.datagen import images_to_ray_records
+    from r2l_tpu.data.rayshards import write_ray_shards
+    from r2l_tpu.logging_ import Logger
+    common = COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "512", "--i_testset", "8", "--i_weights", "8",
+        "--i_print", "4", "--steps_per_dispatch", "3",
+        "--experiments_dir", exps]
+    args0 = parse_args(common + ["--experiment_name", "mk"])
+    lg = Logger("mk", experiments_dir=exps)
+    ns = load_dataset(args0, lg)
+    rays = images_to_ray_records(ns.images[ns.i_train],
+                                 ns.poses[ns.i_train], ns.H, ns.W, ns.focal)
+    raydir = str(tmp_path / "raysK")
+    write_ray_shards(raydir, rays, prefix="train")
+    train(parse_args(common + ["--N_iters", "8", "--datadir_kd", raydir,
+                               "--experiment_name", "kd"]))
+    metas = []
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "ckpt.msgpack.meta.json":
+                metas.append(json.load(open(os.path.join(root, f)))
+                             ["global_step"])
+    assert 8 in metas

@@ -114,3 +114,70 @@ def test_teacher_step_batched(key, rng):
 def test_optimizer_is_adam():
     tx = make_optimizer(5e-4, 250)
     assert tx is not None
+
+
+def test_scan_steps_distill_bit_identical(key, rng):
+    """scan_steps=k runs the SAME key chain as the host per-iter loop —
+    final params must match the single-step path exactly."""
+    cfg, dcfg, sampler, state1, step1 = _tiny_setup(key)
+    batches = [_fake_batch(rng, 64) for _ in range(6)]
+
+    # Host loop: key, sub = split(key) per iter.
+    k0 = jax.random.key(42)
+    kh = k0
+    for b in batches:
+        kh, sub = jax.random.split(kh)
+        state1, m1 = step1(state1, b, sub)
+
+    from r2l_tpu.train import make_distill_step
+    _, _, _, state2, _ = _tiny_setup(key)
+    scan3 = make_distill_step(cfg, dcfg, sampler,
+                              make_optimizer(dcfg.lrate, dcfg.lrate_decay),
+                              scan_steps=3)
+    ks = k0
+    state2, ms, ks = scan3(state2, jnp.stack(batches[:3]), ks)
+    state2, ms, ks = scan3(state2, jnp.stack(batches[3:]), ks)
+    assert ms["loss"].shape == (3,)
+    # key chain advanced identically
+    assert jnp.array_equal(jax.random.key_data(kh),
+                           jax.random.key_data(ks))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state1.params, state2.params)
+    assert int(state2.step) == 6
+
+
+def test_scan_steps_teacher_batched_matches(key, rng):
+    from r2l_tpu.train import make_teacher_step_batched
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=0, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=32)
+    pool = jnp.asarray(np.concatenate([
+        np.zeros((256, 3), np.float32),
+        rng.normal(size=(256, 3)).astype(np.float32),
+        rng.uniform(0, 1, (256, 3)).astype(np.float32)], axis=1))
+
+    state1, tx = init_teacher_state(pc, {}, tcfg)
+    step1 = make_teacher_step_batched(ncfg, vcfg, tcfg, tx)
+    k0 = jax.random.key(7)
+    kh = k0
+    for i in range(4):
+        kh, sub = jax.random.split(kh)
+        state1, _ = step1(state1, pool, jnp.asarray(i * 32, jnp.int32),
+                          sub)
+
+    # step1 donated state1's buffers (which alias pc) — re-init for run 2
+    pc2 = init_nerf(key, ncfg)
+    state2, tx2 = init_teacher_state(pc2, {}, tcfg)
+    scan4 = make_teacher_step_batched(ncfg, vcfg, tcfg, tx2, scan_steps=4)
+    state2, ms, ks = scan4(state2, pool, jnp.asarray(0, jnp.int32), k0)
+    assert ms["loss"].shape == (4,)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state1.params_coarse, state2.params_coarse)
+    assert int(state2.step) == 4
