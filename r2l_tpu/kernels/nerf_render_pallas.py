@@ -20,9 +20,9 @@ the head outputs, and the positional encoding collapses to one tiny
 [64, 3] @ [3, T] matmul plus a single sin() pass (cos(x) = sin(x + pi/2)
 via the bias column) — no transposes anywhere. Measured per canonical
 400^2 teacher frame on v5e (8x256 + skip, viewdirs, 64 coarse + 128
-fine, chunk 32768, exp/probe_teacher_int8.jsonl): 606 ms bf16, 561 ms
+fine, chunk 32768, exp/probe_teacher_int8.jsonl): 389 ms bf16, 287 ms
 static-scale int8 (the R2L int8 recipe: offline per-(layer, channel)
-activation scales absorbed into the weight quantization), vs 867 ms for
+activation scales absorbed into the weight quantization), vs 866 ms for
 the XLA schedule at the same config.
 
 Forward-only (datagen / evaluation; training keeps the XLA path for its
