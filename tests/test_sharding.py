@@ -166,3 +166,25 @@ def test_teacher_batched_step_shards_over_mesh(key):
     assert np.isfinite(float(m["loss"]))
     assert state.params_coarse["pts_linears"][0]["w"] \
         .sharding.is_fully_replicated
+
+
+def test_scanned_distill_step_on_mesh(key):
+    """scan_steps>1 under GSPMD: stacked batches sharded P(None, 'data'),
+    pool stays data-sharded, metrics stacked."""
+    from r2l_tpu.train import make_distill_step, make_optimizer
+    mesh = make_mesh({"data": 4, "model": 2})
+    cfg, dcfg, state, _ = _mk_distill(mesh, key)
+    from r2l_tpu.sampler import PointSampler
+    sampler = PointSampler(H=8, W=8, focal=8.0, n_sample=2,
+                           near=2.0, far=6.0)  # matches _mk_distill's cfg
+    scan2 = make_distill_step(cfg, dcfg, sampler,
+                              make_optimizer(dcfg.lrate, dcfg.lrate_decay),
+                              mesh=mesh, scan_steps=2)
+    fresh_n = dcfg.batch_size - dcfg.n_hard_out
+    batches = jax.device_put(
+        jax.random.normal(jax.random.key(1), (2, fresh_n, 9)),
+        NamedSharding(mesh, P(None, "data")))
+    state, ms, k2 = scan2(state, batches, jax.random.key(3))
+    assert ms["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
+    assert len(state.pool.rays.addressable_shards) == 8
