@@ -471,9 +471,8 @@ def run_distill(args, ns, logger):
                 ds, batch_size - n_hard_out, seed=seed,
                 pseudo_ratio_schedule=args.pseudo_ratio_schedule or None,
                 # --num_workers: the reference's DataLoader worker count
-                # (`main.py:792,804`); here the analog is the prefetch
-                # queue depth of the background loader thread.
-                prefetch=max(1, args.num_workers // 4))
+                # (`main.py:792,804`) -> assembly thread count here.
+                workers=max(1, args.num_workers))
 
         dataset, loader = make_loader(args.seed)
         record_dim = dataset.record_dim

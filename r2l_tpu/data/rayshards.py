@@ -135,33 +135,48 @@ class RayBatchLoader:
     """Infinite, background-prefetched batch iterator.
 
     Host-side replacement for the reference's worker-process DataLoader +
-    InfiniteSampler (`main.py:759-808`): one daemon thread keeps a small
-    queue of ready host batches; the train loop overlaps the next batch's
-    IO with the current step's device compute.
+    InfiniteSampler (`main.py:759-808`): ``workers`` daemon threads keep
+    a queue of ready host batches; the train loop overlaps batch IO with
+    device compute. numpy mmap reads/copies release the GIL, so threads
+    scale like the reference's worker processes (at canonical batch
+    81,920 one thread assembles ~25 batches/s — measured as the CLI
+    bottleneck at --steps_per_dispatch 16; see PERF.md).
+
+    ``workers=1`` keeps the single-rng deterministic batch sequence;
+    with more workers the batch ORDER is nondeterministic, exactly like
+    the reference's num_workers>0 DataLoader.
     """
 
     def __init__(self, dataset: RayShardDataset, batch_size: int,
                  seed: int = 0, chunk: int = 4096,
                  pseudo_ratio_schedule: str | None = None,
-                 prefetch: int = 2):
+                 prefetch: int | None = None, workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.chunk = chunk
         self.schedule = pseudo_ratio_schedule
-        self._rng = np.random.default_rng(seed)
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        workers = max(1, workers)
+        self._q: queue.Queue = queue.Queue(
+            maxsize=prefetch if prefetch is not None else 2 * workers)
         self._step = 0
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._worker,
+                             args=(np.random.default_rng(seed + 7919 * w),),
+                             daemon=True)
+            for w in range(workers)]
+        for t in self._threads:
+            t.start()
 
-    def _worker(self):
+    def _worker(self, rng: np.random.Generator):
         while not self._stop.is_set():
             pr = None
             if self.schedule:
+                # Workers see the consumer step with prefetch skew — the
+                # same approximation as the reference's worker processes.
                 pr = get_pseudo_ratio(self.schedule, self._step)
             batch = self.dataset.sample_batch(
-                self._rng, self.batch_size, self.chunk, pseudo_ratio=pr)
+                rng, self.batch_size, self.chunk, pseudo_ratio=pr)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)
