@@ -464,7 +464,7 @@ def run_distill(args, ns, logger):
                      f"{dataset.n_pseudo} pseudo frames, "
                      f"{batch_size} pixels/step")
     else:
-        def make_loader(seed):
+        def make_loader(seed, step0=0):
             ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
                                  hold_ratio=args.pseudo_data_hold_ratio)
             return ds, RayBatchLoader(
@@ -472,9 +472,9 @@ def run_distill(args, ns, logger):
                 pseudo_ratio_schedule=args.pseudo_ratio_schedule or None,
                 # --num_workers: the reference's DataLoader worker count
                 # (`main.py:792,804`) -> assembly thread count here.
-                workers=max(1, args.num_workers))
+                workers=args.num_workers, start_step=step0)
 
-        dataset, loader = make_loader(args.seed)
+        dataset, loader = make_loader(args.seed, start)
         record_dim = dataset.record_dim
         logger.print(f"ray dataset: {len(dataset)} rays "
                      f"({dataset.n_real} real / {dataset.n_pseudo} pseudo), "
@@ -660,7 +660,7 @@ def run_distill(args, ns, logger):
                              f"real + {dataset.n_pseudo} pseudo frames")
             else:
                 loader.close()
-                dataset, loader = make_loader(args.seed + i)
+                dataset, loader = make_loader(args.seed + i, i)
                 logger.print(f"reloaded ray dataset: {len(dataset)} rays")
 
     if loader is not None:

@@ -135,61 +135,92 @@ class RayBatchLoader:
     """Infinite, background-prefetched batch iterator.
 
     Host-side replacement for the reference's worker-process DataLoader +
-    InfiniteSampler (`main.py:759-808`): ``workers`` daemon threads keep
-    a queue of ready host batches; the train loop overlaps batch IO with
-    device compute. numpy mmap reads/copies release the GIL, so threads
-    scale like the reference's worker processes (at canonical batch
-    81,920 one thread assembles ~25 batches/s — measured as the CLI
-    bottleneck at --steps_per_dispatch 16; see PERF.md).
+    InfiniteSampler (`main.py:759-808`): ``workers`` daemon threads each
+    fill their OWN queue and the consumer round-robins across them —
+    batch order is a pure function of (seed, workers), deterministic
+    regardless of thread timing (like torch DataLoader's in-order worker
+    results), and ``workers=1`` reproduces the old single-rng sequence
+    exactly. numpy mmap reads/copies release the GIL, so threads scale
+    like the reference's worker processes (one thread capped the
+    canonical 81,920-ray CLI at ~25 batches/s; see PERF.md).
 
-    ``workers=1`` keeps the single-rng deterministic batch sequence;
-    with more workers the batch ORDER is nondeterministic, exactly like
-    the reference's num_workers>0 DataLoader.
+    ``start_step`` seats the pseudo-ratio schedule at the true global
+    iteration (checkpoint resume, --i_update_data reloads — reference
+    `main.py:811-828` uses the global step): worker w's k-th batch is
+    consumed at global step ``start_step + k*workers + w``, computed
+    exactly, no prefetch skew.
     """
 
     def __init__(self, dataset: RayShardDataset, batch_size: int,
                  seed: int = 0, chunk: int = 4096,
                  pseudo_ratio_schedule: str | None = None,
-                 prefetch: int | None = None, workers: int = 1):
+                 prefetch: int | None = None, workers: int = 1,
+                 start_step: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.chunk = chunk
         self.schedule = pseudo_ratio_schedule
-        workers = max(1, workers)
-        self._q: queue.Queue = queue.Queue(
-            maxsize=prefetch if prefetch is not None else 2 * workers)
-        self._step = 0
+        self._workers = max(1, workers)
+        depth = max(2, (prefetch if prefetch is not None
+                        else 2 * self._workers) // self._workers)
+        self._queues = [queue.Queue(maxsize=depth)
+                        for _ in range(self._workers)]
+        self._next_q = 0
+        self._start = start_step
         self._stop = threading.Event()
+        self._errors: list[BaseException] = []
         self._threads = [
             threading.Thread(target=self._worker,
-                             args=(np.random.default_rng(seed + 7919 * w),),
+                             args=(w, np.random.default_rng(
+                                 seed + 7919 * w)),
                              daemon=True)
-            for w in range(workers)]
+            for w in range(self._workers)]
         for t in self._threads:
             t.start()
 
-    def _worker(self, rng: np.random.Generator):
-        while not self._stop.is_set():
-            pr = None
-            if self.schedule:
-                # Workers see the consumer step with prefetch skew — the
-                # same approximation as the reference's worker processes.
-                pr = get_pseudo_ratio(self.schedule, self._step)
-            batch = self.dataset.sample_batch(
-                rng, self.batch_size, self.chunk, pseudo_ratio=pr)
+    def _worker(self, w: int, rng: np.random.Generator):
+        try:
+            k = 0
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                pr = None
+                if self.schedule:
+                    step = self._start + k * self._workers + w
+                    pr = get_pseudo_ratio(self.schedule, step)
+                batch = self.dataset.sample_batch(
+                    rng, self.batch_size, self.chunk, pseudo_ratio=pr)
+                k += 1
+                while not self._stop.is_set():
+                    try:
+                        self._queues[w].put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface to the consumer
+            self._errors.append(e)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         return self
 
     def __next__(self) -> np.ndarray:
-        self._step += 1
-        return self._q.get()
+        q = self._queues[self._next_q]
+        while True:
+            if self._errors:
+                raise RuntimeError(
+                    "ray batch loader worker failed") from self._errors[0]
+            try:
+                batch = q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                continue
+        self._next_q = (self._next_q + 1) % self._workers
+        return batch
 
     def close(self):
         self._stop.set()
+        for q in self._queues:  # unblock any put-waiting worker
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)

@@ -170,3 +170,60 @@ def test_spiral_pseudo_images(tmp_path, key):
     assert imgs.shape == (4, 8, 8, 3)
     poses = np.load(tmp_path / f.replace("pseudo_images_", "pseudo_poses_"))
     assert poses.shape[0] == 4
+
+
+def test_ray_batch_loader_multiworker(tmp_path):
+    """workers>1: all batches well-formed, stop() joins cleanly."""
+    import numpy as np
+    from r2l_tpu.data.rayshards import (RayBatchLoader, RayShardDataset,
+                                        write_ray_shards)
+    rng = np.random.default_rng(0)
+    rays = rng.uniform(0, 1, (4096 * 3, 9)).astype(np.float32)
+    write_ray_shards(str(tmp_path), rays, prefix="pseudo")
+    ds = RayShardDataset(str(tmp_path))
+    loader = RayBatchLoader(ds, batch_size=512, workers=4)
+    for _ in range(12):
+        b = next(loader)
+        assert b.shape == (512, 9) and np.isfinite(b).all()
+    loader.close()
+
+
+def test_ray_batch_loader_deterministic_order(tmp_path):
+    """Batch sequence is a pure function of (seed, workers) — identical
+    across runs regardless of thread timing (round-robin queues)."""
+    import numpy as np
+    from r2l_tpu.data.rayshards import (RayBatchLoader, RayShardDataset,
+                                        write_ray_shards)
+    rng = np.random.default_rng(0)
+    rays = rng.uniform(0, 1, (4096 * 3, 9)).astype(np.float32)
+    write_ray_shards(str(tmp_path), rays, prefix="pseudo")
+    ds = RayShardDataset(str(tmp_path))
+
+    def seq(workers):
+        loader = RayBatchLoader(ds, batch_size=256, seed=5,
+                                workers=workers)
+        out = [next(loader).copy() for _ in range(8)]
+        loader.close()
+        return out
+
+    a, b = seq(4), seq(4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_ray_batch_loader_worker_error_surfaces(tmp_path):
+    """A worker exception raises in the consumer instead of hanging."""
+    import numpy as np
+    import pytest as _pytest
+    from r2l_tpu.data.rayshards import (RayBatchLoader, RayShardDataset,
+                                        write_ray_shards)
+    rng = np.random.default_rng(0)
+    rays = rng.uniform(0, 1, (4096, 9)).astype(np.float32)
+    write_ray_shards(str(tmp_path), rays, prefix="pseudo")
+    ds = RayShardDataset(str(tmp_path))
+    loader = RayBatchLoader(ds, batch_size=64, workers=2,
+                            pseudo_ratio_schedule="not-a-schedule")
+    with _pytest.raises(RuntimeError, match="worker failed"):
+        for _ in range(4):
+            next(loader)
+    loader.close()
