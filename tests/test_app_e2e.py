@@ -379,3 +379,83 @@ def test_distill_steps_per_dispatch(tiny_scene, tmp_path):
                 metas.append(json.load(open(os.path.join(root, f)))
                              ["global_step"])
     assert 8 in metas
+
+
+def test_llff_cli_pipeline(tmp_path):
+    """LLFF end-to-end through the CLI: loader -> NDC teacher train ->
+    convert_rays (tools/create_data.py) -> rays-mode distill."""
+    import sys
+
+    import imageio.v2 as imageio
+
+    from tests.test_llff import _synthetic_poses
+
+    base = tmp_path / "scene"
+    (base / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n, H, W = 6, 16, 16
+    poses_bounds = []
+    for k in range(n):
+        img = (rng.uniform(0, 255, (H * 4, W * 4, 3))).astype(np.uint8)
+        imageio.imwrite(str(base / "images" / f"img_{k:03d}.png"), img)
+        m = _synthetic_poses(n=1, r=3.0, hwf=(H * 4, W * 4, 100.0))[0]
+        llff = np.concatenate([-m[:, 1:2], m[:, 0:1], m[:, 2:]], 1)
+        poses_bounds.append(np.concatenate([llff.reshape(-1), [2.0, 8.0]]))
+    np.save(base / "poses_bounds.npy", np.stack(poses_bounds))
+
+    exps = str(tmp_path / "Exp")
+    common = ("--dataset_type llff --factor 4 --llffhold 3 --testskip 1 "
+              "--i_print 2 --chunk 256").split()
+    train(parse_args(common + [
+        "--model_name", "nerf", "--datadir", str(base),
+        "--N_samples", "4", "--N_importance", "0", "--N_rand", "64",
+        "--N_iters", "3", "--i_testset", "3", "--i_weights", "3",
+        "--raw_noise_std", "1.0",
+        "--experiment_name", "lt", "--experiments_dir", exps]))
+
+    # CLI ray conversion (the reference's convert_original_data_to_rays_llff)
+    raydir = str(tmp_path / "rays")
+    import tools.create_data as cd
+    argv = sys.argv
+    try:
+        sys.argv = ["create_data.py"] + common + [
+            "--model_name", "nerf", "--datadir", str(base),
+            "--create_data", "convert_rays", "--datadir_kd", raydir,
+            "--experiment_name", "lc", "--experiments_dir", exps]
+        cd.main()
+    finally:
+        sys.argv = argv
+    assert any(f.startswith("train_") for f in os.listdir(raydir))
+
+    train(parse_args(common + [
+        "--model_name", "R2L", "--datadir", str(base),
+        "--data_mode", "rays", "--datadir_kd", raydir,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "256", "--N_iters", "4", "--i_testset", "4",
+        "--i_weights", "4",
+        "--experiment_name", "ld", "--experiments_dir", exps]))
+    found = False
+    for root, _, files in os.walk(exps):
+        found |= "ckpt_best.msgpack" in files
+    assert found
+
+
+def test_deepvoxels_cli_teacher_train(tmp_path):
+    """deepvoxels dataset_type through the CLI train path (hemisphere
+    near/far defaults, shape_scene dir layout)."""
+    from tests.test_deepvoxels import _make_scene
+    base = str(tmp_path / "dv")
+    _make_scene(base)
+    exps = str(tmp_path / "Exp")
+    train(parse_args([
+        "--dataset_type", "deepvoxels", "--shape", "greek",
+        "--datadir", base, "--testskip", "4",
+        "--model_name", "nerf", "--N_samples", "4", "--N_importance", "0",
+        "--N_rand", "32", "--N_iters", "2", "--i_print", "1",
+        "--i_testset", "1000", "--i_weights", "2", "--chunk", "256",
+        "--experiment_name", "dv", "--experiments_dir", exps]))
+    found = False
+    for root, _, files in os.walk(exps):
+        found |= "teacher.msgpack" in files
+    assert found
