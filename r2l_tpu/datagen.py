@@ -44,7 +44,7 @@ class DataGenConfig:
     #                                 the ~30 ms tunnel RTT per call)
     use_pallas: bool = True         # fully-fused volumetric Pallas pass
     #                                 (sampling+PE+MLP+compositing in
-    #                                 VMEM; 389 vs 866 ms/frame on v5e,
+    #                                 VMEM; 322 vs 866 ms/frame on v5e,
     #                                 exp/probe_teacher_int8.jsonl —
     #                                 auto-falls back when
     #                                 raw_noise_std > 0)
@@ -86,7 +86,7 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         batch_shd = batch_sharding(mesh)
 
     # Fully-fused volumetric Pallas pass on TPU (sampling + PE + MLP +
-    # compositing in VMEM; 389 vs 866 ms per canonical frame,
+    # compositing in VMEM; 322 vs 866 ms per canonical frame,
     # exp/probe_teacher_int8.jsonl). Requires a zero sigma-noise regularizer —
     # blender datagen always qualifies; LLFF configs with
     # raw_noise_std=1.0 fall back to the XLA schedule for parity.

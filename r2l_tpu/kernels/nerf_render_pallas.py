@@ -16,11 +16,12 @@ everywhere, matmuls as w.T @ x). A first-generation row-major kernel
 [T,1] <-> [1,T] relayouts and 128-lane-padded epilogues; in the
 transposed layout every per-ray scalar (z, dist, alpha, transmittance,
 weights) is a NATIVE [1, T] row, sigma/rgb are static sublane slices of
-the head outputs, and the positional encoding collapses to one tiny
-[64, 3] @ [3, T] matmul plus a single sin() pass (cos(x) = sin(x + pi/2)
-via the bias column) — no transposes anywhere. Measured per canonical
-400^2 teacher frame on v5e (8x256 + skip, viewdirs, 64 coarse + 128
-fine, chunk 32768, exp/probe_teacher_int8.jsonl): 389 ms bf16, 287 ms
+the head outputs, and the positional encoding runs as a
+sin/cos double-angle ladder (2 transcendental passes on [3, T] + L-1
+doubling recurrences; a matmul+sin fallback via pe_ladder=False) — no
+transposes anywhere. Measured per canonical 400^2 teacher frame on v5e
+(8x256 + skip, viewdirs, 64 coarse + 128 fine, chunk 32768,
+exp/probe_teacher_int8.jsonl): 321.6 ms bf16, 229.1 ms
 static-scale int8 (the R2L int8 recipe: offline per-(layer, channel)
 activation scales absorbed into the weight quantization), vs 866 ms for
 the XLA schedule at the same config.
@@ -294,12 +295,12 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "L_pts", "L_views",
                                              "white_bkgd", "tile", "int8",
-                                             "interpret"))
+                                             "pe_ladder", "interpret"))
 def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                         rays_o: Array, rays_d: Array, z_vals: Array,
                         L_pts: int = 10, L_views: int = 4,
                         white_bkgd: bool = False, tile: int = 2048,
-                        int8: bool = False,
+                        int8: bool = False, pe_ladder: bool = True,
                         interpret: bool | None = None):
     """Transposed-layout volumetric pass; same contract as
     ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S])."""
@@ -364,17 +365,36 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                           precision=prec)
             return acc + b_r[...]
 
-        def embed_t(p3, A, bias, inv):
-            """[3,T] -> [8 + rows8, T] PE block ([p|sin(Ap+b)])."""
-            # Always full-precision: y feeds sin() at octaves up to 2^(L-1);
-            # a bf16-rounded product is a phase error of up to |p|·2^(L-10)
-            # radians. K=3, so the cost is nil.
-            y = jnp.dot(A[...].astype(jnp.float32), p3,
-                        preferred_element_type=jnp.float32,
-                        precision="highest") + bias[...]
-            sc = jnp.sin(y)
-            xx = jnp.concatenate(
-                [p3, jnp.zeros((5, p3.shape[1]), jnp.float32), sc], axis=0)
+        def embed_t(p3, A, bias, L, inv):
+            """[3,T] -> [8 + rows8, T] PE block ([p|sin f0|cos f0|...])."""
+            T = p3.shape[1]
+            if pe_ladder:
+                # sin/cos double-angle ladder: 2 transcendental passes on
+                # [3,T] + (L-1) doubling recurrences instead of one sin()
+                # over [6L,T] (~10x fewer transcendentals; error ~2^L ulp,
+                # the same bound the student kernel ships — PERF.md).
+                s, c = jnp.sin(p3), jnp.cos(p3)
+                parts = [p3, jnp.zeros((5, T), jnp.float32)]
+                for jj in range(L):
+                    parts += [s, c]
+                    if jj + 1 < L:
+                        s, c = 2.0 * s * c, (c - s) * (c + s)
+                pad = _round_up(6 * L, 8) - 6 * L
+                if pad:
+                    parts.append(jnp.zeros((pad, T), jnp.float32))
+                xx = jnp.concatenate(parts, axis=0)
+            else:
+                # One [rows8,3]@[3,T] matmul + a single sin() pass
+                # (cos(x) = sin(x + pi/2) via the bias column). Always
+                # full-precision: y feeds sin() at octaves up to 2^(L-1);
+                # a bf16-rounded product is a phase error of up to
+                # |p|·2^(L-10) radians. K=3, so the cost is nil.
+                y = jnp.dot(A[...].astype(jnp.float32), p3,
+                            preferred_element_type=jnp.float32,
+                            precision="highest") + bias[...]
+                sc = jnp.sin(y)
+                xx = jnp.concatenate(
+                    [p3, jnp.zeros((5, T), jnp.float32), sc], axis=0)
             if int8:
                 return q8r(xx, inv)
             return xx.astype(cd)
@@ -386,7 +406,7 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
             if cfg.use_viewdirs:
                 vd = d3 / jnp.maximum(d_norm, 1e-12)
                 inv_v = hv_inv[...][W:, :] if int8 else None
-                views_ref[...] = embed_t(vd, Av, bv, inv_v)
+                views_ref[...] = embed_t(vd, Av, bv, L_views, inv_v)
 
         r = j % 8
         z_i = z_ref[pl.ds(r, 1), :]                      # [1, T]
@@ -394,7 +414,7 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
         dist = (z_n - z_i) * d_norm
 
         p3 = ro_ref[0:3, :] + d3 * z_i                   # [3, T]
-        xq = embed_t(p3, Ap, bp,
+        xq = embed_t(p3, Ap, bp, L_pts,
                      pinv[0][...] if int8 else None)     # [k_pts, T]
 
         h = jnp.maximum(mmT(pw[0], xq, pm[0], pb[0]), 0.0)

@@ -214,7 +214,7 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
     Same contract as ``render_frame_nerf`` but each pass (coarse, fine)
     runs as ONE transposed-layout Pallas kernel per ray chunk — sampling,
     positional encoding, MLP and compositing all in VMEM, rays in lanes
-    (see kernels/nerf_render_pallas.py; measured 389 ms bf16 / 287 ms
+    (see kernels/nerf_render_pallas.py; measured 321.6 ms bf16 / 229.1 ms
     int8 vs the XLA schedule's 866 ms per canonical 400^2 teacher frame
     on v5e, exp/probe_teacher_int8.jsonl). Requires ``raw_noise_std ==
     0`` (the sigma-noise train

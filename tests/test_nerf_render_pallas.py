@@ -159,3 +159,33 @@ def test_render_frame_nerf_fused_matches_xla(key):
     for k in ("rgb", "acc", "depth"):
         d = np.abs(np.asarray(got[k]) - np.asarray(ref[k]))
         assert d.mean() < 1e-3 and d.max() < 5e-2, (k, d.mean(), d.max())
+
+
+@pytest.mark.parametrize("viewdirs", [True, False])
+def test_fused_render_t_pe_ladder_matches(key, viewdirs):
+    """sin/cos double-angle ladder PE == the matmul+sin PE (~2^L ulp)."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
+    Lp, Lv = 6, 3
+    cfg = NeRFConfig(
+        D=4, W=32, skips=(2,), use_viewdirs=viewdirs,
+        input_ch=nerf_embed_dim(3, Lp),
+        input_ch_views=nerf_embed_dim(3, Lv) if viewdirs else 0,
+        output_ch=5 if viewdirs else 4)
+    params = init_nerf(key, cfg)
+    fp = prepare_fused_nerf_t(params, cfg, Lp, Lv,
+                              weight_dtype=jnp.float32)
+    n, S = 20, 7
+    ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.key(2), (n, 3))
+    z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    out_l = fused_nerf_render_t(fp, cfg, ro, rd, z, L_pts=Lp, L_views=Lv,
+                                white_bkgd=True, tile=8, pe_ladder=True,
+                                interpret=True)
+    out_m = fused_nerf_render_t(fp, cfg, ro, rd, z, L_pts=Lp, L_views=Lv,
+                                white_bkgd=True, tile=8, pe_ladder=False,
+                                interpret=True)
+    for a, b in zip(out_l[:3], out_m[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
