@@ -68,10 +68,10 @@ def _embed_f32(p, L: int):
 # ~335 ms its own matmul chain measures in isolation). In this layout every
 # per-ray scalar (z, dist, alpha, transmittance, weights) is a NATIVE [1,T]
 # row, sigma/rgb are static sublane slices of the head outputs, and the
-# positional encoding collapses to one tiny [64,3] @ [3,T] matmul plus a
-# single sin() pass (cos(x) = sin(x + pi/2) via the bias column) — no
-# transposes anywhere in the kernel. Outputs come back transposed and are
-# un-transposed once per frame in XLA.
+# positional encoding runs as a sin/cos double-angle ladder (matmul+sin
+# fallback behind pe_ladder=False) — no transposes anywhere in the
+# kernel. Outputs come back transposed and are un-transposed once per
+# frame in XLA.
 # ---------------------------------------------------------------------------
 
 
