@@ -21,7 +21,7 @@ sin/cos double-angle ladder (2 transcendental passes on [3, T] + L-1
 doubling recurrences; a matmul+sin fallback via pe_ladder=False) — no
 transposes anywhere. Measured per canonical 400^2 teacher frame on v5e
 (8x256 + skip, viewdirs, 64 coarse + 128 fine, chunk 32768,
-exp/probe_teacher_int8.jsonl): 321.6 ms bf16, 229.1 ms
+exp/probe_teacher_tile.jsonl, tile 4096): 316.9 ms bf16, 221.9 ms
 static-scale int8 (the R2L int8 recipe: offline per-(layer, channel)
 activation scales absorbed into the weight quantization), vs 866 ms for
 the XLA schedule at the same config.

@@ -206,7 +206,7 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                             rays_o: Array, rays_d: Array,
                             key: jax.Array | None = None,
                             ncfg_fine: NeRFConfig | None = None,
-                            tile: int = 2048,
+                            tile: int = 4096,
                             int8_calib: tuple | None = None
                             ) -> dict[str, Array]:
     """Fully-fused volumetric frame render (TPU fast path, forward-only).
@@ -214,8 +214,8 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
     Same contract as ``render_frame_nerf`` but each pass (coarse, fine)
     runs as ONE transposed-layout Pallas kernel per ray chunk — sampling,
     positional encoding, MLP and compositing all in VMEM, rays in lanes
-    (see kernels/nerf_render_pallas.py; measured 321.6 ms bf16 / 229.1 ms
-    int8 vs the XLA schedule's 866 ms per canonical 400^2 teacher frame
+    (see kernels/nerf_render_pallas.py; measured 316.9 ms bf16 / 221.9 ms
+    int8 (tile 4096) vs the XLA schedule's 866 ms per canonical 400^2 teacher frame
     on v5e, exp/probe_teacher_int8.jsonl). Requires ``raw_noise_std ==
     0`` (the sigma-noise train
     regularizer needs the XLA path); stratified z perturbation IS
