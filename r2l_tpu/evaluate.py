@@ -99,8 +99,17 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
         import sys
         print("WARNING: --quantize int8 is not implemented for Plücker "
               "inputs (the static-scale calibration assumes the sampled-"
-              "points PE layout) — falling back to the bf16 PE-fused "
-              "kernel.", file=sys.stderr)
+              "points PE layout) — falling back to "
+              + ("the bf16 PE-fused kernel." if use_pallas
+                 else "the plain XLA forward."), file=sys.stderr)
+    if quantize == "int8" and not use_pallas:
+        # int8 IS a Pallas kernel: an explicit --use_pallas 0 opt-out
+        # (e.g. debugging a kernel issue) must win over --quantize.
+        import sys
+        print("WARNING: --quantize int8 requires the Pallas kernel; "
+              "--use_pallas 0 was given — rendering with the plain XLA "
+              "forward instead.", file=sys.stderr)
+        quantize = ""
     if quantize == "int8" and not plucker:
         # Static-scale int8 (v5e 394 TOPS MXU rate): calibrate per-layer
         # per-channel activation ranges on sample_test rays from several
@@ -266,7 +275,7 @@ def render_path(frame_fn: Callable[[Array], Array],
     frames per jit, checksum readback) for honest latency numbers.
     """
     frames, mses, psnrs, ssims = [], [], [], []
-    t_total, n_timed = 0.0, 0
+    t_total, n_timed, t_first = 0.0, 0, 0.0
     for i, c2w in enumerate(poses):
         c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
         t0 = time.perf_counter()
@@ -275,6 +284,8 @@ def render_path(frame_fn: Callable[[Array], Array],
         if i > 0:  # skip compile
             t_total += time.perf_counter() - t0
             n_timed += 1
+        else:
+            t_first = time.perf_counter() - t0
         img_np = np.asarray(img, dtype=np.float32)
         frames.append(img_np)
 
@@ -301,6 +312,10 @@ def render_path(frame_fn: Callable[[Array], Array],
     result = EvalResult(frames=np.stack(frames))
     if n_timed:
         result.ms_per_frame = 1000.0 * t_total / n_timed
+    elif frames:
+        # single-pose render: fall back to the compile-inclusive first
+        # frame so callers formatting ms_per_frame never see None
+        result.ms_per_frame = 1000.0 * t_first
 
     if gt_images is not None and mses:
         result.per_frame_psnr = psnrs

@@ -75,5 +75,8 @@ def check_export(path: str, params: dict, cfg: R2LConfig,
     x = jax.random.normal(jax.random.key(0),
                           (sample_batch, cfg.input_dim), jnp.float32)
     got = np.asarray(restored.call(x))
-    want = np.asarray(apply_r2l(params, cfg, x))
+    # jit: eager apply_r2l would dispatch the 88-layer net op-by-op
+    # (~30 ms/call through this image's device tunnel)
+    want = np.asarray(jax.jit(
+        lambda x: apply_r2l(params, cfg, x))(x))
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)

@@ -15,7 +15,7 @@ import os
 import subprocess
 import sys
 import time
-from datetime import datetime
+from datetime import datetime, timedelta
 
 
 def check_path(pattern: str) -> str:
@@ -42,7 +42,7 @@ class Timer:
     def __call__(self) -> str:
         self.marks.append(time.time())
         done = len(self.marks)
-        if done == 0 or self.total <= 0:
+        if self.total <= 0:
             return "unknown"
         per = (self.marks[-1] - self.t0) / done
         eta = per * (self.total - done)
@@ -155,28 +155,45 @@ class Logger:
             else:
                 root = os.path.join(experiments_dir,
                                     f"{self.name}-{resume_time_id}")
-            self.expid = os.path.basename(root).split("-", 1)[-1]
+            # Timestamp = the LAST two '-' segments (experiment names may
+            # themselves contain hyphens: 'lego-r2l-20260101-120000').
+            self.expid = "-".join(os.path.basename(root).rsplit("-", 2)[-2:])
         else:
             root, self.expid = os.path.join(
                 experiments_dir, f"{self.name}-{ts}"), ts
             if not main_process:
                 # Non-main ranks must nest under the MAIN process's run
                 # root (reference `logger.py:240-241`), not a sibling dir
-                # from their own clock second — wait briefly for the main
-                # rank to create the newest matching experiment dir.
+                # from their own clock second — wait for the main rank to
+                # create a FRESH matching dir (name timestamp no older
+                # than this process's start minus slack; a stale dir from
+                # a previous run must not be attached to). Falls back to
+                # the newest dir after ~10 s.
                 import re
                 import time as _time
-                pat = re.compile(re.escape(self.name) + r"-\d{8}-\d{6}$")
-                for _ in range(50):           # up to ~10 s
-                    cands = sorted(
-                        p for p in glob.glob(
-                            os.path.join(experiments_dir, f"{self.name}-*"))
-                        if pat.search(os.path.basename(p)))
-                    if cands:
-                        root = cands[-1]
-                        self.expid = os.path.basename(root).split("-", 1)[-1]
+                pat = re.compile(re.escape(self.name) + r"-(\d{8}-\d{6})$")
+                floor = (datetime.now() - timedelta(seconds=120)
+                         ).strftime("%Y%m%d-%H%M%S")
+
+                def newest(min_ts):
+                    best = None
+                    for p in glob.glob(os.path.join(
+                            experiments_dir, f"{self.name}-*")):
+                        m = pat.search(os.path.basename(p))
+                        if m and (min_ts is None or m.group(1) >= min_ts):
+                            if best is None or m.group(1) > best[1]:
+                                best = (p, m.group(1))
+                    return best
+
+                got = None
+                for _ in range(50):           # up to ~10 s for a fresh dir
+                    got = newest(floor)
+                    if got:
                         break
                     _time.sleep(0.2)
+                got = got or newest(None)     # last resort: newest overall
+                if got:
+                    root, self.expid = got
         self.exp_dir = root
         self.weights_dir = os.path.join(root, "weights")
         self.gen_img_dir = os.path.join(root, "gen_img")
@@ -206,8 +223,10 @@ class Logger:
     def _capture_environment(self, args):
         """Record invocation line, sorted args, git state
         (reference `logger.py:463-509`)."""
+        import shlex
         with open(os.path.join(self.log_dir, "script.sh"), "w") as f:
-            f.write("python " + " ".join(sys.argv) + "\n")
+            f.write("python " + " ".join(shlex.quote(a)
+                                         for a in sys.argv) + "\n")
         if args is not None:
             payload = {k: repr(v) for k, v in sorted(vars(args).items())}
             with open(os.path.join(self.log_dir, "args.json"), "w") as f:
