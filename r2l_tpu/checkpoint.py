@@ -21,7 +21,7 @@ import numpy as np
 from flax import serialization
 
 from .models.nerf import NeRFConfig
-from .models.r2l import R2LConfig, r2l_num_blocks
+from .models.r2l import R2LConfig
 
 
 # ---------------------------------------------------------------------------
@@ -37,8 +37,14 @@ def save_checkpoint(path: str, pytree: Any, meta: dict | None = None) -> None:
         f.write(serialization.to_bytes(host))
     os.replace(tmp, path)
     if meta is not None:
-        with open(path + ".meta.json", "w") as f:
+        # Atomic too: a crash mid-dump must not leave a truncated
+        # meta.json next to a valid checkpoint (--resume reads it). The
+        # params file replaces first, so the worst crash window leaves
+        # meta one save behind — never corrupt.
+        mtmp = path + ".meta.json.tmp"
+        with open(mtmp, "w") as f:
             json.dump(meta, f, indent=1)
+        os.replace(mtmp, path + ".meta.json")
 
 
 def load_checkpoint(path: str, target: Any = None) -> tuple[Any, dict]:
@@ -165,7 +171,9 @@ def infer_r2l_config_from_state_dict(state_dict: dict, **overrides) -> R2LConfig
     linear_tail = "tail.weight" in sd
     tail_w = sd["tail.weight" if linear_tail else "tail.0.weight"]
     kw = dict(input_dim=input_dim, netwidth=W, n_block=nb, n_learnable=nl,
-              netdepth=2 + 2 * nb, output_dim=int(tail_w.shape[0]),
+              # head + tail + nl learnables per block (nl != 2 exists:
+              # --trial.n_learnable; 2+2*nb would misreport those)
+              netdepth=2 + nl * nb, output_dim=int(tail_w.shape[0]),
               linear_tail=linear_tail)
     kw.update(overrides)
     return R2LConfig(**kw)

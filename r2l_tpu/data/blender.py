@@ -33,9 +33,12 @@ class BlenderData:
         return rgb * a + (1.0 - a)
 
     def black_bkgd_rgb(self) -> np.ndarray:
+        """Without --white_bkgd the reference keeps the RAW rgb channels
+        (`main.py:936-937`: images[..., :3] — NO alpha premultiply);
+        match it exactly so train/eval targets agree."""
         if self.images.shape[-1] == 3:
             return self.images
-        return self.images[..., :3] * self.images[..., 3:]
+        return self.images[..., :3]
 
 
 def _read_image(path: str) -> np.ndarray:
@@ -67,15 +70,21 @@ def load_blender_data(basedir: str, half_res: bool = False,
             imgs.append(_read_image(fname))
             poses.append(np.asarray(frame["transform_matrix"],
                                     dtype=np.float32))
-        all_imgs.append(np.stack(imgs) if imgs else
-                        np.zeros((0, 1, 1, 4), np.float32))
-        all_poses.append(np.stack(poses) if poses else
-                         np.zeros((0, 4, 4), np.float32))
+        all_imgs.append(np.stack(imgs) if imgs else None)
+        all_poses.append(np.stack(poses) if poses else None)
         counts.append(counts[-1] + len(frames))
 
     i_split = tuple(np.arange(counts[i], counts[i + 1]) for i in range(3))
-    imgs = np.concatenate(all_imgs, 0)
-    poses = np.concatenate(all_poses, 0)
+    # Empty splits: use a 0-length placeholder with the REAL H/W/C of
+    # the first non-empty split so concatenate succeeds.
+    shaped = [a for a in all_imgs if a is not None]
+    if not shaped:
+        raise ValueError(f"no frames in any split under {basedir}")
+    zi = np.zeros((0, *shaped[0].shape[1:]), np.float32)
+    zp = np.zeros((0, 4, 4), np.float32)
+    imgs = np.concatenate([a if a is not None else zi for a in all_imgs], 0)
+    poses = np.concatenate([p if p is not None else zp
+                            for p in all_poses], 0)
     H, W = imgs.shape[1:3]
 
     meta0 = metas["train"]
@@ -147,9 +156,11 @@ class ImageFrameDataset:
                     poses_p = np.asarray(np.load(path.replace(
                         "pseudo_images_", "pseudo_poses_")), np.float32)
                 elif name.endswith(".npz"):
-                    z = np.load(path)
-                    imgs = z["images"]      # eager (npz can't mmap)
-                    poses_p = np.asarray(z["poses"], np.float32)
+                    with np.load(path) as z:  # close the zip handle: a
+                        # reload-churned dataset must not leak one fd
+                        # per pack ('Too many open files')
+                        imgs = z["images"]  # eager (npz can't mmap)
+                        poses_p = np.asarray(z["poses"], np.float32)
                 else:
                     continue
                 self.p_imgs.append(imgs)

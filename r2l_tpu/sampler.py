@@ -13,7 +13,6 @@ Plücker 6-d alternative is also provided.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +36,19 @@ def stratify_z(key: jax.Array, z_vals: Array, shape_prefix: tuple[int, ...]) -> 
     `model/nerf_raybased.py:117-123` with an explicit key.
     """
     z = jnp.broadcast_to(z_vals, (*shape_prefix, z_vals.shape[-1]))
+    lower, upper = _strat_bounds(z)
+    t_rand = jax.random.uniform(key, z.shape, dtype=z.dtype)
+    return lower + (upper - lower) * t_rand
+
+
+def _strat_bounds(z: Array) -> tuple[Array, Array]:
+    """Per-bin [lower, upper] bounds for stratified jitter (reference
+    `model/nerf_raybased.py:117-123`); shared by per-ray and per-image
+    jitter so the bin construction cannot diverge."""
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
     lower = jnp.concatenate([z[..., :1], mids], axis=-1)
-    t_rand = jax.random.uniform(key, z.shape, dtype=z.dtype)
-    return lower + (upper - lower) * t_rand
+    return lower, upper
 
 
 def ray_points(rays_o: Array, rays_d: Array, z_vals: Array) -> Array:
@@ -112,9 +119,7 @@ class PointSampler:
         z = jnp.broadcast_to(self.z_vals,
                              (*rays_o.shape[:3], self.n_sample))
         if key is not None:
-            mids = 0.5 * (z[..., 1:] + z[..., :-1])
-            upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
-            lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+            lower, upper = _strat_bounds(z)
             t = jax.random.uniform(key, (n_img, 1, 1, 1), dtype=z.dtype)
             z = lower + (upper - lower) * t
         return ray_points(rays_o, rays_d, z)

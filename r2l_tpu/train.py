@@ -79,6 +79,22 @@ class DistillConfig:
     plucker: bool = False
     learn_depth: bool = False        # records carry a depth column
 
+    def __post_init__(self):
+        # sample_hard fills from the fresh batch until the pool is full
+        # and draws WITHOUT replacement from a batch_size*hard_mul pool,
+        # so these bounds are structural — violating them used to surface
+        # as an opaque jit broadcast error deep in tracing.
+        if self.n_hard_out > self.batch_size - self.n_hard_out:
+            raise ValueError(
+                f"hard out-count {self.n_hard_out} exceeds the fresh "
+                f"part of the batch ({self.batch_size - self.n_hard_out})"
+                " — use a hard out-ratio <= 0.5")
+        cap = max(int(self.batch_size * self.hard_mul), 1)
+        if self.n_hard_out > cap:
+            raise ValueError(
+                f"hard out-count {self.n_hard_out} exceeds the pool "
+                f"capacity {cap} (batch_size*hard_mul) — raise --hard_mul")
+
 
 def _patch_dims(H: int, W: int, n: int) -> tuple[int, int]:
     """Aspect-matched patch dimensions covering >= n pixels.
