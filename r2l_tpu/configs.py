@@ -20,6 +20,7 @@ Pallas toggle) — all optional with reference-faithful defaults.
 from __future__ import annotations
 
 import argparse
+import os
 import shlex
 import sys
 from typing import Sequence
@@ -307,10 +308,15 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
             if action is None:
                 raise SystemExit(f"unknown config key {k!r} in {known.config}")
             if isinstance(action, argparse._StoreFalseAction):
-                # store_false flags (e.g. no_rand_focal -> use_rand_focal):
-                # 'no_rand_focal = True' in a config file means the same
-                # as passing the flag, i.e. dest becomes False.
-                defaults[action.dest] = not _bool(v)
+                # store_false flags: 'no_rand_focal = True' (the FLAG
+                # name) means the same as passing the flag, i.e. dest
+                # becomes False — but 'use_rand_focal = True' (the DEST
+                # name, matched via the by_dest fallback) must be taken
+                # literally, not inverted.
+                if k in by_flag:
+                    defaults[action.dest] = not _bool(v)
+                else:
+                    defaults[action.dest] = _bool(v)
             elif action.const is True or isinstance(action.default, bool):
                 defaults[action.dest] = _bool(v)
             elif action.type is not None:
@@ -324,14 +330,20 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
 
 
 def _check_n_pose(n_pose):
-    """int string -> int; comma list -> list; 'none' -> None
-    (reference `option.py:366-373`)."""
+    """int string -> int; comma list -> list of ints (or 'mode:value'
+    strings); 'none' -> None (reference `option.py:366-373`). A bare
+    non-integer scalar ('40.0', '-5') is rejected HERE rather than as a
+    ValueError deep inside get_novel_poses."""
     if n_pose is None or str(n_pose).lower() == 'none':
         return None
     s = str(n_pose)
     if s.isdigit():
         return int(s)
-    return s.split(',')
+    if ',' not in s and ':' not in s:
+        raise SystemExit(
+            f"--n_pose_kd/--n_pose_video expects an int, a comma list "
+            f"like '4,2,1', or 'mode:value' items — got {s!r}")
+    return [int(p) if p.isdigit() else p for p in s.split(',')]
 
 
 def normalize_args(args: argparse.Namespace) -> argparse.Namespace:
@@ -382,7 +394,13 @@ _VESTIGIAL = {
 
 def _warn_vestigial(args) -> None:
     for flag, default in _VESTIGIAL.items():
-        if getattr(args, flag, default) != default:
+        val = getattr(args, flag, default)
+        if flag == 'basedir':
+            # path-normalize: './logs' == './logs/' (the generated scene
+            # configs write it without the trailing slash)
+            if os.path.normpath(str(val)) == os.path.normpath(str(default)):
+                continue
+        if val != default:
             print(f"WARNING: --{flag} is accepted for reference CLI parity "
                   f"but is vestigial (the reference never reads it) — "
                   f"it has NO effect.", file=sys.stderr)

@@ -29,7 +29,9 @@ class NeRFConfig:
     output_ch: int = 4
     skips: tuple[int, ...] = (4,)
     use_viewdirs: bool = True
-    precision: str = "highest"  # matmul precision (f32 operands)
+    precision: str = "high"  # matmul precision (f32 operands): 3-pass
+    #                          near-f32; "highest" is ~2x slower again
+    #                          on TPU MXUs. Matches the CLI default.
     compute_dtype: Any = jnp.float32  # bf16 halves HBM traffic (2x frame
     #                                   rate on v5e); raw outputs stay f32
 

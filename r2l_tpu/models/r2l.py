@@ -46,7 +46,12 @@ class R2LConfig:
     # reject the combination up front in configs.args_to_r2l_config).
     layerwise_widths: tuple = ()
     compute_dtype: Any = jnp.float32  # activation dtype (bf16 for speed)
-    precision: str = "highest"     # matmul precision ("default" = bf16 passes)
+    precision: str = "high"        # matmul precision for f32 operands
+    #                                ("default"=1-pass bf16, "high"=3-pass
+    #                                near-f32, "highest"=6-pass full f32 —
+    #                                ~300x slower than bf16 on v5e).
+    #                                Matches the CLI default; tests pin
+    #                                "highest" where exactness matters.
 
     @property
     def num_blocks(self) -> int:

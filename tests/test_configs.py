@@ -42,8 +42,13 @@ def test_hard_ratio_parsing():
 def test_n_pose_parsing():
     args = parse_args(["--n_pose_kd", "100", "--n_pose_video", "9,2,1"])
     assert args.n_pose_kd == 100
-    assert args.n_pose_video == ["9", "2", "1"]
+    assert args.n_pose_video == [9, 2, 1]
     assert parse_args(["--n_pose_kd", "None"]).n_pose_kd is None
+    # a bare non-integer scalar is a clean parse-time error, not a
+    # ValueError deep inside get_novel_poses
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        parse_args(["--n_pose_video", "40.0"])
 
 
 def test_video_tag_default():

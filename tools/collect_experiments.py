@@ -17,7 +17,11 @@ import os
 import re
 
 
-METRIC_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)[ =]([-+]?\d*\.?\d+(?:[eE][-+]?\d+)?)")
+# 'PSNR 25.3', 'PSNR=25.3', 'PSNR = 25.3', aligned multi-space — all
+# appear in reference-style logs (smilelogging 'name = value').
+METRIC_RE = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*[= ]\s*"
+    r"([-+]?\d*\.?\d+(?:[eE][-+]?\d+)?)")
 
 
 def parse_log(path: str, line_pattern: str) -> list[dict[str, float]]:

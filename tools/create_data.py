@@ -66,7 +66,8 @@ def main() -> None:
                                near=ns.near, far=ns.far)
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       (ns.H, ns.W, ns.focal) if ns.ndc
-                                      else None,
+                                      else None, ncfg_fine=ncfg_fine,
+                                      perturb_test=args.perturb_test > 0,
                                       use_pallas=args.use_pallas)
         res = render_path(frame_fn, ns.poses[ns.i_test],
                           gt_images=ns.images[ns.i_test],
@@ -74,8 +75,11 @@ def main() -> None:
         logger.print(f"teacher test PSNR {res.test_psnr:.4f}")
 
     if args.rm_existing_data and os.path.isdir(datadir_kd):
+        # npz too: rand_images/patches modes write .npz batches — stale
+        # old-teacher data must not survive an explicit wipe
         for f in os.listdir(datadir_kd):
-            if f.endswith(".npy") and not f.startswith("train_"):
+            if (f.endswith((".npy", ".npz"))
+                    and not f.startswith("train_")):
                 os.remove(os.path.join(datadir_kd, f))
 
     n_pose = args.n_pose_kd if args.n_pose_kd else 100
@@ -92,6 +96,7 @@ def main() -> None:
         learn_depth=bool(args.learn_depth),
         save_every=args.create_data_chunk, seed=args.seed,
         poses_per_batch=args.poses_per_batch,
+        use_pallas=args.use_pallas,
         quantize=args.quantize, max_save=args.max_save)
 
     if args.create_data == "rand":
