@@ -452,7 +452,11 @@ def args_to_r2l_config(args):
                              'MLP body only (trial.body_arch=mlp)')
     return R2LConfig(
         input_dim=input_dim,
-        output_dim=3 + (1 if args.learn_depth else 0),
+        # extra regression channels: scalar depth (1) or the surface
+        # point o + d*depth (3) — matches the datagen record layout
+        # (reference `create_data.py:832-836`)
+        output_dim=3 + {"": 0, "depth": 1,
+                        "surface": 3}[args.learn_depth or ""],
         netdepth=args.netdepth,
         netwidth=args.netwidth,
         n_block=getattr(trial, 'n_block', -1) if trial else -1,

@@ -36,7 +36,10 @@ class DataGenConfig:
     W: int = 400
     focal: float = 555.555
     use_rand_focal: bool = True     # focal x [1, 2) per pose (`:816-818`)
-    learn_depth: bool = False       # append depth column(s)
+    learn_depth: str | bool = ""    # '' | 'depth' (1 extra col) |
+    #                                 'surface' (o + d*depth, 3 cols —
+    #                                 reference `create_data.py:832-836`);
+    #                                 bool True == 'depth'
     save_every: int = 100           # poses per shard flush (--i_save)
     shard_size: int = 1 << 20
     seed: int = 0
@@ -74,7 +77,9 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     """
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
-    record_dim = 9 + (1 if gcfg.learn_depth else 0)
+    ld = ("depth" if gcfg.learn_depth is True
+          else (gcfg.learn_depth or ""))
+    record_dim = 9 + {"": 0, "depth": 1, "surface": 3}[ld]
     ppb = max(gcfg.poses_per_batch, 1)
 
     # Rays for a whole pose batch go through ONE jitted dispatch — the
@@ -102,17 +107,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # calibration — they MUST sample the identical pose/focal/NDC
     # distribution or the static scales calibrate on stale rays.
     def frame_rays(r) -> tuple[np.ndarray, np.ndarray]:
-        c2w = (pose_fn(r) if pose_fn is not None
-               else get_rand_pose(r, radius=radius))
-        focal = gcfg.focal
-        if gcfg.use_rand_focal:
-            focal = gcfg.focal * r.uniform(1.0, 2.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)))
-        if ndc:
-            from .rays import ndc_rays
-            ro, rd = ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
-        return (np.asarray(ro).reshape(-1, 3),
-                np.asarray(rd).reshape(-1, 3))
+        ro, rd = _pose_rays(r, gcfg, radius, pose_fn=pose_fn, ndc=ndc)
+        return ro.reshape(-1, 3), rd.reshape(-1, 3)
 
     int8_calib = None
     if gcfg.quantize == "int8" and not use_fused:
@@ -190,6 +186,7 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     done = 0
     while done < gcfg.n_pose:
         if writer_err:
+            writer_q.put(None)  # release the drained writer thread
             raise RuntimeError("pseudo-data writer failed") from writer_err[0]
         k = min(ppb, gcfg.n_pose - done)
         ros, rds = [], []
@@ -208,9 +205,15 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
                                   jax.random.key(gcfg.seed * 100003 + done))
         # Record columns reuse the HOST ray arrays (no D2H round trip).
         cols = [ro_host, rd_host, np.asarray(rgb)]
-        if gcfg.learn_depth:
+        if ld == "surface":
+            # surface POINT o + d*depth, 3 cols (`create_data.py:834-836`)
+            d_np = np.asarray(depth)[:, None]
+            cols.append(ro_host + rd_host * d_np)
+        elif ld == "depth":
             cols.append(np.asarray(depth)[:, None])
-        buf.append(np.concatenate(cols, axis=1).astype(np.float32))
+        rec = np.concatenate(cols, axis=1).astype(np.float32)
+        assert rec.shape[1] == record_dim, (rec.shape, record_dim)
+        buf.append(rec)
         done += k
         if progress is not None:
             progress(done, gcfg.n_pose)
@@ -223,8 +226,32 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     wt.join()
     if writer_err:
         raise RuntimeError("pseudo-data writer failed") from writer_err[0]
-    assert record_dim == (10 if gcfg.learn_depth else 9)
     return total["rays"]
+
+
+def _pose_rays(rng: np.random.Generator, gcfg: DataGenConfig,
+               radius: float, pose_fn=None,
+               ndc: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """One random pose -> host [H, W, 3] ray origins/dirs.
+
+    Random spherical pose (or ``pose_fn``), random focal x[1,2) unless
+    disabled (reference `create_data.py:816-818`), ray-gen in NUMPY on
+    the host (per-pose device dispatches + D2H readbacks for meshgrid
+    math would sit on the render's critical path), optional NDC warp.
+    Shared by every datagen mode AND the int8 calibration."""
+    from .rays import get_rays_np
+    c2w = np.asarray(pose_fn(rng) if pose_fn is not None
+                     else get_rand_pose(rng, radius=radius))
+    focal = gcfg.focal
+    if gcfg.use_rand_focal:
+        focal = gcfg.focal * rng.uniform(1.0, 2.0)
+    ro, rd = get_rays_np(gcfg.H, gcfg.W, focal, c2w)
+    if ndc:
+        from .rays import ndc_rays
+        ro_j, rd_j = ndc_rays(gcfg.H, gcfg.W, gcfg.focal, 1.0,
+                              jnp.asarray(ro), jnp.asarray(rd))
+        ro, rd = np.asarray(ro_j), np.asarray(rd_j)
+    return ro, rd
 
 
 def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
@@ -250,7 +277,15 @@ def _rand_neighbor_offsets(rng: np.random.Generator, H: int, W: int,
         if not bad.any():
             break
         pick = np.where(bad, rng.integers(0, len(offs), size=(H, W)), pick)
-    return offs[pick]
+    # Guaranteed-valid finish: mirror any still-OOB axis inward
+    # (|offset| <= 1, so flipping the sign always lands in-bounds; a
+    # bounded resample loop alone leaves ~(3/8)^9 bad picks per border
+    # pixel -> an IndexError every few thousand frames).
+    out = np.array(offs[pick])
+    oh, ow = out[..., 0], out[..., 1]
+    out[..., 0] = np.where((hh + oh < 0) | (hh + oh >= H), -oh, oh)
+    out[..., 1] = np.where((ww + ow < 0) | (ww + ow >= W), -ow, ow)
+    return out
 
 
 
@@ -295,14 +330,10 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
 
     total, buf = 0, []
     for i in range(gcfg.n_pose):
-        c2w = get_rand_pose(rng, radius=radius)
-        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
-                              else 1.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        ro, rd = _pose_rays(rng, gcfg, radius)
         rgb = np.asarray(render_frame(
-            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3)),
             _pose_key(gcfg.seed, i))).reshape(H, W, 3)
-        ro, rd = np.asarray(ro), np.asarray(rd)
         off = _rand_neighbor_offsets(rng, H, W)
         nh = np.arange(H)[:, None] + off[..., 0]
         nw = np.arange(W)[None, :] + off[..., 1]
@@ -334,14 +365,10 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
                (1, -1), (1, 0), (1, 1)]
     total, buf = 0, []
     for i in range(gcfg.n_pose):
-        c2w = get_rand_pose(rng, radius=radius)
-        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
-                              else 1.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        ro, rd = _pose_rays(rng, gcfg, radius)
         rgb = np.asarray(render_frame(
-            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3)),
             _pose_key(gcfg.seed, i))).reshape(H, W, 3)
-        ro, rd = np.asarray(ro), np.asarray(rd)
         d_parts = [rd[1 + oh:H - 1 + oh, 1 + ow:W - 1 + ow]
                    for oh, ow in offsets]
         c_parts = [rgb[1 + oh:H - 1 + oh, 1 + ow:W - 1 + ow]
@@ -376,12 +403,9 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
     frames = []
     n_batch = 0
     for i in range(gcfg.n_pose):
-        c2w = get_rand_pose(rng, radius=radius)
-        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
-                              else 1.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        ro, rd = _pose_rays(rng, gcfg, radius)
         rgb = np.asarray(render_frame(
-            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3)),
             _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         frames.append(np.concatenate(
             [np.asarray(ro), np.asarray(rd), rgb], -1).astype(np.float32))
@@ -412,12 +436,9 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
     origins, patches = [], []
     n_batch = 0
     for i in range(gcfg.n_pose):
-        c2w = get_rand_pose(rng, radius=radius)
-        focal = gcfg.focal * (rng.uniform(1.0, 2.0) if gcfg.use_rand_focal
-                              else 1.0)
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        ro, rd = _pose_rays(rng, gcfg, radius)
         rgb = np.asarray(render_frame(
-            ro.reshape(-1, 3), rd.reshape(-1, 3),
+            jnp.asarray(ro.reshape(-1, 3)), jnp.asarray(rd.reshape(-1, 3)),
             _pose_key(gcfg.seed, i))).reshape(H, W, 3)
         data = np.concatenate([np.asarray(rd), rgb], -1)  # [H, W, 6]
         tiles = (data[:ph * patch_size, :pw * patch_size]

@@ -70,6 +70,33 @@ def get_rays(H: int, W: int, focal: float, c2w: Array,
     return rays_o, rays_d
 
 
+def get_rays_np(H: int, W: int, focal: float, c2w,
+                focal_scale: float = 1.0,
+                trans_origin: str | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy twin of ``get_rays`` (reference ``get_rays_np``,
+    `helpers:428-441`) for host-side pose loops — datagen generates rays
+    per pose on the HOST so the device never pays per-pose dispatches +
+    D2H readbacks for what is cheap meshgrid math."""
+    if trans_origin is None:
+        trans_origin = _DEFAULT_TRANS_ORIGIN
+    f = focal * focal_scale
+    i = np.arange(W, dtype=np.float32)[None, :]
+    j = np.arange(H, dtype=np.float32)[:, None]
+    dirs = np.stack([
+        np.broadcast_to((i - W * 0.5) / f, (H, W)),
+        np.broadcast_to(-(j - H * 0.5) / f, (H, W)),
+        -np.ones((H, W), dtype=np.float32)], axis=-1)
+    c2w = np.asarray(c2w, dtype=np.float32)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape).copy()
+    if trans_origin:
+        scale = 30.0 if trans_origin == "fixed" else float(trans_origin)
+        unit = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = rays_o + scale * unit
+    return rays_o.astype(np.float32), rays_d.astype(np.float32)
+
+
 def ndc_rays(H: int, W: int, focal: float, near: float, rays_o: Array,
              rays_d: Array) -> tuple[Array, Array]:
     """Warp rays into NDC space (LLFF forward-facing scenes).

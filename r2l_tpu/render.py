@@ -279,7 +279,10 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                 fpf, nf_cfg, o, d, z_all, L_pts=vcfg.multires,
                 L_views=vcfg.multires_views, white_bkgd=vcfg.white_bkgd,
                 tile=min(tile, chunk))
-        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        # Same formula as volume.raw2outputs (and the torch reference):
+        # acc == 0 yields NaN on BOTH paths rather than diverging
+        # (a fused-vs-XLA parity comparison must agree on empty rays).
+        disp = 1.0 / jnp.maximum(1e-10, depth / acc)
         return rgb, disp, acc, depth
 
     rgb, disp, acc, depth = jax.lax.map(body, (ro, rd, keys))

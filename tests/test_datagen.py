@@ -90,3 +90,31 @@ def test_images_to_ray_records(key):
     assert rec.shape == (32, 9)
     np.testing.assert_allclose(rec[:, 6:9],
                                imgs.reshape(-1, 3), rtol=1e-6)
+
+def test_generate_pseudo_data_surface_records(key):
+    """--learn_depth surface stores the surface POINT o + d*depth
+    (3 extra cols, record_dim 12 — reference create_data.py:832-836)."""
+    import numpy as np
+    from r2l_tpu.datagen import DataGenConfig, generate_pseudo_data
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+    from r2l_tpu.render import VolRenderConfig
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=0, use_viewdirs=False,
+                           perturb=False, ray_chunk=64)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        gcfg = DataGenConfig(n_pose=1, H=4, W=4, focal=4.0,
+                             use_rand_focal=False, learn_depth="surface",
+                             save_every=1, use_pallas=False)
+        n = generate_pseudo_data(pc, None, ncfg, vcfg, gcfg, d)
+        import glob as g
+        rec = np.load(g.glob(f"{d}/*.npy")[0])
+        assert rec.shape == (16, 12)
+        o, dd, surf = rec[:, 0:3], rec[:, 3:6], rec[:, 9:12]
+        # surf = o + d * t for a scalar t per ray
+        t = (surf - o) / np.where(np.abs(dd) < 1e-9, 1.0, dd)
+        spread = t.max(axis=1) - t.min(axis=1)
+        assert (spread < 1e-3).all()
+    assert n == 16

@@ -100,3 +100,17 @@ def test_get_novel_poses_grid_matches_reference_formula():
     radii = np.linalg.norm(poses[:, :3, 3], axis=1)
     np.testing.assert_allclose(sorted(set(np.round(radii, 4))),
                                [10/3, 14/3], rtol=1e-4)
+
+
+def test_get_rays_np_matches_jax():
+    """Host numpy ray-gen (datagen hot path) == the jnp get_rays."""
+    from r2l_tpu.rays import get_rays, get_rays_np, pose_spherical
+    c2w = np.asarray(pose_spherical(33.0, -42.0, 4.0))[:3, :4]
+    ro_j, rd_j = get_rays(11, 13, 7.5, jnp.asarray(c2w), focal_scale=1.5)
+    ro_n, rd_n = get_rays_np(11, 13, 7.5, c2w, focal_scale=1.5)
+    np.testing.assert_allclose(ro_n, np.asarray(ro_j), atol=1e-6)
+    np.testing.assert_allclose(rd_n, np.asarray(rd_j), atol=1e-6)
+    # trans_origin hack too
+    ro_j, rd_j = get_rays(8, 8, 5.0, jnp.asarray(c2w), trans_origin="fixed")
+    ro_n, rd_n = get_rays_np(8, 8, 5.0, c2w, trans_origin="fixed")
+    np.testing.assert_allclose(ro_n, np.asarray(ro_j), atol=1e-4)

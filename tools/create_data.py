@@ -93,7 +93,7 @@ def main() -> None:
         n_pose=n_pose if isinstance(n_pose, int) else 1,
         H=ns.H, W=ns.W, focal=ns.focal,
         use_rand_focal=args.use_rand_focal,
-        learn_depth=bool(args.learn_depth),
+        learn_depth=args.learn_depth,
         save_every=args.create_data_chunk, seed=args.seed,
         poses_per_batch=args.poses_per_batch,
         use_pallas=args.use_pallas,
