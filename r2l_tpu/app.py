@@ -25,17 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import checkpoint as ckpt
-from . import metrics as M
 from .configs import args_to_r2l_config, parse_mesh_spec
 from .data.rayshards import RayBatchLoader, RayShardDataset
 from .encoding import nerf_embed_dim
-from .evaluate import (EvalResult, make_nerf_frame_fn, make_r2l_frame_fn,
-                       render_path, to8b, write_video)
+from .evaluate import (EvalResult, make_nerf_frame_fn,
+                       make_r2l_frame_fn, render_path, write_video)
 from .hardmine import parse_hard_ratio
 from .logging_ import Logger, Timer, check_path
 from .models.nerf import NeRFConfig, init_nerf
 from .models.r2l import init_r2l
-from .rays import get_novel_poses, pose_spherical
+from .rays import get_novel_poses
 from .render import VolRenderConfig
 from .sampler import PointSampler
 from .train import (DistillConfig, TeacherTrainConfig, TrainState,
@@ -112,6 +111,11 @@ def load_dataset(args, logger):
                  f"H/W/focal {ns.H}/{ns.W}/{ns.focal:.2f}, "
                  f"near/far {ns.near}/{ns.far}")
     return ns
+
+
+def _fires(i: int, period: int) -> bool:
+    """Periodic-event check; period <= 0 means disabled (no ZeroDivision)."""
+    return period > 0 and i % period == 0
 
 
 def _resolve_steps_per_dispatch(args) -> int:
@@ -408,8 +412,14 @@ def run_distill(args, ns, logger):
     # The fresh (host-fed) part of the batch must shard evenly over devices.
     n_dev = len(jax.devices())
     fresh = batch_size - n_hard_out
-    if not images_mode:
-        n_hard_out += fresh % n_dev
+    if not images_mode and fresh % n_dev:
+        # Align by SHRINKING the pool draw (growing it can push a valid
+        # --hard_ratio 0.5 past the out-ratio <= 0.5 bound).
+        delta = n_dev - fresh % n_dev
+        if n_hard_out >= delta:
+            n_hard_out -= delta
+        else:
+            n_hard_out += fresh % n_dev
     dcfg = DistillConfig(
         batch_size=batch_size, lrate=args.lrate, lrate_decay=args.lrate_decay,
         warmup_lr=args.warmup_lr or None, lw_rgb=args.lw_rgb,
@@ -458,7 +468,7 @@ def run_distill(args, ns, logger):
                 seed=args.seed + step_i)
             return ds
 
-        dataset = make_image_dataset(1)
+        dataset = make_image_dataset(max(start, 1))
         record_dim = 9
         logger.print(f"image dataset: {dataset.n_real} real + "
                      f"{dataset.n_pseudo} pseudo frames, "
@@ -499,7 +509,7 @@ def run_distill(args, ns, logger):
                     cfg, dcfg, sampler, tx, ns.H, ns.W, ns.focal,
                     precrop_iters=args.precrop_iters,
                     precrop_frac=args.precrop_frac,
-                    select_pixel_mode=args.select_pixel_mode, ndc=ns.ndc,
+                    select_pixel_mode=args.select_pixel_mode,
                     scan_steps=k)
             return _step_cache[k]
     else:
@@ -526,14 +536,17 @@ def run_distill(args, ns, logger):
     test_poses = ns.poses[ns.i_test]
     test_gt = ns.images[ns.i_test]
 
-    if args.test_pretrained and args.pretrained_ckpt:
-        # Evaluate the loaded checkpoint before training
-        # (reference `main.py:1035-1046`).
-        frame_fn = make_r2l_frame_fn(
+    def _student_frame_fn():
+        return make_r2l_frame_fn(
             state.params, cfg, sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
             pallas_tile=args.pallas_tile, quantize=args.quantize,
             calib_poses=ns.poses)
+
+    if args.test_pretrained and args.pretrained_ckpt:
+        # Evaluate the loaded checkpoint before training
+        # (reference `main.py:1035-1046`).
+        frame_fn = _student_frame_fn()
         res = render_path(frame_fn, test_poses, gt_images=test_gt)
         logger.print(f"[test_pretrained] PSNR {res.test_psnr:.4f} "
                      f"PSNRv2 {res.test_psnr_v2:.4f} "
@@ -591,7 +604,7 @@ def run_distill(args, ns, logger):
                 metrics = jax.tree.map(lambda a: a[-1], ms)
         i += k
 
-        if i % args.i_print == 0:
+        if _fires(i, args.i_print):
             loss = lossline.update("loss", float(metrics["loss"]))
             psnr = lossline.update("train_psnr", float(metrics["psnr"]))
             extra = ""
@@ -601,25 +614,17 @@ def run_distill(args, ns, logger):
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}{extra}")
 
-        if args.i_img > 0 and i % args.i_img == 0 and i % args.i_testset:
+        if _fires(i, args.i_img) and not _fires(i, args.i_testset):
             # Periodic one-image check render (--i_img; parsed-but-dead in
             # the reference — restored to its nerf-pytorch meaning here).
-            frame_fn = make_r2l_frame_fn(
-                state.params, cfg, sampler, embed_L=args.multires,
-                plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize,
-            calib_poses=ns.poses)
+            frame_fn = _student_frame_fn()
             res = render_path(frame_fn, test_poses[:1],
                               gt_images=test_gt[:1], compute_flip=False,
                               savedir=logger.gen_img_dir)
             logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
 
-        if i % args.i_testset == 0 or i == args.N_iters:
-            frame_fn = make_r2l_frame_fn(
-                state.params, cfg, sampler, embed_L=args.multires,
-                plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize,
-            calib_poses=ns.poses)
+        if _fires(i, args.i_testset) or i == args.N_iters:
+            frame_fn = _student_frame_fn()
             res = render_path(frame_fn, test_poses, gt_images=test_gt)
             logger.print(
                 f"[eval] iter {i} PSNR {res.test_psnr:.4f} "
@@ -631,18 +636,14 @@ def run_distill(args, ns, logger):
                       best_step)
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
 
-        if i % args.i_weights == 0 or i == args.N_iters:
+        if _fires(i, args.i_weights) or i == args.N_iters:
             name = (f"ckpt_{i:07d}.msgpack"
                     if args.save_intermediate_models else "ckpt.msgpack")
             _save(logger, name, state, i, best_psnr, best_step)
 
-        if args.i_video > 0 and i % args.i_video == 0 and i < args.N_iters:
+        if _fires(i, args.i_video) and i < args.N_iters:
             # Periodic novel-view video (reference `main.py:1427-1441`).
-            frame_fn = make_r2l_frame_fn(
-                state.params, cfg, sampler, embed_L=args.multires,
-                plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize,
-            calib_poses=ns.poses)
+            frame_fn = _student_frame_fn()
             vres = render_path(frame_fn, ns.video_poses)
             out = write_video(
                 os.path.join(logger.gen_img_dir,
@@ -652,8 +653,7 @@ def run_distill(args, ns, logger):
 
         # Periodic dataset reload to pick up freshly generated pseudo data
         # (reference --i_update_data, `main.py:1220-1229,1254-1262`).
-        if (args.i_update_data > 0 and i % args.i_update_data == 0
-                and i < args.N_iters):
+        if _fires(i, args.i_update_data) and i < args.N_iters:
             if images_mode:
                 dataset = make_image_dataset(i)
                 logger.print(f"reloaded image dataset: {dataset.n_real} "
@@ -704,7 +704,6 @@ def run_teacher_train(args, ns, logger):
     use_batching = not args.no_batching
     if use_batching:
         from .datagen import images_to_ray_records
-        from .train import make_teacher_step_batched
         records = images_to_ray_records(
             np.asarray(ns.images[ns.i_train]),
             np.asarray(ns.poses[ns.i_train]), ns.H, ns.W, ns.focal,
@@ -802,12 +801,12 @@ def run_teacher_train(args, ns, logger):
                 state, ms, key = fn(state, images, poses, key)
                 metrics = jax.tree.map(lambda a: a[-1], ms)
         i += k
-        if i % args.i_print == 0:
+        if _fires(i, args.i_print):
             loss = lossline.update("loss", float(metrics["loss"]))
             psnr = lossline.update("psnr", float(metrics["psnr"]))
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}")
-        if args.i_img > 0 and i % args.i_img == 0 and i < args.N_iters:
+        if _fires(i, args.i_img) and i < args.N_iters:
             # Periodic one-image check render (--i_img; the flag is parsed
             # but dead in the reference — here it renders the first test
             # pose, the nerf-pytorch behavior the flag descends from).
@@ -815,7 +814,7 @@ def run_teacher_train(args, ns, logger):
                               gt_images=test_gt[:1], compute_flip=False,
                               savedir=logger.gen_img_dir)
             logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
-        if i % args.i_testset == 0 or i == args.N_iters:
+        if _fires(i, args.i_testset) or i == args.N_iters:
             # Full test split (subsampled by --testskip), as the
             # reference's i_testset eval (`main.py:1442-1471`).
             res = render_path(_eval_frame_fn(), test_poses,
@@ -830,7 +829,7 @@ def run_teacher_train(args, ns, logger):
                      "fine": state.params_fine},
                     meta={"global_step": i, "best_psnr": best_psnr})
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
-        if args.i_video > 0 and i % args.i_video == 0 and i < args.N_iters:
+        if _fires(i, args.i_video) and i < args.N_iters:
             # Periodic novel-view video, as in the shared reference loop
             # (`main.py:1472-1498`; the disparity video it also writes is
             # NeRF-only there and is skipped here).
@@ -840,7 +839,7 @@ def run_teacher_train(args, ns, logger):
                              f"video_{args.video_tag}_iter{i}.mp4"),
                 vres.frames)
             logger.print(f"[video] iter {i} -> {out}")
-        if i % args.i_weights == 0 or i == args.N_iters:
+        if _fires(i, args.i_weights) or i == args.N_iters:
             name = (f"teacher_{i:07d}.msgpack"
                     if args.save_intermediate_models else "teacher.msgpack")
             ckpt.save_checkpoint(
@@ -861,19 +860,23 @@ def run_teacher_train(args, ns, logger):
 # Entry
 # ---------------------------------------------------------------------------
 
-def apply_platform(args) -> None:
+def apply_platform(args, defer_backend_check: bool = False) -> None:
     """Apply --platform/--num_cpu_devices before the backend initializes.
 
     The TPU plugin overrides the JAX_PLATFORMS env var, so forcing CPU
     must go through jax.config (the same mechanism tests/conftest.py
     uses). Must run before any jax op touches a device.
+    ``defer_backend_check`` skips the --platform tpu assertion (which
+    INITIALIZES the backend — it must not run before
+    jax.distributed.initialize() on multi-host).
     """
     if getattr(args, "platform", "auto") == "cpu":
         jax.config.update("jax_platforms", "cpu")
         if getattr(args, "num_cpu_devices", 0) > 1:
             jax.config.update("jax_num_cpu_devices",
                               int(args.num_cpu_devices))
-    elif getattr(args, "platform", "auto") == "tpu":
+    elif (getattr(args, "platform", "auto") == "tpu"
+          and not defer_backend_check):
         if jax.default_backend() != "tpu":
             raise RuntimeError(
                 f"--platform tpu: default backend is "
@@ -881,7 +884,9 @@ def apply_platform(args) -> None:
 
 
 def train(args) -> None:
-    apply_platform(args)
+    # Config-only platform handling first: the tpu-assert initializes the
+    # backend and must come AFTER jax.distributed.initialize().
+    apply_platform(args, defer_backend_check=args.multihost)
     try:  # persistent compile cache (30-90 s/compile via remote helper)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -891,7 +896,11 @@ def train(args) -> None:
     if args.multihost:
         # Multi-host slice: one process per host; the mesh spans all
         # devices, collectives ride ICI intra-slice / DCN across slices.
+        if getattr(args, "platform", "auto") == "cpu":
+            raise SystemExit("--multihost with --platform cpu is "
+                             "contradictory (no multi-host CPU slices)")
         jax.distributed.initialize()
+        apply_platform(args)  # now safe to assert --platform tpu
     logger = Logger(
         experiment_name=args.experiment_name or args.expname or "r2l",
         experiments_dir=args.experiments_dir, debug=args.debug,

@@ -72,8 +72,10 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     ``(i_pose, n_pose) -> None``. ``mesh`` shards the ray axis over its
     'data' axis (multi-chip data-parallel generation). ``pose_fn(rng)``
     overrides the pose distribution (default: blender spherical; LLFF
-    passes the camera-bbox sampler). ``ndc=True`` stores NDC-warped rays
-    (forward-facing scenes; reference `create_data.py:315-317`).
+    passes the camera-bbox sampler). ``ndc=True`` warps rays to NDC
+    INSIDE the teacher render only — records store the RAW rays, as the
+    reference does (`create_data.py:819-841` stores pre-warp get_rays
+    output; the warp lives in render(), `main.py:166-169`).
     """
     rng = np.random.default_rng(gcfg.seed)
     H, W = gcfg.H, gcfg.W
@@ -102,13 +104,22 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # Static-scale int8 teacher (the R2L int8 recipe applied to the fused
     # volumetric kernel): calibrate per-(layer, channel) activation scales
     # on sample points drawn from THIS run's pose distribution (incl. the
-    # rand-focal range and the NDC warp).
+    # rand-focal range and the NDC warp the render applies).
     # ONE ray-construction helper shared by the main loop and the int8
-    # calibration — they MUST sample the identical pose/focal/NDC
+    # calibration — they MUST sample the identical pose/focal
     # distribution or the static scales calibrate on stale rays.
+    # Records store RAW rays (the reference's `create_data.py:819-841`
+    # stores pre-warp get_rays output; NDC happens inside render()) —
+    # the warp is applied in render_batch below, teacher-side only.
     def frame_rays(r) -> tuple[np.ndarray, np.ndarray]:
-        ro, rd = _pose_rays(r, gcfg, radius, pose_fn=pose_fn, ndc=ndc)
+        ro, rd = _pose_rays(r, gcfg, radius, pose_fn=pose_fn, ndc=False)
         return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    def warp(ro, rd):
+        if not ndc:
+            return ro, rd
+        from .rays import ndc_rays
+        return ndc_rays(H, W, gcfg.focal, 1.0, ro, rd)
 
     int8_calib = None
     if gcfg.quantize == "int8" and not use_fused:
@@ -123,6 +134,8 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
         c_pts, c_vds = [], []
         for _ in range(8):
             ro_c, rd_c = frame_rays(crng)
+            ro_c, rd_c = (np.asarray(a) for a in
+                          warp(jnp.asarray(ro_c), jnp.asarray(rd_c)))
             sub = slice(None, None, max(H * W // 256, 1))
             ro_c, rd_c = ro_c[sub], rd_c[sub]
             z = np.linspace(vcfg.near, vcfg.far, 9, dtype=np.float32)
@@ -144,6 +157,7 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
     # explicit per-batch key.
     @jax.jit
     def render_batch(rays_o, rays_d, key):
+        rays_o, rays_d = warp(rays_o, rays_d)
         if use_fused:
             out = render_frame_nerf_fused(
                 params_coarse, params_fine, ncfg, vcfg, rays_o, rays_d,

@@ -224,7 +224,9 @@ def fused_r2l_apply_pe(fparams: FusedParams, cfg: R2LConfig, pts: Array,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * (n_pad // tile),
             bytes_accessed=n_pad * dim_pts * 4,
-            transcendentals=n_pad * dim_pts * 2 * L),
+            # PE ladder: 2 transcendentals per input scalar (the L-1
+            # octaves are doubling recurrences), + the sigmoid tail
+            transcendentals=n_pad * (dim_pts * 2 + 3)),
         interpret=interpret,
     )(pp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
       fparams.tail_w, fparams.tail_b)
@@ -535,7 +537,6 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
     in_pad = fp.head_q.shape[0]
     out_pad = fp.tail_q.shape[1]
     n_pad = _round_up(max(n, 1), tile)
-    nb, nl = cfg.num_blocks, cfg.n_learnable
     in_dim = dim_pts * (2 * L + 1)
 
     if n_pad == n:
@@ -581,7 +582,9 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * (n_pad // tile),
             bytes_accessed=n_pad * dim_pts * 4,
-            transcendentals=n_pad * dim_pts * 2 * L),
+            # PE ladder: 2 transcendentals per input scalar (the L-1
+            # octaves are doubling recurrences), + the sigmoid tail
+            transcendentals=n_pad * (dim_pts * 2 + 3)),
         interpret=interpret,
     )(pp, fp.head_q, fp.head_m, fp.head_b, fp.head_inv, fp.body_q,
       fp.body_m, fp.body_b, fp.body_inv, fp.tail_q, fp.tail_m, fp.tail_b,

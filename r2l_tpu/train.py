@@ -345,21 +345,27 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
                              precrop_iters: int = 0,
                              precrop_frac: float = 0.5,
                              select_pixel_mode: str = "rand_pixel",
-                             ndc: bool = False, scan_steps: int = 1):
+                             scan_steps: int = 1):
     """Distillation step for ``--data_mode images`` (reference
     `main.py:1267-1302`): one (image, pose) per iter; N_rand pixels are
     selected ON DEVICE (central precrop early, rand_pixel or rand_patch),
     rays built with get_rays, then the same loss/hard-mining core as rays
     mode. Signature: (state, image [H, W, 3], pose [3, 4], key).
+
+    NOTE: the R2L STUDENT consumes RAW camera rays even for LLFF — in
+    the reference the NDC warp lives only inside the teacher's
+    volumetric ``render()`` (`main.py:166-169`); the student-side ray
+    converter stores raw rays (`convert_original_data_to_rays_llff.py:
+    114-118` has no ndc_rays call) and the R2L eval branch samples raw
+    rays (`main.py:285-317`). Warping here while evaluating raw would
+    be a train/eval input-distribution mismatch.
     """
-    from .rays import get_rays, ndc_rays
+    from .rays import get_rays
     n_fresh = dcfg.batch_size - dcfg.n_hard_out
 
     def step(state: TrainState, image: Array, pose: Array, key: jax.Array):
         k_coord, k_core = jax.random.split(key)
         rays_o, rays_d = get_rays(H, W, focal, pose)     # [H, W, 3]
-        if ndc:
-            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
 
         use_crop = state.step < precrop_iters
         # Reference precrop box (`main.py:1270-1280`): the central

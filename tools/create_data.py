@@ -48,9 +48,13 @@ def main() -> None:
     datadir_kd = args.datadir_kd or (args.datadir + "_pseudo")
 
     if args.create_data == "convert_rays":
+        # Student records store RAW camera rays even for LLFF — the
+        # reference converter never NDC-warps
+        # (`convert_original_data_to_rays_llff.py:114-118`); the warp
+        # lives only inside the teacher's volumetric render.
         records = images_to_ray_records(
             ns.images[ns.i_train], ns.poses[ns.i_train],
-            ns.H, ns.W, ns.focal, ndc=ns.ndc)
+            ns.H, ns.W, ns.focal, ndc=False)
         paths = write_ray_shards(datadir_kd, records, prefix="train",
                                  rng=np.random.default_rng(args.seed))
         logger.print(f"wrote {records.shape[0]} real rays "
