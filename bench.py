@@ -65,17 +65,23 @@ def main() -> None:
               ("pallas-pe-fused", "", True)] if on_tpu else [])
     paths.append(("xla", "", False))
     bench_fn, path_name = None, "xla"
+    errors = []
     for name, quant, use_pallas in paths:
         try:
             fn = make_r2l_bench_fn(params, cfg, sampler, embed_L=EMBED_L,
                                    use_pallas=use_pallas,
-                                   pallas_tile=PALLAS_TILE, quantize=quant)
+                                   pallas_tile=PALLAS_TILE, quantize=quant,
+                                   calib_poses=np.asarray(poses))
             float(fn(poses))  # compile + warmup (readback = execution)
             bench_fn, path_name = fn, name
             break
-        except Exception:
-            continue
-    assert bench_fn is not None
+        except Exception as e:  # noqa: BLE001 — fall to the next path,
+            # but never silently: a degraded headline must be explainable
+            import sys, traceback
+            errors.append((name, repr(e)))
+            print(f"bench: path {name!r} failed: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+    assert bench_fn is not None, f"all bench paths failed: {errors}" 
 
     times = []
     for _ in range(4):
@@ -97,7 +103,9 @@ def main() -> None:
             "path": path_name,
             "model": "R2L W256 D88 (43 resmlp blocks), 16 samples/ray, L=10",
             "protocol": f"{K} frames per jit, scalar checksum readback",
-            **({"int8_e2e_psnr_delta_db": -0.001}
+            # offline measurement, not from this run: render-from-ckpt
+            # delta on the verify scene (.claude/skills/verify/SKILL.md)
+            **({"int8_psnr_delta_db_verify_scene": -0.003}
                if path_name == "pallas-int8-pe-fused" else {}),
         },
     }))

@@ -174,9 +174,10 @@ def build_r2l(args, logger):
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
         logger.print(f"Loaded pretrained ckpt {path} (step {start_step})")
-    from .flops import count_params, r2l_analytic_flops_per_pixel
+    from .flops import count_params, flops_per_pixel_from_params
     logger.print(f"R2L model: {count_params(params)/1e6:.2f}M params, "
-                 f"{r2l_analytic_flops_per_pixel(cfg)/1e6:.2f}M FLOPs/pixel")
+                 f"{flops_per_pixel_from_params(params)/1e6:.2f}M "
+                 "FLOPs/pixel")
     return cfg, params, start_step
 
 

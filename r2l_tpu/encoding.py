@@ -35,7 +35,7 @@ def nerf_embed(x: Array, L: int, include_input: bool = True) -> Array:
     per-frequency: [x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...].
     """
     if L == 0:
-        return x
+        return x if include_input else x[..., :0]
     freqs = 2.0 ** jnp.arange(L, dtype=x.dtype)          # [L]
     y = x[..., None, :] * freqs[:, None]                 # [..., L, d]
     sc = jnp.stack([jnp.sin(y), jnp.cos(y)], axis=-2)    # [..., L, 2, d]
@@ -45,8 +45,8 @@ def nerf_embed(x: Array, L: int, include_input: bool = True) -> Array:
     return sc
 
 
-def r2l_embed_dim(dim_pts: int, L: int, include_input: bool = True) -> int:
-    return dim_pts * (2 * L + (1 if include_input else 0))
+# Same formula as nerf_embed_dim — one source of truth.
+r2l_embed_dim = nerf_embed_dim
 
 
 def r2l_embed(x: Array, L: int, include_input: bool = True) -> Array:

@@ -41,8 +41,25 @@ def flops_per_pixel(fn: Callable, n_ray: int, *args) -> float:
 
 
 def r2l_analytic_flops_per_pixel(cfg) -> float:
-    """Closed-form matmul FLOPs/ray for an R2L config (canonical W256/D88
-    -> 11.79M, matching the paper table in BASELINE.md)."""
+    """Closed-form matmul FLOPs/ray for the CANONICAL resmlp body
+    (W256/D88 -> 11.79M, matching the paper table in BASELINE.md).
+    For mlp / layerwise / odd-depth bodies use
+    ``flops_per_pixel_from_params`` — this formula assumes a uniform
+    num_blocks x n_learnable x W^2 body."""
     return 2.0 * (cfg.input_dim * cfg.netwidth
                   + cfg.num_blocks * cfg.n_learnable * cfg.netwidth ** 2
                   + cfg.netwidth * cfg.output_dim)
+
+
+def flops_per_pixel_from_params(params: Any) -> float:
+    """Matmul FLOPs/ray counted from the ACTUAL weight shapes: one ray
+    uses every linear once, so FLOPs = 2 * sum(in*out) over weight
+    matrices — exact for any body architecture (mlp, layerwise widths,
+    resmlp), unlike the canonical closed form."""
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        last = path[-1]
+        key = getattr(last, "key", getattr(last, "name", ""))
+        if key == "w" and hasattr(leaf, "ndim") and leaf.ndim == 2:
+            total += 2 * int(leaf.shape[0]) * int(leaf.shape[1])
+    return float(total)

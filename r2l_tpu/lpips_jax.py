@@ -217,7 +217,10 @@ def _unit_normalize(f: Array, eps: float = 1e-10) -> Array:
 def lpips(params: dict, img0: Array, img1: Array) -> Array:
     """LPIPS distance between [N, H, W, 3] (or [H, W, 3]) sRGB in [0,1]."""
     if img0.ndim == 3:
-        img0, img1 = img0[None], img1[None]
+        img0 = img0[None]
+    if img1.ndim == 3:
+        img1 = img1[None]
+    assert img0.shape == img1.shape, (img0.shape, img1.shape)
     # [0,1] -> [-1,1], the standard LPIPS input convention. (The
     # reference min-max rescales each tensor to [-1,1] instead,
     # `main.py:364-369` — a nonstandard choice; numbers computed here
