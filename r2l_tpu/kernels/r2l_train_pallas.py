@@ -46,6 +46,7 @@ from .r2l_pallas import (_pe_row_permutation, _pe_sin_cos_ladder, _round_up,
 
 Array = jax.Array
 _LANE = 128
+_STASH_RING_DEPTH = 4  # stash DMA ring depth
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
@@ -81,7 +82,7 @@ def train_fwd(fparams, cfg: R2LConfig, pts: Array, dim_pts: int,
 
     n_stash = 2 * nb + 1
 
-    NSLOT = 4  # stash DMA ring depth (immediate waits cost ~0.65 us each)
+    NSLOT = _STASH_RING_DEPTH  # (immediate waits cost ~0.65 us each)
 
     def kern(p_ref, head_w, head_b, body_w, body_b, tail_w, tail_b,
              o_ref, stash_ref, bufs, sems):
@@ -167,8 +168,8 @@ def train_fwd(fparams, cfg: R2LConfig, pts: Array, dim_pts: int,
             jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_stash, n_pad, W), cd),
         ),
-        scratch_shapes=[pltpu.VMEM((4, tile, W), cd),
-                        pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=[pltpu.VMEM((_STASH_RING_DEPTH, tile, W), cd),
+                        pltpu.SemaphoreType.DMA((_STASH_RING_DEPTH,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pp, fparams.head_w, fparams.head_b, fparams.body_w, fparams.body_b,
@@ -282,7 +283,7 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
 
 
 def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
-                           tile: int = 512, group_blocks: int = 8,
+                           tile: int = 512, group_blocks: int = 4,
                            compute_dtype=jnp.bfloat16,
                            interpret: bool | None = None):
     """Build ``apply(params, pts) -> rgb`` with a fused Pallas VJP.
@@ -296,11 +297,18 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
     assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
     assert cfg.act == "relu" and cfg.inact == "relu" and cfg.outact == "none"
     # the stash DMA ring slices [1, tile, W] buffers: the lane dim must be
-    # tiling-aligned on real hardware (interpret mode does not care)
+    # tiling-aligned on real hardware (interpret mode does not care —
+    # CPU tests run small widths)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        assert cfg.netwidth % _LANE == 0, (
+            f"fused_train_vjp needs netwidth % {_LANE} == 0 (got "
+            f"{cfg.netwidth}) — the stash DMA lane dim must be "
+            "tile-aligned")
+        assert tile % 8 == 0, f"tile must be sublane-aligned (got {tile})"
     nb = cfg.num_blocks
     W = cfg.netwidth
-    in_dim = dim_pts * (2 * L + 1)
-    in_pad = _round_up(in_dim, _LANE)
     out_dim = cfg.output_dim
     perm = _pe_row_permutation(dim_pts, L)
     inv_perm = np.argsort(perm)

@@ -71,16 +71,18 @@ def train_step_ms():
                            near=2.0, far=6.0)
     state, tx = init_train_state(jax.random.key(1),
                                  init_r2l(jax.random.key(0), cfg), dcfg)
-    step = make_distill_step(cfg, dcfg, sampler, tx)
-    batch = jax.random.uniform(jax.random.key(2),
-                               (dcfg.batch_size - dcfg.n_hard_out, 9))
-    state, m = step(state, batch, jax.random.key(3))
-    float(m["loss"])
+    # K steps inside ONE jit (lax.scan): per-call dispatch through this
+    # image's tunnel floors at ~30 ms, which would mask any step below
+    # that (CLAUDE.md timing protocol).
     n = 20
+    scan = make_distill_step(cfg, dcfg, sampler, tx, scan_steps=n)
+    batches = jax.random.uniform(
+        jax.random.key(2), (n, dcfg.batch_size - dcfg.n_hard_out, 9))
+    state, ms, key = scan(state, batches, jax.random.key(3))
+    float(ms["loss"][-1])
     t0 = time.perf_counter()
-    for i in range(n):
-        state, m = step(state, batch, jax.random.key(i))
-    float(m["loss"])
+    state, ms, key = scan(state, batches, key)
+    float(ms["loss"][-1])
     dt = (time.perf_counter() - t0) / n
     report("r2l_distill_step", dt * 1e3, "ms",
            rays_per_sec=round(dcfg.batch_size / dt),
@@ -103,12 +105,17 @@ def teacher_frame_ms():
     ro = jnp.asarray(np.asarray(ro).reshape(-1, 3))
     rd = jnp.asarray(np.asarray(rd).reshape(-1, 3))
 
-    @jax.jit
-    def frame(ro, rd):
-        return jnp.sum(render_frame_nerf(pc, pf, ncfg, vcfg, ro, rd)["rgb"])
+    K = 4  # frames per jit: amortize the ~30 ms dispatch RTT
 
-    float(frame(ro, rd))
-    best = min(_timed(lambda: float(frame(ro, rd))) for _ in range(3))
+    @jax.jit
+    def frames(ro, rd):
+        return jnp.sum(jax.lax.map(
+            lambda _: jnp.sum(render_frame_nerf(pc, pf, ncfg, vcfg,
+                                                ro, rd)["rgb"]),
+            jnp.arange(K)))
+
+    float(frames(ro, rd))
+    best = min(_timed(lambda: float(frames(ro, rd))) for _ in range(3)) / K
     report("teacher_frame_400x400_64p128", best * 1e3, "ms",
            pseudo_10k_poses_minutes=round(best * 1e4 / 60, 1))
 
