@@ -55,7 +55,9 @@ def infer_fps():
     float(render_k(poses))
     best = min(_timed(lambda: float(render_k(poses))) for _ in range(3))
     report("r2l_render_400x400", K / best, "frames/s",
-           ms_per_frame=round(best / K * 1e3, 2))
+           ms_per_frame=round(best / K * 1e3, 2),
+           path="bf16 fused kernel, embed outside (diagnostic; the "
+                "headline int8 PE-fused path is bench.py)")
 
 
 def train_step_ms():
@@ -106,16 +108,22 @@ def teacher_frame_ms():
     rd = jnp.asarray(np.asarray(rd).reshape(-1, 3))
 
     K = 4  # frames per jit: amortize the ~30 ms dispatch RTT
+    # Each iteration gets a DISTINCT (epsilon-shifted) ray set: mapping
+    # the same operands lets XLA CSE the K renders into one (measured:
+    # exactly time/K).
+    ro_k = ro[None] + 1e-6 * jnp.arange(K, dtype=jnp.float32)[:, None, None]
+    rd_k = jnp.broadcast_to(rd[None], (K, *rd.shape))
 
     @jax.jit
-    def frames(ro, rd):
+    def frames(ro_k, rd_k):
         return jnp.sum(jax.lax.map(
-            lambda _: jnp.sum(render_frame_nerf(pc, pf, ncfg, vcfg,
-                                                ro, rd)["rgb"]),
-            jnp.arange(K)))
+            lambda ab: jnp.sum(render_frame_nerf(pc, pf, ncfg, vcfg,
+                                                 ab[0], ab[1])["rgb"]),
+            (ro_k, rd_k)))
 
-    float(frames(ro, rd))
-    best = min(_timed(lambda: float(frames(ro, rd))) for _ in range(3)) / K
+    float(frames(ro_k, rd_k))
+    best = min(_timed(lambda: float(frames(ro_k, rd_k)))
+               for _ in range(3)) / K
     report("teacher_frame_400x400_64p128", best * 1e3, "ms",
            pseudo_10k_poses_minutes=round(best * 1e4 / 60, 1))
 
