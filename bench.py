@@ -42,7 +42,13 @@ H = W = 400
 FOCAL = 555.5555155968841  # lego: .5*800/tan(.5*camera_angle_x) at half_res
 K = 16                     # frames per timed jit
 EMBED_L = 10
-PALLAS_TILE = 800        # fastest e2e on v5e; divides 400x400 (no pad copy)
+# Tile candidates for the bench-time autotune: the r2 sweep
+# (exp/probe_tile_sweep.jsonl) showed 800 vs 2000 tie inside the ±7%
+# run-to-run tunnel noise; the r3 sweep under the folded epilogue
+# (exp/probe_epi2.jsonl) has 800 clearly ahead, 640 close behind. Warm
+# each candidate and keep the fastest measured one so the recorded
+# headline never loses to variance.
+PALLAS_TILES = (800, 640, 2000)
 
 
 def main() -> None:
@@ -64,24 +70,37 @@ def main() -> None:
     paths = ([("pallas-int8-pe-fused", "int8", True),
               ("pallas-pe-fused", "", True)] if on_tpu else [])
     paths.append(("xla", "", False))
-    bench_fn, path_name = None, "xla"
+    bench_fn, path_name, tile_used = None, "xla", 0
     errors = []
     for name, quant, use_pallas in paths:
-        try:
-            fn = make_r2l_bench_fn(params, cfg, sampler, embed_L=EMBED_L,
-                                   use_pallas=use_pallas,
-                                   pallas_tile=PALLAS_TILE, quantize=quant,
-                                   calib_poses=np.asarray(poses))
-            float(fn(poses))  # compile + warmup (readback = execution)
-            bench_fn, path_name = fn, name
+        # Bench-time tile autotune: warm every candidate, quick-time each,
+        # keep the fastest (ties are inside tunnel noise — never lose the
+        # headline to variance). Non-pallas paths have no tile.
+        tiles = PALLAS_TILES if use_pallas else (0,)
+        candidates = []
+        for tile in tiles:
+            try:
+                fn = make_r2l_bench_fn(params, cfg, sampler,
+                                       embed_L=EMBED_L,
+                                       use_pallas=use_pallas,
+                                       pallas_tile=tile, quantize=quant,
+                                       calib_poses=np.asarray(poses))
+                float(fn(poses))  # compile + warmup (readback = execution)
+                t0 = time.perf_counter()
+                float(fn(poses))
+                candidates.append((time.perf_counter() - t0, tile, fn))
+            except Exception as e:  # noqa: BLE001 — fall through, but
+                # never silently: a degraded headline must be explainable
+                import sys, traceback
+                errors.append((name, tile, repr(e)))
+                print(f"bench: path {name!r} tile {tile} failed: {e!r}",
+                      file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+        if candidates:
+            _, tile_used, bench_fn = min(candidates, key=lambda c: c[0])
+            path_name = name
             break
-        except Exception as e:  # noqa: BLE001 — fall to the next path,
-            # but never silently: a degraded headline must be explainable
-            import sys, traceback
-            errors.append((name, repr(e)))
-            print(f"bench: path {name!r} failed: {e!r}", file=sys.stderr)
-            traceback.print_exc(file=sys.stderr)
-    assert bench_fn is not None, f"all bench paths failed: {errors}" 
+    assert bench_fn is not None, f"all bench paths failed: {errors}"
 
     times = []
     for _ in range(4):
@@ -101,11 +120,13 @@ def main() -> None:
             "ms_per_frame": round(1000.0 * dt, 3),
             "device": str(jax.devices()[0].device_kind),
             "path": path_name,
+            "pallas_tile": tile_used,
             "model": "R2L W256 D88 (43 resmlp blocks), 16 samples/ray, L=10",
             "protocol": f"{K} frames per jit, scalar checksum readback",
             # offline measurement, not from this run: render-from-ckpt
-            # delta on the verify scene (.claude/skills/verify/SKILL.md)
-            **({"int8_psnr_delta_db_verify_scene": -0.003}
+            # delta on the verify scene with the r3 folded epilogue,
+            # same-ckpt same-calib A/B (.claude/skills/verify/SKILL.md)
+            **({"int8_psnr_delta_db_verify_scene": -0.015}
                if path_name == "pallas-int8-pe-fused" else {}),
         },
     }))

@@ -1,0 +1,90 @@
+"""Probe: int8-forward training step (VERDICT r2 Next #6) vs the bf16
+fused VJP and the XLA step, at the canonical 81,920-ray distill batch.
+
+The int8 path recalibrates static activation scales from the live params
+inside every step (a small f32 forward over calib rays) and runs the
+forward matmuls at the MXU's 2x int8 rate; backward is the unchanged
+bf16 walk over the stashed dequantized activations (straight-through).
+Pipelined timing: N steps enqueued, one readback. Appends
+exp/probe_train.jsonl.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from r2l_tpu.models import R2LConfig, init_r2l
+from r2l_tpu.rays import pose_spherical
+from r2l_tpu.sampler import PointSampler
+from r2l_tpu.train import DistillConfig, init_train_state, make_distill_step
+
+OUT = "exp/probe_train.jsonl"
+
+
+def main():
+    import numpy as np
+    cfg = R2LConfig(compute_dtype=jnp.bfloat16, precision="default")
+    params = init_r2l(jax.random.key(0), cfg)
+    dcfg = DistillConfig(batch_size=81920, n_hard_in=8192, n_hard_out=16384,
+                         hard_mul=20.0, embed_L=10)
+    sampler = PointSampler(H=400, W=400, focal=555.555, n_sample=16,
+                           near=2.0, far=6.0)
+    fresh0 = jax.random.uniform(jax.random.key(2),
+                                (dcfg.batch_size - dcfg.n_hard_out, 9))
+    fresh0 = jax.block_until_ready(fresh0)
+
+    sub = PointSampler(H=32, W=32, focal=555.555 / 12.5, n_sample=16,
+                       near=2.0, far=6.0)
+    calib = jnp.concatenate([
+        sub.sample_test(jnp.asarray(
+            np.asarray(pose_spherical(t, -30.0, 4.0))[:3, :4]))
+        for t in (0.0, 90.0, 180.0, 270.0)])
+
+    variants = [
+        ("fused_bf16_ctrl", dict(fused_vjp=True, fused_group_blocks=4)),
+        ("fused_int8_fwd", dict(fused_vjp=True, fused_group_blocks=4,
+                                fused_quantize="int8",
+                                fused_calib_pts=calib)),
+        ("xla_ctrl", dict()),
+    ]
+    for name, kw in variants:
+        params_i = jax.tree.map(jnp.array, params)
+        state, tx = init_train_state(jax.random.key(1), params_i, dcfg)
+        step = make_distill_step(cfg, dcfg, sampler, tx, **kw)
+        t0 = time.time()
+        try:
+            state, m = step(state, fresh0, jax.random.key(3))
+            float(m["loss"])
+        except Exception as e:  # noqa: BLE001
+            rec = {"name": f"r3_{name}", "error": repr(e)[:300]}
+            print(json.dumps(rec), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            continue
+        compile_s = time.time() - t0
+        N = 50
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, m = step(state, fresh0, jax.random.key(10 + i))
+        float(m["loss"])  # single readback drains the pipeline
+        dt = (time.perf_counter() - t0) / N
+        rec = {"name": f"r3_distill_step_{name}",
+               "ms_per_step": round(dt * 1e3, 2),
+               "rays_per_sec": round(dcfg.batch_size / dt, 0),
+               "compile_s": round(compile_s, 1),
+               "loss": float(m["loss"]),
+               "device": str(jax.devices()[0].device_kind)}
+        print(json.dumps(rec), flush=True)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

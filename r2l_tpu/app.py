@@ -118,6 +118,25 @@ def _fires(i: int, period: int) -> bool:
     return period > 0 and i % period == 0
 
 
+def _fold_lossline(lossline, ms, names: dict):
+    """Fold step metrics into the print EMA exactly as the reference's
+    per-iteration loop does (`main.py:1383-1386`: hist updates EVERY
+    iter). Under scanned dispatch the step returns stacked [K] metrics —
+    fold each of the K values in order, not just the last, so the
+    smoothed line matches a K=1 run step for step.
+
+    ``names`` maps metric key -> lossline name. Values are read back
+    once per dispatch (one host sync), then folded on host.
+    """
+    arrs = {k: np.asarray(ms[k]) for k in names}
+    n_steps = 1 if next(iter(arrs.values())).ndim == 0 else \
+        next(iter(arrs.values())).shape[0]
+    for j in range(n_steps):
+        for k, name in names.items():
+            a = arrs[k]
+            lossline.update(name, float(a) if a.ndim == 0 else float(a[j]))
+
+
 def _resolve_steps_per_dispatch(args) -> int:
     """--steps_per_dispatch, 0 = auto: 16 on TPU (each host dispatch
     through this image's tunnel costs ~30x a small step's compute;
@@ -227,6 +246,14 @@ def build_teacher(args, logger, key=None):
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
         logger.print(f"Loaded teacher ckpt {path} (step {start_step})")
+    # Complexity print, reference `main.py:541-552` (nerf branch:
+    # per-point FLOPs x (N_samples + N_samples + N_importance)).
+    from .flops import count_params, nerf_flops_per_pixel_from_params
+    n_par = count_params(pc) + count_params(pf)
+    logger.print(
+        f"NeRF teacher: {n_par/1e6:.2f}M params, "
+        f"{nerf_flops_per_pixel_from_params(pc, args.N_samples, args.N_importance)/1e6:.2f}M "
+        "FLOPs/pixel")
     return ncfg, ncfg_fine, pc, pf, start_step
 
 
@@ -333,13 +360,34 @@ def run_render_only(args, ns, logger) -> EvalResult:
 
     res = render_path(frame_fn, poses, gt_images=gt, savedir=savedir,
                       lpips_params=_load_lpips(args, logger), logger=logger)
+    # Per-call frame timing measures the host dispatch path; through this
+    # image's TPU tunnel that is ~30 ms RTT of pure noise, so on TPU the
+    # summary reports the honest K-frames-per-jit latency instead
+    # (same protocol as --benchmark / bench.py).
+    ms_label = f"{res.ms_per_frame:.1f} ms/frame (per-dispatch)"
+    if (jax.default_backend() == "tpu"
+            and args.model_name in ("R2L", "nerf_v3.2")):
+        from .evaluate import make_r2l_bench_fn
+        bench_fn = make_r2l_bench_fn(
+            params, cfg, sampler, embed_L=args.multires,
+            plucker=args.plucker, use_pallas=args.use_pallas,
+            pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_poses=ns.poses)
+        Kb = min(8, max(len(poses), 1))
+        bposes = jnp.asarray(np.stack(
+            [np.asarray(p)[:3, :4] for p in poses[:Kb]]))
+        float(bench_fn(bposes))  # compile + warmup
+        t0 = time.perf_counter()
+        float(bench_fn(bposes))
+        ms = (time.perf_counter() - t0) * 1e3 / Kb
+        ms_label = f"{ms:.1f} ms/frame ({Kb} frames/jit)"
     if res.test_psnr is not None:
         lp = (f" LPIPS {res.test_lpips:.4f}"
               if res.test_lpips is not None else "")
         logger.print(f"render_only: PSNR {res.test_psnr:.4f} "
                      f"PSNRv2 {res.test_psnr_v2:.4f} "
                      f"SSIM {res.test_ssim:.4f} FLIP {res.test_flip:.4f}"
-                     f"{lp} ({res.ms_per_frame:.1f} ms/frame)")
+                     f"{lp} ({ms_label})")
     write_video(os.path.join(savedir, "video.mp4"), res.frames)
     return res
 
@@ -352,26 +400,45 @@ def run_benchmark(args, ns, logger) -> float:
     timing that measures the device rather than this image's ~30 ms
     dispatch tunnel (see ``make_r2l_bench_fn`` / bench.py).
     """
-    from .evaluate import make_r2l_bench_fn
+    from .evaluate import make_nerf_bench_fn, make_r2l_bench_fn
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
-    cfg, params, _ = build_r2l(args, logger)
-    sampler = PointSampler(H=H, W=W, focal=focal,
-                           n_sample=args.n_sample_per_ray,
-                           near=ns.near, far=ns.far)
-    bench_fn = make_r2l_bench_fn(params, cfg, sampler,
-                                 embed_L=args.multires,
-                                 plucker=args.plucker,
-                                 use_pallas=args.use_pallas,
-                                 pallas_tile=args.pallas_tile,
-                                 quantize=args.quantize,
-            calib_poses=ns.poses)
-    K = 16
+    if args.model_name == "nerf":
+        # Benchmark the model the flag asked for: the teacher's fused
+        # volumetric frame path (reference --benchmark times whichever
+        # model create_nerf built, `main.py:401-404,1124-1133`).
+        ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
+        vcfg = vol_config(args, ns)
+        sampler = PointSampler(H=H, W=W, focal=focal,
+                               n_sample=args.N_samples,
+                               near=ns.near, far=ns.far)
+        ndc_params = (H, W, focal) if ns.ndc else None
+        bench_fn = make_nerf_bench_fn(pc, pf or None, ncfg, vcfg, sampler,
+                                      ndc_params, ncfg_fine=ncfg_fine,
+                                      use_pallas=args.use_pallas,
+                                      perturb_test=args.perturb_test > 0)
+        # A teacher frame is ~25x an R2L frame (303.82M vs 11.79M
+        # FLOPs/pixel): keep 4 frames/jit and scale reps down so a
+        # default run stays minutes, not hours.
+        K, frames_target = 4, 20
+    else:
+        cfg, params, _ = build_r2l(args, logger)
+        sampler = PointSampler(H=H, W=W, focal=focal,
+                               n_sample=args.n_sample_per_ray,
+                               near=ns.near, far=ns.far)
+        bench_fn = make_r2l_bench_fn(params, cfg, sampler,
+                                     embed_L=args.multires,
+                                     plucker=args.plucker,
+                                     use_pallas=args.use_pallas,
+                                     pallas_tile=args.pallas_tile,
+                                     quantize=args.quantize,
+                                     calib_poses=ns.poses)
+        K, frames_target = 16, 100
     poses = jnp.asarray(np.stack([np.asarray(p)[:3, :4]
                                   for p in ns.video_poses[:K]]))
     if poses.shape[0] < K:
         poses = jnp.tile(poses, (math.ceil(K / poses.shape[0]), 1, 1))[:K]
     float(bench_fn(poses))  # compile + warmup (readback = execution)
-    reps = max(100 * max(args.render_iters, 1) // K, 1)
+    reps = max(frames_target * max(args.render_iters, 1) // K, 1)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -388,11 +455,15 @@ def run_export(args, ns, logger) -> str:
     """Export the student via jax.export (StableHLO) + parity check —
     the TPU-world analog of the reference's ONNX export
     (`main.py:831-885`)."""
-    from .export import export_r2l
+    from .export import export_onnx, export_r2l
     cfg, params, _ = build_r2l(args, logger)
     out_dir = args.export_dir or os.path.join(logger.exp_dir, "export")
     path = export_r2l(params, cfg, out_dir, sample_batch=4096)
     logger.print(f"exported StableHLO to {path} (parity check passed)")
+    # Also emit a real .onnx for reference-world consumers when an ONNX
+    # serializer is importable (reference `main.py:831-885`); loud skip
+    # naming the missing dependency otherwise.
+    export_onnx(params, cfg, out_dir, log=logger.print)
     return path
 
 
@@ -410,10 +481,11 @@ def run_distill(args, ns, logger):
         # values are taken as a direct ray count.
         batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
     n_hard_in, n_hard_out = parse_hard_ratio(args.hard_ratio, batch_size)
-    # The fresh (host-fed) part of the batch must shard evenly over devices.
+    # The fresh part of the batch (host-fed rays, or on-device-selected
+    # pixels in images mode) must shard evenly over devices.
     n_dev = len(jax.devices())
     fresh = batch_size - n_hard_out
-    if not images_mode and fresh % n_dev:
+    if fresh % n_dev:
         # Align by SHRINKING the pool draw (growing it can push a valid
         # --hard_ratio 0.5 past the out-ratio <= 0.5 bound).
         delta = n_dev - fresh % n_dev
@@ -436,17 +508,14 @@ def run_distill(args, ns, logger):
     # replicated (or width-sharded over 'model'); XLA inserts the psums.
     mesh_axes = parse_mesh_spec(args.mesh)
     batch_shd, mesh = None, None
-    if images_mode and mesh_axes:
-        logger.print("WARNING: --mesh is not supported in images data "
-                     "mode (one frame per step) — training on a single "
-                     "logical device; use --data_mode rays for "
-                     "data-parallel distillation.")
-    if not images_mode and (mesh_axes or len(jax.devices()) > 1):
+    if mesh_axes or len(jax.devices()) > 1:
         from .parallel import (batch_sharding, make_mesh,
                                r2l_param_shardings, shard_pytree)
         mesh = make_mesh(mesh_axes)
         params = shard_pytree(params, r2l_param_shardings(mesh, params))
-        batch_shd = batch_sharding(mesh)
+        # images mode selects its pixel batch on device; only the rays
+        # loader host-feeds batches that need an explicit placement.
+        batch_shd = None if images_mode else batch_sharding(mesh)
         logger.print(f"mesh: {dict(mesh.shape)}")
 
     datadir = args.datadir_kd or args.datadir
@@ -511,7 +580,7 @@ def run_distill(args, ns, logger):
                     precrop_iters=args.precrop_iters,
                     precrop_frac=args.precrop_frac,
                     select_pixel_mode=args.select_pixel_mode,
-                    scan_steps=k)
+                    scan_steps=k, mesh=mesh)
             return _step_cache[k]
     else:
         fused_vjp = bool(args.fused_train_vjp and mesh is None
@@ -524,12 +593,28 @@ def run_distill(args, ns, logger):
                          "device, non-Plücker rays, netwidth % 128 == 0 "
                          "and the canonical 2-layer resmlp body — using "
                          "the XLA step.")
+        fq, fcalib = "", None
+        if fused_vjp and getattr(args, "fused_train_int8", False):
+            # int8 training forward (straight-through backward): calib
+            # rays from the scene's own poses, scales re-derived from the
+            # live params inside the step (kernels/r2l_train_pallas.py).
+            fq = "int8"
+            sub = PointSampler(H=max(ns.H // 8, 4), W=max(ns.W // 8, 4),
+                               focal=ns.focal / 8.0,
+                               n_sample=args.n_sample_per_ray,
+                               near=ns.near, far=ns.far)
+            arr = np.asarray(ns.poses)
+            pick = np.linspace(0, len(arr) - 1, min(len(arr), 6)).astype(int)
+            fcalib = jnp.concatenate([
+                sub.sample_test(jnp.asarray(arr[i][:3, :4]))
+                for i in pick])
 
         def step_k(k: int):
             if k not in _step_cache:
                 _step_cache[k] = make_distill_step(
                     cfg, dcfg, sampler, tx, mesh=mesh,
-                    fused_vjp=fused_vjp, scan_steps=k)
+                    fused_vjp=fused_vjp, scan_steps=k,
+                    fused_quantize=fq, fused_calib_pts=fcalib)
             return _step_cache[k]
 
     # Eval renderer rebuilt whenever params change materially (cheap jit
@@ -580,21 +665,20 @@ def run_distill(args, ns, logger):
                 poses_b.append(np.asarray(pose))
             if k == 1:
                 key, sub = jax.random.split(key)
-                state, metrics = step_k(1)(state, jnp.asarray(imgs[0]),
-                                           jnp.asarray(poses_b[0]), sub)
+                state, ms = step_k(1)(state, jnp.asarray(imgs[0]),
+                                      jnp.asarray(poses_b[0]), sub)
             else:
                 state, ms, key = step_k(k)(state,
                                            jnp.asarray(np.stack(imgs)),
                                            jnp.asarray(np.stack(poses_b)),
                                            key)
-                metrics = jax.tree.map(lambda a: a[-1], ms)
         else:
             if k == 1:
                 batch = next(loader)
                 batch = (jax.device_put(batch, batch_shd)
                          if batch_shd is not None else jnp.asarray(batch))
                 key, sub = jax.random.split(key)
-                state, metrics = step_k(1)(state, batch, sub)
+                state, ms = step_k(1)(state, batch, sub)
             else:
                 batches = np.stack([np.asarray(next(loader))
                                     for _ in range(k)])
@@ -602,12 +686,14 @@ def run_distill(args, ns, logger):
                            if batch_shd is not None
                            else jnp.asarray(batches))
                 state, ms, key = step_k(k)(state, batches, key)
-                metrics = jax.tree.map(lambda a: a[-1], ms)
         i += k
+        # Fold ALL k step metrics into the EMA every dispatch (reference
+        # updates hist every iteration, `main.py:1383-1386`).
+        _fold_lossline(lossline, ms, {"loss": "loss", "psnr": "train_psnr"})
 
         if _fires(i, args.i_print):
-            loss = lossline.update("loss", float(metrics["loss"]))
-            psnr = lossline.update("train_psnr", float(metrics["psnr"]))
+            loss = lossline.vals["loss"]
+            psnr = lossline.vals["train_psnr"]
             extra = ""
             if images_mode and n_seen_img:
                 # pseudo_img_ratio log line (reference `main.py:1250-1252`).
@@ -747,7 +833,7 @@ def run_teacher_train(args, ns, logger):
     best_psnr = -1.0
     i_batch = 0
 
-    def _eval_frame_fn():
+    def _eval_frame_fn(with_disp: bool = False):
         sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
                                n_sample=args.N_samples,
                                near=ns.near, far=ns.far)
@@ -756,7 +842,7 @@ def run_teacher_train(args, ns, logger):
             state.params_coarse, state.params_fine or None, ncfg,
             vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine,
             perturb_test=args.perturb_test > 0,
-            use_pallas=args.use_pallas)
+            use_pallas=args.use_pallas, with_disp=with_disp)
 
     K = _resolve_steps_per_dispatch(args)
     i = start
@@ -772,12 +858,11 @@ def run_teacher_train(args, ns, logger):
             fn = step_k_b(k)
             if k == 1:
                 key, sub = jax.random.split(key)
-                state, metrics = fn(state, ray_pool,
-                                    jnp.asarray(i_batch, jnp.int32), sub)
+                state, ms = fn(state, ray_pool,
+                               jnp.asarray(i_batch, jnp.int32), sub)
             else:
                 state, ms, key = fn(state, ray_pool,
                                     jnp.asarray(i_batch, jnp.int32), key)
-                metrics = jax.tree.map(lambda a: a[-1], ms)
             i_batch += k * args.N_rand
             if i_batch + args.N_rand > ray_pool.shape[0]:
                 # Epoch exhausted: reshuffle the global ray pool
@@ -797,14 +882,16 @@ def run_teacher_train(args, ns, logger):
             fn = step_k_i(k)
             if k == 1:
                 key, sub = jax.random.split(key)
-                state, metrics = fn(state, images, poses, sub)
+                state, ms = fn(state, images, poses, sub)
             else:
                 state, ms, key = fn(state, images, poses, key)
-                metrics = jax.tree.map(lambda a: a[-1], ms)
         i += k
+        # Per-iteration EMA fold, even under scanned dispatch
+        # (reference `main.py:1383-1386`).
+        _fold_lossline(lossline, ms, {"loss": "loss", "psnr": "psnr"})
         if _fires(i, args.i_print):
-            loss = lossline.update("loss", float(metrics["loss"]))
-            psnr = lossline.update("psnr", float(metrics["psnr"]))
+            loss = lossline.vals["loss"]
+            psnr = lossline.vals["psnr"]
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}")
         if _fires(i, args.i_img) and i < args.N_iters:
@@ -831,15 +918,25 @@ def run_teacher_train(args, ns, logger):
                     meta={"global_step": i, "best_psnr": best_psnr})
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
         if _fires(i, args.i_video) and i < args.N_iters:
-            # Periodic novel-view video, as in the shared reference loop
-            # (`main.py:1472-1498`; the disparity video it also writes is
-            # NeRF-only there and is skipped here).
-            vres = render_path(_eval_frame_fn(), ns.video_poses)
+            # Periodic novel-view video + NeRF disparity video
+            # (reference `main.py:1472-1497`).
+            vres = render_path(_eval_frame_fn(with_disp=True),
+                               ns.video_poses)
             out = write_video(
                 os.path.join(logger.gen_img_dir,
                              f"video_{args.video_tag}_iter{i}.mp4"),
                 vres.frames)
             logger.print(f"[video] iter {i} -> {out}")
+            if vres.disp_frames is not None:
+                # normalized as the reference does: disps / max(disps)
+                d = vres.disp_frames
+                d = np.nan_to_num(d, nan=0.0, posinf=0.0)
+                d = d / max(float(d.max()), 1e-10)
+                out_d = write_video(
+                    os.path.join(logger.gen_img_dir,
+                                 f"video_{args.video_tag}_iter{i}_disp.mp4"),
+                    np.repeat(d[..., None], 3, axis=-1))
+                logger.print(f"[video] iter {i} disp -> {out_d}")
         if _fires(i, args.i_weights) or i == args.N_iters:
             name = (f"teacher_{i:07d}.msgpack"
                     if args.save_intermediate_models else "teacher.msgpack")

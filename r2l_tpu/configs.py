@@ -115,7 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=False)
     add('--datadir_kd', type=str, default='')
     add('--create_data_chunk', type=int, default=100)
-    add('--create_data', type=str, default='spiral_evenly_spaced')
+    add('--create_data', type=str, default='spiral_evenly_spaced',
+        help="pseudo-data mode: 'rand' (flat ray shards, the R2L "
+             "training input) or 'spiral_evenly_spaced' (pseudo images). "
+             "'rand_tworays'/'rand_images'/'3x3rays'/'16x16patches*' are "
+             "GENERATOR-ONLY, as in the reference: their consuming "
+             "student architectures were never released, so no training "
+             "path reads their output (`create_data.py:874-1333`)")
     add('--no_rand_focal', dest='use_rand_focal', action='store_false',
         default=True)
     add('--max_save', type=int, default=40000)
@@ -238,6 +244,12 @@ def build_parser() -> argparse.ArgumentParser:
              'custom-VJP kernels (single device, canonical resmlp only; '
              'measured 38 vs 34 ms/step on v5e — see PERF.md — expected '
              'to win on v5p-class chips)')
+    add('--fused_train_int8', type=_bool, nargs='?', const=True,
+        default=False,
+        help='with --fused_train_vjp: run the training FORWARD at the '
+             'int8 MXU rate (static scales recalibrated from the live '
+             'params each step; straight-through backward). '
+             'Accuracy/speed measurements in PERF.md')
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')

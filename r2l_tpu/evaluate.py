@@ -42,6 +42,8 @@ class EvalResult:
     test_flip: float | None = None
     per_frame_psnr: list[float] = dataclasses.field(default_factory=list)
     ms_per_frame: float | None = None
+    disp_frames: np.ndarray | None = None  # [N, H, W] when frame_fn
+    #                                        returns (rgb, disp)
 
 
 import functools
@@ -60,9 +62,14 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
         pts = (sampler.sample_test_plucker(c2w) if plucker
                else sampler.sample_test(c2w))
         if kind == "int8":
+            # fold_requant + nobf16_inner: the round-3 epilogue winner —
+            # 9.73 ms/frame vs 10.3 baseline at 400^2 on v5e
+            # (exp/probe_epi2.jsonl; calibration packs the folded scales)
             from .kernels.r2l_pallas import fused_r2l_apply_int8_pe
             rgb = fused_r2l_apply_int8_pe(p, cfg, pts, dim_pts, embed_L,
-                                          tile=pallas_tile)
+                                          tile=pallas_tile,
+                                          fold_requant=True,
+                                          nobf16_inner=True)
         elif kind == "pe":
             from .kernels.r2l_pallas import fused_r2l_apply_pe
             rgb = fused_r2l_apply_pe(p, cfg, pts, dim_pts, embed_L,
@@ -139,7 +146,8 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
         calib = jnp.concatenate([
             sub.sample_test(jnp.asarray(np.asarray(p))) for p in poses])
         prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
-                                         calib_pts=calib)
+                                         calib_pts=calib,
+                                         fold_requant=True)
         return prepared, "int8", dim_pts
     if use_pallas:
         # PE fused into the kernel (freq-major layout): the positional
@@ -199,12 +207,38 @@ def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     return lambda poses: render_k(prepared, poses)
 
 
+def make_nerf_bench_fn(params_coarse: dict, params_fine: dict | None,
+                       ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
+                       ndc_params: tuple | None = None,
+                       use_pallas: bool = False, ncfg_fine=None,
+                       perturb_test: bool = False) -> Callable:
+    """Teacher analog of ``make_r2l_bench_fn``: poses [K, 3, 4] -> scalar
+    checksum with the K volumetric frames rendered inside ONE jit
+    (``--benchmark --model_name nerf``, reference `main.py:401-404,
+    1124-1133` — its render_func benchmarks whichever model was built)."""
+    vcfg_t = dataclasses.replace(vcfg, perturb=perturb_test,
+                                 raw_noise_std=0.0)
+    fused = bool(use_pallas and jax.default_backend() == "tpu"
+                 and vcfg.multires > 0)
+    frame = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
+                            perturb_test, fused)
+    pf = params_fine if params_fine else None
+
+    @jax.jit
+    def render_k(pc, pfin, poses):
+        return jnp.sum(jax.lax.map(
+            lambda c2w: jnp.sum(frame(pc, pfin, c2w)), poses))
+
+    return lambda poses: render_k(params_coarse, pf, poses)
+
+
 def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
                        ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
                        ndc_params: tuple | None = None,
                        use_pallas: bool = False,
                        ncfg_fine=None,
-                       perturb_test: bool = False) -> Callable:
+                       perturb_test: bool = False,
+                       with_disp: bool = False) -> Callable:
     """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
     (H, W, focal) to enable the LLFF NDC warp. On TPU the MLP query runs
     through the fused Pallas kernel.
@@ -214,13 +248,17 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
     (`main.py:528-536`: perturb = args.perturb_test, raw_noise_std = 0);
     the jitter key is derived from the pose so eval stays deterministic
     per pose under jit.
+
+    ``with_disp=True`` makes the fn return ``(rgb [H,W,3], disp [H,W])``
+    — the pair the reference's i_video writer consumes for the NeRF
+    disparity video (`main.py:1483-1497`).
     """
     vcfg_t = dataclasses.replace(vcfg, perturb=perturb_test,
                                  raw_noise_std=0.0)
     fused = bool(use_pallas and jax.default_backend() == "tpu"
                  and vcfg.multires > 0)
     jit_fn = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
-                             perturb_test, fused)
+                             perturb_test, fused, with_disp)
     pf = params_fine if params_fine else None
     return lambda c2w: jit_fn(params_coarse, pf, c2w)
 
@@ -228,7 +266,7 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
 @functools.lru_cache(maxsize=64)
 def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
                     sampler: PointSampler, ndc_params, perturb_test: bool,
-                    fused: bool) -> Callable:
+                    fused: bool, with_disp: bool = False) -> Callable:
     """Jitted (params_coarse, params_fine, c2w) -> [H, W, 3], cached on
     static config (see ``_r2l_frame_jit``). ``fused`` routes through the
     fully-fused Pallas volumetric pass (eval is noise-free, so it always
@@ -250,7 +288,10 @@ def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
         render = render_frame_nerf_fused if fused else render_frame_nerf
         out = render(pc, pf, ncfg, vcfg_t, rays_o, rays_d, key=key,
                      ncfg_fine=ncfg_fine)
-        return out["rgb"].reshape(sampler.H, sampler.W, 3)
+        rgb = out["rgb"].reshape(sampler.H, sampler.W, 3)
+        if with_disp:
+            return rgb, out["disp"].reshape(sampler.H, sampler.W)
+        return rgb
 
     return jax.jit(frame)
 
@@ -274,12 +315,15 @@ def render_path(frame_fn: Callable[[Array], Array],
     block_until_ready) — use ``--benchmark`` / ``make_r2l_bench_fn`` (K
     frames per jit, checksum readback) for honest latency numbers.
     """
-    frames, mses, psnrs, ssims = [], [], [], []
+    frames, disps, mses, psnrs, ssims = [], [], [], [], []
     t_total, n_timed, t_first = 0.0, 0, 0.0
     for i, c2w in enumerate(poses):
         c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
         t0 = time.perf_counter()
         img = frame_fn(c2w)
+        if isinstance(img, tuple):  # (rgb, disp) — teacher with_disp path
+            img, disp = img
+            disps.append(np.asarray(disp, dtype=np.float32))
         img.block_until_ready()
         if i > 0:  # skip compile
             t_total += time.perf_counter() - t0
@@ -310,6 +354,8 @@ def render_path(frame_fn: Callable[[Array], Array],
             logger.print(msg)
 
     result = EvalResult(frames=np.stack(frames))
+    if disps:
+        result.disp_frames = np.stack(disps)
     if n_timed:
         result.ms_per_frame = 1000.0 * t_total / n_timed
     elif frames:

@@ -7,6 +7,12 @@ StableHLO artifact with a symbolic batch dimension, reloadable by any JAX
 process (and convertible to TF SavedModel / TFLite downstream). The parity
 check deserializes the artifact and asserts the same tolerances as the
 reference against the live forward pass.
+
+``export_onnx`` additionally emits a REAL ``.onnx`` for reference-world
+consumers when an ONNX serializer is importable (torch needs the ``onnx``
+package for its exporter), with the reference's onnxruntime parity check
+when onnxruntime exists — and a loud skip naming the missing dependency
+otherwise (this image bundles neither ``onnx`` nor ``onnxruntime``).
 """
 from __future__ import annotations
 
@@ -80,3 +86,137 @@ def check_export(path: str, params: dict, cfg: R2LConfig,
     want = np.asarray(jax.jit(
         lambda x: apply_r2l(params, cfg, x))(x))
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def build_torch_r2l(params: dict, cfg: R2LConfig):
+    """Rebuild the R2L forward as a torch module over the SAME weights
+    (via ``checkpoint.params_to_torch_r2l`` layout rules: torch Linears
+    are [out, in]). Used by ``export_onnx`` — the reference exports its
+    torch ``NeRF_v3_2`` (`main.py:1106-1122`); this module reproduces
+    that forward (`model/nerf_raybased.py:539-544`) from our pytree so
+    the emitted graph is the reference-compatible one."""
+    import torch
+
+    host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+
+    def lin(w, b):
+        m = torch.nn.Linear(w.shape[0], w.shape[1])
+        with torch.no_grad():
+            m.weight.copy_(torch.from_numpy(np.ascontiguousarray(w.T)))
+            m.bias.copy_(torch.from_numpy(b))
+        return m
+
+    def act(name):
+        return {"relu": torch.nn.ReLU(), "lrelu": torch.nn.LeakyReLU(0.01),
+                "none": None}[name.lower()]
+
+    class TorchR2L(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head = lin(host["head"]["w"], host["head"]["b"])
+            self.blocks = torch.nn.ModuleList()
+            body = host["body"]
+            if cfg.body_arch == "resmlp":
+                nb, nl = body["w"].shape[0], body["w"].shape[1]
+                for i in range(nb):
+                    self.blocks.append(torch.nn.ModuleList(
+                        [lin(body["w"][i, j], body["b"][i, j])
+                         for j in range(nl)]))
+            else:
+                for layer in body:
+                    self.blocks.append(torch.nn.ModuleList(
+                        [lin(layer["w"], layer["b"])]))
+            self.tail = lin(host["tail"]["w"], host["tail"]["b"])
+            self.act = act(cfg.act)
+            self.inact = act(cfg.inact)
+            self.outact = act(cfg.outact)
+
+        def forward(self, x):
+            h = self.head(x)
+            if self.act is not None:
+                h = self.act(h)
+            out = h
+            if cfg.body_arch == "resmlp":
+                for blk in self.blocks:
+                    b_in = out
+                    b = out
+                    for j, m in enumerate(blk):
+                        b = m(b)
+                        if j < len(blk) - 1 and self.inact is not None:
+                            b = self.inact(b)
+                    out = b * cfg.res_scale + b_in
+                    if self.outact is not None:
+                        out = self.outact(out)
+            else:
+                for blk in self.blocks:
+                    out = blk[0](out)
+                    if self.act is not None:
+                        out = self.act(out)
+            if cfg.use_residual:
+                out = out + h
+            out = self.tail(out)
+            if not cfg.linear_tail:
+                out = torch.sigmoid(out)
+            return out
+
+    return TorchR2L().eval()
+
+
+def export_onnx(params: dict, cfg: R2LConfig, out_dir: str,
+                sample_batch: int = 4096, log=print) -> str | None:
+    """Emit ``<out_dir>/r2l.onnx`` (opset 11, dynamic batch axis — the
+    reference's ``save_onnx``, `main.py:831-853`) when torch's ONNX
+    serializer is available; verify with onnxruntime at the reference
+    tolerances (``check_onnx``, `main.py:857-885`) when importable.
+    Returns the path, or None with a loud skip naming the missing dep.
+    """
+    import dataclasses
+
+    import torch
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype=jnp.float32,
+                                precision="highest")
+    module = build_torch_r2l(params, cfg32)
+
+    # The torch rebuild must match the jax forward BEFORE serializing —
+    # a conversion bug would otherwise ship silently.
+    x_np = np.asarray(jax.random.normal(
+        jax.random.key(0), (min(sample_batch, 256), cfg32.input_dim),
+        jnp.float32))
+    with torch.no_grad():
+        got = module(torch.from_numpy(x_np)).numpy()
+    want = np.asarray(jax.jit(lambda v: apply_r2l(params, cfg32, v))(
+        jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "r2l.onnx")
+    dummy = torch.zeros(1, cfg32.input_dim)
+    try:
+        torch.onnx.export(module, (dummy,), path, opset_version=11,
+                          input_names=["input"], output_names=["rgb"],
+                          dynamic_axes={"input": {0: "batch"},
+                                        "rgb": {0: "batch"}},
+                          dynamo=False)
+    except Exception as e:  # torch raises OnnxExporterError w/o `onnx`
+        log(f"[export] ONNX SKIPPED — torch.onnx.export needs the "
+            f"'onnx' package, which this environment does not bundle "
+            f"({type(e).__name__}: {e}). The StableHLO artifact is the "
+            f"complete TPU-native export; install 'onnx' (and "
+            f"'onnxruntime' for the parity check) to also emit .onnx.")
+        return None
+
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        log("[export] wrote r2l.onnx; onnxruntime not installed — "
+            "skipping the runtime parity check (reference "
+            "`main.py:857-885`). The pre-serialization torch/jax parity "
+            "check passed at rtol=1e-3/atol=1e-5.")
+        return path
+
+    sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
+    ort_out = sess.run(["rgb"], {"input": x_np})[0]
+    np.testing.assert_allclose(ort_out, want, rtol=RTOL, atol=ATOL)
+    log(f"[export] wrote {path} (onnxruntime parity check passed)")
+    return path

@@ -55,11 +55,32 @@ def flops_per_pixel_from_params(params: Any) -> float:
     """Matmul FLOPs/ray counted from the ACTUAL weight shapes: one ray
     uses every linear once, so FLOPs = 2 * sum(in*out) over weight
     matrices — exact for any body architecture (mlp, layerwise widths,
-    resmlp), unlike the canonical closed form."""
+    stacked resmlp, teacher list-of-dicts), unlike the canonical closed
+    form.
+
+    Weight leaves are any pytree entry keyed ``"w"``. A 2-D leaf is one
+    ``[in, out]`` linear (2*in*out FLOPs); leaves with leading stack axes
+    (the scan-stacked resmlp body ``[n_block, n_learnable, W, W]``) apply
+    each stacked ``[in, out]`` matrix once per ray, so the count is
+    2 * prod(shape) in every case. Matches the reference's hook counter
+    with ``count_adds=False`` (`/root/reference/main.py:546-552`,
+    `smilelogging/utils.py:259-316`)."""
     total = 0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         last = path[-1]
         key = getattr(last, "key", getattr(last, "name", ""))
-        if key == "w" and hasattr(leaf, "ndim") and leaf.ndim == 2:
-            total += 2 * int(leaf.shape[0]) * int(leaf.shape[1])
+        if key == "w" and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            total += 2 * int(np.prod(leaf.shape))
     return float(total)
+
+
+def nerf_flops_per_pixel_from_params(params: Any, n_samples: int,
+                                     n_importance: int) -> float:
+    """Teacher FLOPs/pixel, reference semantics (`main.py:541-545`):
+    one per-point forward's matmul FLOPs times the number of network
+    queries per pixel — coarse pass N_samples points plus fine pass
+    (N_samples + N_importance) points, i.e. (2*N_samples + N_importance)
+    total (the reference multiplies the single-model count by that sum,
+    coarse and fine sharing the same architecture)."""
+    return flops_per_pixel_from_params(params) * (2 * n_samples
+                                                  + n_importance)

@@ -365,16 +365,23 @@ def _quant_cols_scaled(w: Array, s_in: Array) -> tuple[Array, Array]:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L",
-                                             "margin"))
+                                             "margin", "fold_requant"))
 def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
                           L: int, calib_pts: Array,
-                          margin: float = 1.1) -> FusedParamsInt8PE:
+                          margin: float = 1.1,
+                          fold_requant: bool = False) -> FusedParamsInt8PE:
     """Calibrate per-(layer, channel) activation ranges on sample rays and
     pack the int8 kernel params.
 
     ``calib_pts`` [n, dim_pts] should come from the deployment distribution
     (e.g. ``PointSampler.sample_test`` on a few poses). Scales use the
     observed max-abs x ``margin``; the kernel clips outliers to ±127.
+
+    ``fold_requant``: pre-multiply the NEXT intermediate layer's inverse
+    input scale into this layer's dequant multiplier/bias (exact algebra:
+    relu(acc*m + b) * inv == relu(acc*(m*inv) + b*inv) for inv > 0), so
+    the in-kernel requantize of within-block layers is round+clip with no
+    multiply. Must be paired with ``fold_requant=True`` on the apply fn.
 
     Jitted (cfg/dims static): eagerly this is ~500 dispatches — at the
     ~30 ms tunnel RTT that made every in-training eval rebuild pay ~15 s.
@@ -433,6 +440,12 @@ def calibrate_r2l_int8_pe(params: dict, cfg: R2LConfig, dim_pts: int,
         b = body_bias[idx]
         if idx % nl == nl - 1:                 # block tail: fold res_scale
             m, b = m * rs, b * rs
+        elif fold_requant:
+            # within-block layer: fold the NEXT layer's inverse input
+            # scale so its requantize needs no multiply (relu commutes
+            # with the positive per-channel scaling).
+            inv_next = 1.0 / s_body[idx + 1]
+            m, b = m * inv_next[None, :], b * inv_next
         qs.append(q)
         ms.append(m[0])
         bs.append(b)
@@ -464,10 +477,23 @@ def _q8(x_f32, inv):
 def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
                    body_b, body_inv, tail_q, tail_m, tail_b, tail_inv,
                    o_ref, *, cfg: R2LConfig, dim_pts: int, L: int,
-                   in_dim: int, in_pad: int) -> None:
+                   in_dim: int, in_pad: int, bf16_resid: bool = False,
+                   fold_requant: bool = False,
+                   nobf16_inner: bool = False) -> None:
     """Shared int8 PE + matmul chain: raw points p [T, dim_pts] (f32,
     in-VMEM) -> o_ref (single source of truth for the int8 forward; the
-    pts-input and ray-gen kernels both wrap it)."""
+    pts-input and ray-gen kernels both wrap it).
+
+    ``bf16_resid``: residual adds in bf16 (no f32 up/downcast per block;
+    the error is bounded by the following requantize).
+    ``fold_requant``: within-block requantize is round+clip only — the
+    inverse input scale was pre-multiplied into the previous layer's
+    dequant m/b at calibration (params MUST come from
+    ``calibrate_r2l_int8_pe(..., fold_requant=True)``).
+    ``nobf16_inner`` (with fold_requant): within-block activations skip
+    the bf16 bounce entirely — their only consumer is the immediate
+    round+clip requantize, so they stay f32 (2 fewer casts/layer).
+    """
     q8 = _q8
     nb, nl = cfg.num_blocks, cfg.n_learnable
     # PE parts quantized per part (transients stay [tile, dim_pts]):
@@ -491,27 +517,44 @@ def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
     h0 = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
                      + head_b[...], 0.0)
     h = h0.astype(jnp.bfloat16)
+    if bf16_resid:
+        h0 = h  # keep the global-residual copy in bf16 too
 
     for i in range(nb):
         h_in = h
         t = h
         for j in range(nl):
             idx = i * nl + j
-            inv = body_inv[pl.ds(idx, 1), :]
-            q = q8(t.astype(jnp.float32), inv)
+            if fold_requant and j > 0:
+                # previous layer's m/b already carry this layer's inverse
+                # input scale: requantize = round + clip, no multiply
+                q = jnp.clip(jnp.round(t.astype(jnp.float32)),
+                             -127.0, 127.0).astype(jnp.int8)
+            else:
+                inv = body_inv[pl.ds(idx, 1), :]
+                q = q8(t.astype(jnp.float32), inv)
             acc = jnp.dot(q, body_q[idx],
                           preferred_element_type=jnp.int32)
             tf = (acc.astype(jnp.float32) * body_m[pl.ds(idx, 1), :]
                   + body_b[pl.ds(idx, 1), :])
             if j < nl - 1:
                 tf = jnp.maximum(tf, 0.0)
-            t = tf.astype(jnp.bfloat16)
+            if fold_requant and nobf16_inner and j < nl - 1:
+                t = tf  # f32 straight into the next round+clip
+            else:
+                t = tf.astype(jnp.bfloat16)
         # res_scale already folded into the block tail's m/b
-        h = (t.astype(jnp.float32)
-             + h_in.astype(jnp.float32)).astype(jnp.bfloat16)
-    hf = h.astype(jnp.float32)
-    if cfg.use_residual:
-        hf = hf + h0
+        if bf16_resid:
+            h = t + h_in
+        else:
+            h = (t.astype(jnp.float32)
+                 + h_in.astype(jnp.float32)).astype(jnp.bfloat16)
+    if bf16_resid:
+        hf = ((h + h0) if cfg.use_residual else h).astype(jnp.float32)
+    else:
+        hf = h.astype(jnp.float32)
+        if cfg.use_residual:
+            hf = hf + h0
     q = q8(hf, tail_inv[...])
     acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
@@ -521,15 +564,21 @@ def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
-                                             "interpret"))
+                                             "interpret", "bf16_resid",
+                                             "fold_requant",
+                                             "nobf16_inner"))
 def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
                             pts: Array, dim_pts: int, L: int = 10,
                             tile: int = 1024,
-                            interpret: bool | None = None) -> Array:
+                            interpret: bool | None = None,
+                            bf16_resid: bool = False,
+                            fold_requant: bool = False,
+                            nobf16_inner: bool = False) -> Array:
     """pts [N, dim_pts] raw sample points -> RGB [N, output_dim] f32.
 
     PE on the VPU, whole int8 weight stack (~5.9 MB) VMEM-resident, every
     matmul on the MXU's 2x int8 rate, residual stream in bf16/f32.
+    ``fold_requant`` requires params calibrated with the same flag.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -550,7 +599,9 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
         _int8_pe_chain(p_ref[...], head_q, head_m, head_b, head_inv,
                        body_q, body_m, body_b, body_inv, tail_q, tail_m,
                        tail_b, tail_inv, o_ref, cfg=cfg, dim_pts=dim_pts,
-                       L=L, in_dim=in_dim, in_pad=in_pad)
+                       L=L, in_dim=in_dim, in_pad=in_pad,
+                       bf16_resid=bf16_resid, fold_requant=fold_requant,
+                       nobf16_inner=nobf16_inner)
 
     W = cfg.netwidth
     nbl = fp.body_q.shape[0]

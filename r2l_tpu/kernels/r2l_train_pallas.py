@@ -41,8 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.r2l import R2LConfig
-from .r2l_pallas import (_pe_row_permutation, _pe_sin_cos_ladder, _round_up,
-                         prepare_fused_params_pe)
+from .r2l_pallas import (_pe_row_permutation, _pe_sin_cos_ladder, _q8,
+                         _round_up, prepare_fused_params_pe)
 
 Array = jax.Array
 _LANE = 128
@@ -177,6 +177,157 @@ def train_fwd(fparams, cfg: R2LConfig, pts: Array, dim_pts: int,
     return rgb[:n, :cfg.output_dim], stash
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
+                                             "interpret"))
+def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
+                   L: int = 10, tile: int = 512,
+                   interpret: bool | None = None):
+    """Static-scale int8 TRAINING forward with the same bf16 HBM
+    activation stash contract as ``train_fwd`` (rows h_0..h_nb then t_i).
+
+    The round-3 MFU experiment (VERDICT r2 Next #6): run the forward
+    matmuls at the MXU's 2x int8 rate — the quantization noise perturbs
+    the distill loss like data augmentation — while the backward consumes
+    the (dequantized) stashed activations with bf16 weights, i.e. a
+    straight-through gradient at the quantized forward's activations.
+    ``fp`` must come from ``calibrate_r2l_int8_pe`` on the CURRENT
+    params (re-calibrated as they drift; see make_fused_train_apply).
+    """
+    assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pts.shape[0]
+    in_pad = fp.head_q.shape[0]
+    out_pad = fp.tail_q.shape[1]
+    nb = cfg.num_blocks
+    W = cfg.netwidth
+    n_pad = _round_up(max(n, 1), tile)
+    in_dim = dim_pts * (2 * L + 1)
+    cd = jnp.bfloat16
+    NSLOT = _STASH_RING_DEPTH
+
+    if n_pad == n:
+        pp = pts.astype(jnp.float32)
+    else:
+        pp = jnp.zeros((n_pad, dim_pts), jnp.float32)
+        pp = pp.at[:n].set(pts.astype(jnp.float32))
+
+    n_stash = 2 * nb + 1
+
+    def kern(p_ref, head_q, head_m, head_b, head_inv, body_q, body_m,
+             body_b, body_inv, tail_q, tail_m, tail_b, tail_inv,
+             o_ref, stash_ref, bufs, sems):
+        i = pl.program_id(0)
+        p = p_ref[...]
+        sins, coss = _pe_sin_cos_ladder(p, L)
+        parts = []
+        for j in range(L):
+            parts.append(_q8(sins[j], head_inv[:, pl.ds(j * dim_pts,
+                                                        dim_pts)]))
+        for j in range(L):
+            parts.append(_q8(coss[j], head_inv[:, pl.ds((L + j) * dim_pts,
+                                                        dim_pts)]))
+        parts.append(_q8(p, head_inv[:, pl.ds(2 * L * dim_pts, dim_pts)]))
+        pad = in_pad - in_dim
+        if pad:
+            parts.append(jnp.zeros((p.shape[0], pad), jnp.int8))
+        xq = jnp.concatenate(parts, axis=1)
+
+        counter = [0]
+
+        def stash(row, val):
+            c = counter[0]
+            slot = c % NSLOT
+            if c >= NSLOT:
+                pltpu.make_async_copy(bufs.at[slot], bufs.at[slot],
+                                      sems.at[slot]).wait()
+            bufs[slot] = val
+            pltpu.make_async_copy(
+                bufs.at[slot], stash_ref.at[row, pl.ds(i * tile, tile), :],
+                sems.at[slot]).start()
+            counter[0] = c + 1
+
+        def stash_drain():
+            c = counter[0]
+            for k in range(min(NSLOT, c)):
+                slot = (c - 1 - k) % NSLOT
+                pltpu.make_async_copy(bufs.at[slot], bufs.at[slot],
+                                      sems.at[slot]).wait()
+
+        acc = jnp.dot(xq, head_q[...], preferred_element_type=jnp.int32)
+        h0f = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
+                          + head_b[...], 0.0)
+        h = h0f.astype(cd)
+        stash(0, h)
+        for b in range(nb):
+            idx = 2 * b
+            q = _q8(h.astype(jnp.float32), body_inv[pl.ds(idx, 1), :])
+            acc = jnp.dot(q, body_q[idx], preferred_element_type=jnp.int32)
+            t1r = jnp.maximum(acc.astype(jnp.float32)
+                              * body_m[pl.ds(idx, 1), :]
+                              + body_b[pl.ds(idx, 1), :], 0.0).astype(cd)
+            stash(nb + 1 + b, t1r)
+            q = _q8(t1r.astype(jnp.float32),
+                    body_inv[pl.ds(idx + 1, 1), :])
+            acc = jnp.dot(q, body_q[idx + 1],
+                          preferred_element_type=jnp.int32)
+            # res_scale folded into the block tail's m/b at calibration
+            t2 = (acc.astype(jnp.float32) * body_m[pl.ds(idx + 1, 1), :]
+                  + body_b[pl.ds(idx + 1, 1), :])
+            h = (t2 + h.astype(jnp.float32)).astype(cd)
+            stash(b + 1, h)
+        hf = h.astype(jnp.float32)
+        if cfg.use_residual:
+            hf = hf + h0f
+        q = _q8(hf, tail_inv[...])
+        acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
+        if not cfg.linear_tail:
+            out = jax.nn.sigmoid(out)
+        o_ref[...] = out
+        stash_drain()
+
+    nbl = fp.body_q.shape[0]
+    const = lambda i: (0, 0)  # noqa: E731
+    rgb, stash = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dim_pts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_pad, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, in_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, out_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_stash, n_pad, W), cd),
+        ),
+        scratch_shapes=[pltpu.VMEM((_STASH_RING_DEPTH, tile, W), cd),
+                        pltpu.SemaphoreType.DMA((_STASH_RING_DEPTH,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pp, fp.head_q, fp.head_m, fp.head_b, fp.head_inv, fp.body_q,
+      fp.body_m, fp.body_b, fp.body_inv, fp.tail_q, fp.tail_m, fp.tail_b,
+      fp.tail_inv)
+    return rgb[:n, :cfg.output_dim], stash
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "b_start", "b_count",
                                              "tile", "interpret"))
 def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
@@ -285,7 +436,9 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
 def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
                            tile: int = 512, group_blocks: int = 4,
                            compute_dtype=jnp.bfloat16,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           quantize: str = "",
+                           calib_pts: Array | None = None):
     """Build ``apply(params, pts) -> rgb`` with a fused Pallas VJP.
 
     The primal runs ``train_fwd`` (one fused pass + activation stash);
@@ -293,6 +446,14 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
     ``group_blocks`` blocks each, with the tail/head/PE edges in XLA.
     ``pts`` are data: their cotangent is zero. Gradients match
     ``jax.grad`` of ``apply_r2l`` (tests/test_train_pallas.py).
+
+    ``quantize='int8'`` (requires ``calib_pts`` [n, dim_pts]): the
+    forward runs ``train_fwd_int8`` at the MXU's 2x int8 rate, with the
+    static activation scales RE-CALIBRATED from the live params inside
+    every step (params drift during training; the calibration forward
+    over calib_pts is a small f32 pass). Backward is the same bf16 walk
+    over the stashed (dequantized) activations — a straight-through
+    gradient. Accuracy impact is measured on the verify scene (PERF.md).
     """
     assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
     assert cfg.act == "relu" and cfg.inact == "relu" and cfg.outact == "none"
@@ -320,19 +481,30 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
         sins, coss = _pe_sin_cos_ladder(p, L)
         return jnp.concatenate(sins + coss + [p], axis=1)
 
-    @jax.custom_vjp
-    def apply_(params, pts):
+    int8 = quantize == "int8"
+    if int8:
+        assert calib_pts is not None, "int8 training needs calib_pts"
+        from .r2l_pallas import calibrate_r2l_int8_pe
+        calib_const = jnp.asarray(np.asarray(calib_pts), jnp.float32)
+
+    def _run_fwd(params, pts):
+        if int8:
+            fp = calibrate_r2l_int8_pe(params, cfg, dim_pts, L,
+                                       calib_pts=calib_const)
+            return train_fwd_int8(fp, cfg, pts, dim_pts, L, tile=tile,
+                                  interpret=interpret)
         fp = prepare_fused_params_pe(params, cfg, dim_pts, L,
                                      weight_dtype=wd)
-        rgb, _ = train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
-                           interpret=interpret)
+        return train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
+                         interpret=interpret)
+
+    @jax.custom_vjp
+    def apply_(params, pts):
+        rgb, _ = _run_fwd(params, pts)
         return rgb
 
     def fwd(params, pts):
-        fp = prepare_fused_params_pe(params, cfg, dim_pts, L,
-                                     weight_dtype=wd)
-        rgb, stash = train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
-                               interpret=interpret)
+        rgb, stash = _run_fwd(params, pts)
         return rgb, (params, pts, stash, rgb)
 
     def bwd(res, d_rgb):

@@ -81,6 +81,8 @@ class VolOutputs(NamedTuple):
     rgb0: Array | None            # coarse outputs when hierarchical
     disp0: Array | None
     acc0: Array | None
+    z_std: Array | None = None    # per-ray std of the fine z_samples
+    #                               (reference `main.py:743-750`, log-only)
 
 
 def _coarse_z(vcfg: VolRenderConfig, n_ray: int,
@@ -152,9 +154,12 @@ def render_rays_nerf(params_coarse: dict, params_fine: dict | None,
     out_f = raw2outputs(raw_f, z_all, rays_d, vcfg.raw_noise_std,
                         vcfg.white_bkgd, k_noise2)
 
+    # Per-ray spread of the importance samples (reference `main.py:749`:
+    # torch.std(z_samples, unbiased=False) — population std).
+    z_std = jnp.std(z_samples, axis=-1)
     return VolOutputs(out_f.rgb_map, out_f.disp_map, out_f.acc_map,
                       out_f.depth_map, out_c.rgb_map, out_c.disp_map,
-                      out_c.acc_map)
+                      out_c.acc_map, z_std)
 
 
 def _pad_to_multiple(x: Array, m: int) -> tuple[Array, int]:

@@ -306,7 +306,9 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       tx: optax.GradientTransformation, mesh=None,
                       fused_vjp: bool = False, fused_tile: int = 512,
                       fused_group_blocks: int = 4,
-                      scan_steps: int = 1):
+                      scan_steps: int = 1,
+                      fused_quantize: str = "",
+                      fused_calib_pts=None):
     """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
@@ -317,6 +319,9 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
     custom-VJP kernels (single device, canonical resmlp only) — the XLA
     schedule round-trips the [B, W] activations through HBM between all
     layers in both directions (PERF.md: HBM-bound at 44% MFU).
+    ``fused_quantize='int8'`` additionally runs the training FORWARD at
+    the int8 MXU rate with per-step recalibrated static scales
+    (straight-through backward; needs ``fused_calib_pts``).
     """
     fused_apply = None
     if fused_vjp:
@@ -328,7 +333,8 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
         fused_apply = make_fused_train_apply(
             cfg, dim_pts, dcfg.embed_L, tile=fused_tile,
             group_blocks=fused_group_blocks,
-            compute_dtype=cfg.compute_dtype)
+            compute_dtype=cfg.compute_dtype,
+            quantize=fused_quantize, calib_pts=fused_calib_pts)
 
     def step(state: TrainState, fresh: Array, key: jax.Array):
         return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,
@@ -345,12 +351,18 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
                              precrop_iters: int = 0,
                              precrop_frac: float = 0.5,
                              select_pixel_mode: str = "rand_pixel",
-                             scan_steps: int = 1):
+                             scan_steps: int = 1, mesh=None):
     """Distillation step for ``--data_mode images`` (reference
     `main.py:1267-1302`): one (image, pose) per iter; N_rand pixels are
     selected ON DEVICE (central precrop early, rand_pixel or rand_patch),
     rays built with get_rays, then the same loss/hard-mining core as rays
     mode. Signature: (state, image [H, W, 3], pose [3, 4], key).
+
+    With a ``mesh`` the N_rand selected pixels shard over the 'data'
+    axis inside ``_distill_core``, exactly like the rays step — the
+    reference DataParallel-wraps the student regardless of data mode
+    (`main.py:472-479`); the scattered pixel batch IS data-parallel
+    there. The source image/pose stay replicated (they are one frame).
 
     NOTE: the R2L STUDENT consumes RAW camera rays even for LLFF — in
     the reference the NDC warp lives only inside the teacher's
@@ -388,7 +400,7 @@ def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,
         fresh = jnp.concatenate(
             [rays_o[hh, ww], rays_d[hh, ww], image[hh, ww]], axis=-1)
         return _distill_core(state, fresh, k_core, cfg, dcfg, sampler, tx,
-                             n_fresh=n_fresh)
+                             n_fresh=n_fresh, mesh=mesh)
 
     return _maybe_scan(step, scan_steps, "distill_images")
 
@@ -461,18 +473,24 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                                    both["fine"] if both["fine"] else None,
                                    ncfg, vcfg, ro, rd, key=key,
                                    ncfg_fine=ncfg_fine)
-            loss = jnp.mean((out.rgb_map - tgt) ** 2)
+            loss_rgb = jnp.mean((out.rgb_map - tgt) ** 2)
+            loss = loss_rgb
             if out.rgb0 is not None:
                 loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)
-            return loss
+            return loss, loss_rgb
 
         both = {"coarse": state.params_coarse, "fine": state.params_fine}
-        loss, grads = jax.value_and_grad(loss_fn)(both)
+        (loss, loss_rgb), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(both)
         updates, opt_state = tx.update(grads, state.opt_state, both)
         both = optax.apply_updates(both, updates)
         new_state = TeacherState(both["coarse"], both["fine"], opt_state,
                                  state.step + 1)
-        return new_state, {"loss": loss, "psnr": -10.0 * jnp.log10(loss)}
+        # Reference logs PSNR from the FINE-pass RGB MSE only
+        # (`main.py:1377-1378`: psnr = mse2psnr(loss_rgb), the coarse
+        # img_loss0 is added to the optimized loss but excluded here).
+        return new_state, {"loss": loss,
+                           "psnr": -10.0 * jnp.log10(loss_rgb)}
 
     return _maybe_scan(step, scan_steps, "teacher_batched",
                        stride=tcfg.n_rand)
@@ -536,18 +554,21 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                                    both["fine"] if both["fine"] else None,
                                    ncfg, vcfg, ro, rd, key=k_render,
                                    ncfg_fine=ncfg_fine)
-            loss = jnp.mean((out.rgb_map - tgt) ** 2)
+            loss_rgb = jnp.mean((out.rgb_map - tgt) ** 2)
+            loss = loss_rgb
             if out.rgb0 is not None:
                 loss = loss + jnp.mean((out.rgb0 - tgt) ** 2)
-            return loss
+            return loss, loss_rgb
 
         both = {"coarse": state.params_coarse, "fine": state.params_fine}
-        loss, grads = jax.value_and_grad(loss_fn)(both)
+        (loss, loss_rgb), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(both)
         updates, opt_state = tx.update(grads, state.opt_state, both)
         both = optax.apply_updates(both, updates)
         new_state = TeacherState(both["coarse"], both["fine"], opt_state,
                                  state.step + 1)
+        # PSNR from fine-pass RGB MSE only (reference `main.py:1377-1378`).
         return new_state, {"loss": loss,
-                           "psnr": -10.0 * jnp.log10(loss)}
+                           "psnr": -10.0 * jnp.log10(loss_rgb)}
 
     return _maybe_scan(step, scan_steps, "teacher_images")

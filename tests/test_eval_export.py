@@ -118,3 +118,46 @@ def test_frame_fn_falls_back_for_noncanonical_act(key):
     a = make_r2l_frame_fn(params, cfg, sampler, use_pallas=True)(pose)
     b = make_r2l_frame_fn(params, cfg, sampler, use_pallas=False)(pose)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_torch_rebuild_matches_jax_forward(key):
+    """build_torch_r2l (the ONNX-export graph source) must reproduce the
+    jax forward at the reference tolerances, for both body archs."""
+    import torch
+
+    from r2l_tpu.export import ATOL, RTOL, build_torch_r2l
+    for body in ("resmlp", "mlp"):
+        cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                        body_arch=body, compute_dtype=jnp.float32,
+                        precision="highest")
+        params = init_r2l(key, cfg)
+        mod = build_torch_r2l(params, cfg)
+        x = np.asarray(jax.random.normal(jax.random.key(1), (64, 24)),
+                       np.float32)
+        with torch.no_grad():
+            got = mod(torch.from_numpy(x)).numpy()
+        want = np.asarray(apply_r2l(params, cfg, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_export_onnx_emits_or_skips_loudly(key, tmp_path):
+    """export_onnx writes r2l.onnx when an ONNX serializer exists, and
+    otherwise returns None with a message naming the missing dep
+    (VERDICT r2 Missing #2; reference `main.py:831-885`)."""
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                    compute_dtype=jnp.float32, precision="highest")
+    params = init_r2l(key, cfg)
+    msgs = []
+    from r2l_tpu.export import export_onnx
+    path = export_onnx(params, cfg, str(tmp_path), log=msgs.append)
+    try:
+        import onnx  # noqa: F401
+        have_onnx = True
+    except ImportError:
+        have_onnx = False
+    if have_onnx:
+        assert path is not None and os.path.exists(path)
+    else:
+        assert path is None
+        assert msgs and "onnx" in msgs[-1].lower()
+        assert "SKIPPED" in msgs[-1]

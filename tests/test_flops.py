@@ -2,7 +2,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from r2l_tpu.flops import (count_params, flops_per_pixel, param_bytes,
+from r2l_tpu.flops import (count_params, flops_per_pixel,
+                           flops_per_pixel_from_params,
+                           nerf_flops_per_pixel_from_params, param_bytes,
                            r2l_analytic_flops_per_pixel, xla_cost)
 from r2l_tpu.models import R2LConfig, apply_r2l, init_r2l
 
@@ -12,6 +14,56 @@ def test_canonical_flops_per_pixel_matches_paper():
     cfg = R2LConfig()
     np.testing.assert_allclose(r2l_analytic_flops_per_pixel(cfg) / 1e6,
                                11.79, rtol=0.01)
+
+
+def test_exact_counter_canonical_resmlp():
+    """The from-params counter must handle the scan-stacked [nb,nl,W,W]
+    body (round-2 verdict: it skipped it and reported 0.52M instead of
+    11.79M for the flagship model)."""
+    cfg = R2LConfig()
+    params = init_r2l(jax.random.key(0), cfg)
+    exact = flops_per_pixel_from_params(params)
+    np.testing.assert_allclose(exact, r2l_analytic_flops_per_pixel(cfg),
+                               rtol=1e-12)
+    np.testing.assert_allclose(exact / 1e6, 11.79, rtol=0.01)
+
+
+def test_exact_counter_mlp_and_layerwise():
+    # Plain-MLP body with per-layer widths: count from true shapes.
+    cfg = R2LConfig(input_dim=48, netdepth=6, body_arch="mlp",
+                    layerwise_widths=(64, 32, 16, 16, 16))
+    params = init_r2l(jax.random.key(1), cfg)
+    ws = cfg.widths
+    expect = 2.0 * (cfg.input_dim * ws[0]
+                    + sum(ws[i - 1] * ws[i] for i in range(1, cfg.netdepth - 1))
+                    + ws[cfg.netdepth - 2] * cfg.output_dim)
+    np.testing.assert_allclose(flops_per_pixel_from_params(params), expect,
+                               rtol=1e-12)
+    # Uniform MLP agrees with the analytic form too.
+    cfg_u = R2LConfig(input_dim=48, netwidth=64, netdepth=6, body_arch="mlp")
+    np.testing.assert_allclose(
+        flops_per_pixel_from_params(init_r2l(jax.random.key(2), cfg_u)),
+        r2l_analytic_flops_per_pixel(cfg_u), rtol=1e-12)
+
+
+def test_exact_counter_teacher():
+    """Teacher list-of-dicts layout; reference semantics multiply the
+    per-point count by (2*N_samples + N_importance) (`main.py:541-545`).
+    Canonical teacher (63/27-d PE, D8 W256, viewdirs, 64+64+128 queries)
+    must land near the paper's 303.82M FLOPs/pixel (BASELINE.md)."""
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+    ncfg = NeRFConfig(D=8, W=256, input_ch=63, input_ch_views=27,
+                      output_ch=5, skips=(4,), use_viewdirs=True)
+    params = init_nerf(jax.random.key(3), ncfg)
+    per_point = flops_per_pixel_from_params(params)
+    # D-1 hidden linears (one skip-widened to W+input_ch)
+    # + alpha/feature/views/rgb heads
+    expect_pp = 2.0 * (63 * 256 + 6 * 256 * 256 + (256 + 63) * 256
+                       + 256 * 1 + 256 * 256 + (256 + 27) * 128 + 128 * 3)
+    np.testing.assert_allclose(per_point, expect_pp, rtol=1e-12)
+    per_pixel = nerf_flops_per_pixel_from_params(params, 64, 128)
+    np.testing.assert_allclose(per_pixel, per_point * 256, rtol=1e-12)
+    np.testing.assert_allclose(per_pixel / 1e6, 303.82, rtol=0.02)
 
 
 def test_canonical_param_size_matches_paper():

@@ -76,3 +76,44 @@ def test_int8_pe_canonical_shapes(setup):
                                   interpret=True)
     assert got.shape == (16, 3)
     assert np.isfinite(np.asarray(got)).all()
+
+
+@pytest.mark.parametrize("bf16_resid,fold_requant,nobf16",
+                         [(True, False, False), (False, True, False),
+                          (True, True, False), (False, True, True)])
+def test_int8_pe_variants_match_f32(setup, bf16_resid, fold_requant,
+                                    nobf16):
+    """Epilogue variants (bf16 residual stream, folded requantize, f32
+    inner activations) stay within the same error envelope as the
+    baseline int8 path."""
+    cfg, params, sampler, poses, calib = setup
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4,
+                               calib_pts=calib, fold_requant=fold_requant)
+    pts = sampler.sample_test(jnp.asarray(np.asarray(poses[1])))
+    got = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts=6, L=4, tile=64,
+                                  interpret=True, bf16_resid=bf16_resid,
+                                  fold_requant=fold_requant,
+                                  nobf16_inner=nobf16)
+    want = apply_r2l(params, cfg, r2l_embed(pts, 4))
+    d = np.asarray(got) - np.asarray(want)
+    assert np.max(np.abs(d)) < 2.5e-2, np.max(np.abs(d))
+    assert np.sqrt(np.mean(d * d)) < 2.5e-3, np.sqrt(np.mean(d * d))
+
+
+def test_fold_requant_exact_vs_unfolded_scales(setup):
+    """The folded calibration is the same algebra: folded-kernel outputs
+    must match the unfolded kernel bit-for-bit in f32-interpret mode
+    except for rounding at the requant boundary (tolerance ~1 LSB)."""
+    cfg, params, sampler, poses, calib = setup
+    pts = sampler.sample_test(jnp.asarray(np.asarray(poses[0])))
+    fp0 = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4,
+                                calib_pts=calib)
+    fp1 = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4,
+                                calib_pts=calib, fold_requant=True)
+    a = fused_r2l_apply_int8_pe(fp0, cfg, pts, dim_pts=6, L=4, tile=64,
+                                interpret=True)
+    b = fused_r2l_apply_int8_pe(fp1, cfg, pts, dim_pts=6, L=4, tile=64,
+                                interpret=True, fold_requant=True)
+    # same int8 weights, scales only rearranged; difference comes from
+    # the bf16 intermediate now holding the scaled value
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)

@@ -50,6 +50,19 @@ def test_render_rays_nerf_hierarchical(key):
     assert out.rgb_map.shape == (6, 3)
     assert out.rgb0.shape == (6, 3)
     assert np.isfinite(np.asarray(out.rgb_map)).all()
+    # z_std extra (reference `main.py:743-750`): per-ray population std
+    # of the fine importance samples; None without the fine pass.
+    assert out.z_std.shape == (6,)
+    assert np.isfinite(np.asarray(out.z_std)).all()
+    assert (np.asarray(out.z_std) >= 0).all()
+
+
+def test_render_rays_nerf_no_fine_has_no_z_std(key):
+    params, ncfg, vcfg = _setup_nerf(key)
+    ro = jnp.zeros((4, 3))
+    rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    out = render_rays_nerf(params, None, ncfg, vcfg, ro, rd)
+    assert out.z_std is None
 
 
 def test_render_frame_nerf_chunking_invariant(key):

@@ -181,3 +181,77 @@ def test_scan_steps_teacher_batched_matches(key, rng):
                                                    np.asarray(b)),
         state1.params_coarse, state2.params_coarse)
     assert int(state2.step) == 4
+
+def test_teacher_psnr_logged_from_fine_rgb_only(key, rng):
+    """Reference `main.py:1377-1378`: psnr = mse2psnr(fine-pass RGB mse);
+    the coarse img_loss0 is optimized but excluded from the PSNR log."""
+    from r2l_tpu.render import render_rays_nerf
+    from r2l_tpu.train import make_teacher_step_batched
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    pc = init_nerf(key, ncfg)
+    pf = init_nerf(jax.random.fold_in(key, 1), ncfg)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=4, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=32)
+    pool = jnp.asarray(np.concatenate([
+        np.zeros((64, 3), np.float32),
+        rng.normal(size=(64, 3)).astype(np.float32),
+        rng.uniform(0, 1, (64, 3)).astype(np.float32)], axis=1))
+    state, tx = init_teacher_state(pc, pf, tcfg)
+    step = make_teacher_step_batched(ncfg, vcfg, tcfg, tx,
+                                     ncfg_fine=ncfg)
+    k0 = jax.random.key(3)
+    # Recompute the fine-pass RGB MSE with the PRE-step params + same key.
+    batch = np.asarray(pool[:32])
+    out = render_rays_nerf(pc, pf, ncfg, vcfg, jnp.asarray(batch[:, 0:3]),
+                           jnp.asarray(batch[:, 3:6]), key=k0,
+                           ncfg_fine=ncfg)
+    mse_fine = float(jnp.mean((out.rgb_map - jnp.asarray(batch[:, 6:9]))**2))
+    mse0 = float(jnp.mean((out.rgb0 - jnp.asarray(batch[:, 6:9]))**2))
+    state, m = step(state, pool, jnp.asarray(0, jnp.int32), k0)
+    np.testing.assert_allclose(float(m["psnr"]),
+                               -10.0 * np.log10(mse_fine), rtol=1e-5)
+    # total loss includes the coarse term
+    np.testing.assert_allclose(float(m["loss"]), mse_fine + mse0, rtol=1e-5)
+
+
+def test_scanned_ema_matches_per_iter_loop(key, rng):
+    """Round-2 verdict Weak #4: with --steps_per_dispatch K>1 the loop
+    must fold ALL K stacked metrics into the LossLine EMA, matching the
+    reference's per-iteration hist update (`main.py:1383-1386`)."""
+    from r2l_tpu.app import _fold_lossline
+    from r2l_tpu.logging_ import LossLine
+    from r2l_tpu.train import make_teacher_step_batched
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    vcfg = VolRenderConfig(n_coarse=8, n_fine=0, perturb=True,
+                           use_viewdirs=False, white_bkgd=True)
+    tcfg = TeacherTrainConfig(n_rand=32)
+    pool = jnp.asarray(np.concatenate([
+        np.zeros((256, 3), np.float32),
+        rng.normal(size=(256, 3)).astype(np.float32),
+        rng.uniform(0, 1, (256, 3)).astype(np.float32)], axis=1))
+
+    # K=1 run: EMA folded once per step, same key chain.
+    state1, tx = init_teacher_state(init_nerf(key, ncfg), {}, tcfg)
+    step1 = make_teacher_step_batched(ncfg, vcfg, tcfg, tx)
+    ll1 = LossLine(ema=0.95)
+    k0 = jax.random.key(11)
+    kh = k0
+    for i in range(4):
+        kh, sub = jax.random.split(kh)
+        state1, m = step1(state1, pool, jnp.asarray(i * 32, jnp.int32), sub)
+        _fold_lossline(ll1, m, {"loss": "loss", "psnr": "psnr"})
+
+    # K=4 scanned run: one dispatch, stacked metrics folded in order.
+    state2, tx2 = init_teacher_state(init_nerf(key, ncfg), {}, tcfg)
+    scan4 = make_teacher_step_batched(ncfg, vcfg, tcfg, tx2, scan_steps=4)
+    ll4 = LossLine(ema=0.95)
+    state2, ms, _ = scan4(state2, pool, jnp.asarray(0, jnp.int32), k0)
+    assert ms["psnr"].shape == (4,)
+    _fold_lossline(ll4, ms, {"loss": "loss", "psnr": "psnr"})
+
+    for name in ("loss", "psnr"):
+        np.testing.assert_allclose(ll4.vals[name], ll1.vals[name],
+                                   rtol=1e-6)

@@ -118,3 +118,56 @@ def test_distill_step_with_fused_vjp_matches_xla(setup):
         losses[fused] = ls
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)
     assert losses[True][-1] < losses[True][0]  # it learns
+
+
+def test_int8_train_fwd_matches_apply(setup):
+    """int8 training forward (train_fwd_int8) reproduces the f32 forward
+    within the int8 envelope, and its stash holds the (dequantized)
+    activations the backward consumes."""
+    from r2l_tpu.kernels.r2l_pallas import calibrate_r2l_int8_pe
+    from r2l_tpu.kernels.r2l_train_pallas import train_fwd_int8
+    params, pts = setup
+    fp = calibrate_r2l_int8_pe(params, CFG, DIM, L, calib_pts=pts)
+    rgb, stash = train_fwd_int8(fp, CFG, pts, DIM, L, tile=TILE,
+                                interpret=True)
+    want = apply_r2l(params, CFG, r2l_embed(pts, L))
+    d = np.asarray(rgb) - np.asarray(want)
+    assert np.max(np.abs(d)) < 4e-2, np.max(np.abs(d))
+    assert stash.shape == (2 * CFG.num_blocks + 1, N, CFG.netwidth)
+    assert np.isfinite(np.asarray(stash, np.float32)).all()
+
+
+def test_int8_fused_vjp_trains(setup):
+    """The int8-forward straight-through VJP produces a usable descent
+    direction: a few SGD steps reduce the distill loss, and grads stay
+    close in direction to the bf16 autodiff grads."""
+    params, pts = setup
+    tgt = jax.random.uniform(jax.random.key(2), (N, 3))
+    fused8 = make_fused_train_apply(CFG, DIM, L, tile=TILE,
+                                    group_blocks=2, interpret=True,
+                                    quantize="int8", calib_pts=pts)
+
+    def loss8(p):
+        return jnp.mean((fused8(p, pts) - tgt) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((apply_r2l(p, CFG, r2l_embed(pts, L)) - tgt) ** 2)
+
+    l8, g8 = jax.value_and_grad(loss8)(params)
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(l8), float(lr), rtol=5e-2)
+    # cosine similarity per leaf: the straight-through grads must point
+    # the same way (quantization noise, not a different function)
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(gr)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                1e-12))
+        assert cos > 0.95, cos
+
+    # descent: 5 plain-SGD steps reduce the loss
+    p = params
+    for _ in range(5):
+        g = jax.grad(loss8)(p)
+        p = jax.tree.map(lambda w, d: w - 0.5 * d, p, g)
+    assert float(loss_ref(p)) < float(lr), (float(loss_ref(p)), float(lr))
