@@ -11,7 +11,11 @@ exp/probe_train.jsonl.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -48,10 +52,16 @@ def main():
         for t in (0.0, 90.0, 180.0, 270.0)])
 
     variants = [
-        ("fused_bf16_ctrl", dict(fused_vjp=True, fused_group_blocks=4)),
-        ("fused_int8_fwd", dict(fused_vjp=True, fused_group_blocks=4,
-                                fused_quantize="int8",
-                                fused_calib_pts=calib)),
+        ("fused_int8_fwd_bf16stash", dict(fused_vjp=True,
+                                          fused_group_blocks=4,
+                                          fused_quantize="int8",
+                                          fused_calib_pts=calib,
+                                          fused_stash_q=False)),
+        ("fused_int8_fwd_qstash", dict(fused_vjp=True,
+                                       fused_group_blocks=4,
+                                       fused_quantize="int8",
+                                       fused_calib_pts=calib,
+                                       fused_stash_q=True)),
         ("xla_ctrl", dict()),
     ]
     for name, kw in variants:

@@ -242,14 +242,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=False,
         help='route distillation forward+backward through the Pallas '
              'custom-VJP kernels (single device, canonical resmlp only; '
-             'measured 38 vs 34 ms/step on v5e — see PERF.md — expected '
-             'to win on v5p-class chips)')
+             'bf16 measured 38 vs 34 ms/step on v5e, but WITH '
+             '--fused_train_int8 it beats XLA: 30.2 vs 33.8 ms/step — '
+             'see PERF.md)')
     add('--fused_train_int8', type=_bool, nargs='?', const=True,
         default=False,
         help='with --fused_train_vjp: run the training FORWARD at the '
              'int8 MXU rate (static scales recalibrated from the live '
-             'params each step; straight-through backward). '
-             'Accuracy/speed measurements in PERF.md')
+             'params each step; int8 activation stash; straight-through '
+             'backward). 30.2 vs 33.8 ms/step on v5e at -0.24 dB on the '
+             'verify scene — a speed/quality tradeoff, see PERF.md')
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')

@@ -131,6 +131,22 @@ class FusedNeRFParamsT(NamedTuple):
     out_b: Array
 
 
+def _fold_chain(pts_m, pts_b, pts_inv, cfg, k_pts: int, h_inv):
+    """Pre-multiply each pts-chain consumer's inverse input scale into
+    its producer's dequant m/b (relu commutes with the positive scale);
+    the last chain layer absorbs h_inv (its output feeds the heads'
+    quantize)."""
+    pts_m, pts_b = list(pts_m), list(pts_b)
+    for li in range(1, len(pts_m)):
+        inv_next = (pts_inv[li][k_pts:, :] if (li - 1) in cfg.skips
+                    else pts_inv[li])
+        pts_m[li - 1] = pts_m[li - 1] * inv_next
+        pts_b[li - 1] = pts_b[li - 1] * inv_next
+    pts_m[-1] = pts_m[-1] * h_inv
+    pts_b[-1] = pts_b[-1] * h_inv
+    return tuple(pts_m), tuple(pts_b)
+
+
 def _quant_rows_scaled_t(wt: Array, s_in: Array) -> tuple[Array, Array]:
     """Transposed twin of _quant_cols_scaled: wt [out, in] float, s_in
     [in] -> (int8 [out, in], per-out-ROW multiplier [out, 1])."""
@@ -144,13 +160,23 @@ def _quant_rows_scaled_t(wt: Array, s_in: Array) -> tuple[Array, Array]:
 def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
                          L_views: int, calib: tuple | None = None,
                          weight_dtype=jnp.bfloat16,
-                         margin: float = 1.1) -> FusedNeRFParamsT:
+                         margin: float = 1.1,
+                         fold_requant: bool = False) -> FusedNeRFParamsT:
     """Pack teacher params for the transposed kernel.
 
     ``calib=(pts [n,3], viewdirs [n,3]|None)`` switches to static-scale
     int8 (per-(layer, channel) activation scales absorbed into the weight
     quantization — the R2L recipe). Without it, weights are cast to
     ``weight_dtype`` and the m/inv slots hold empty sentinels.
+
+    ``fold_requant`` (int8 only): pre-multiply each consumer layer's
+    inverse input scale into its producer's dequant m/b (relu commutes
+    with the positive per-channel scale; the feature head is linear), so
+    every in-kernel activation requantize is round+clip with no multiply
+    — the student kernel's round-3 epilogue win (PERF.md). Must be
+    paired with ``fold_requant=True`` on ``fused_nerf_render_t``. The
+    viewdir-PE slice of hv_inv is NOT folded (the PE has no producer
+    layer); the kernel still uses it at sample 0.
     """
     W = cfg.W
     h_pad = _round_up(W // 2, _LANE)
@@ -267,6 +293,11 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
             params["views_linears"][0]["b"].astype(jnp.float32))
         rb = jnp.zeros((8, 1), jnp.float32).at[:3, 0].set(
             params["rgb_linear"]["b"].astype(jnp.float32))
+        if int8 and fold_requant:
+            pts_m, pts_b = _fold_chain(pts_m, pts_b, pts_inv, cfg, k_pts,
+                                       h_inv)
+            fm, fb = fm * hv_inv[:W, :], fb * hv_inv[:W, :]
+            vm, vb = vm * hr_inv, vb * hr_inv
         z8 = jnp.zeros((2, 2), pts_w[0].dtype)
         return FusedNeRFParamsT(
             tuple(pts_w), tuple(pts_m), tuple(pts_b), tuple(pts_inv),
@@ -285,6 +316,9 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
         h_inv = none
     ob = jnp.zeros((8, 1), jnp.float32).at[:ow_.shape[1], 0].set(
         params["output_linear"]["b"].astype(jnp.float32))
+    if int8 and fold_requant:
+        pts_m, pts_b = _fold_chain(pts_m, pts_b, pts_inv, cfg, k_pts,
+                                   h_inv)
     z8 = jnp.zeros((2, 2), pts_w[0].dtype)
     return FusedNeRFParamsT(
         tuple(pts_w), tuple(pts_m), tuple(pts_b), tuple(pts_inv),
@@ -295,15 +329,20 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "L_pts", "L_views",
                                              "white_bkgd", "tile", "int8",
-                                             "pe_ladder", "interpret"))
+                                             "pe_ladder", "interpret",
+                                             "fold_requant"))
 def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                         rays_o: Array, rays_d: Array, z_vals: Array,
                         L_pts: int = 10, L_views: int = 4,
                         white_bkgd: bool = False, tile: int = 2048,
                         int8: bool = False, pe_ladder: bool = True,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        fold_requant: bool = False):
     """Transposed-layout volumetric pass; same contract as
-    ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S])."""
+    ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S]).
+    ``fold_requant`` needs params packed with the same flag: activation
+    requantizes become round+clip (scales pre-folded into the producers'
+    dequant constants)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, S = z_vals.shape
@@ -333,6 +372,13 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
     def q8r(x, inv):        # row-scale int8 quantize ([rows,1] broadcast)
         return jnp.clip(jnp.round(x * inv), -127.0, 127.0
                         ).astype(jnp.int8)
+
+    def q8n(x, inv):
+        """Requantize of a produced activation: with fold_requant the
+        producer's dequant constants already carry ``inv``."""
+        if fold_requant:
+            return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
+        return q8r(x, inv)
 
     def kern(ro_ref, rd_ref, z_ref, znx_ref, Ap, bp, Av, bv, *refs):
         pw = refs[:n_layers]
@@ -422,10 +468,10 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
         for li in range(1, n_layers):
             if int8:
                 if (li - 1) in cfg.skips:
-                    hq = q8r(h, pinv[li][...][k_pts:, :])
+                    hq = q8n(h, pinv[li][...][k_pts:, :])
                     q = jnp.concatenate([xq, hq], axis=0)
                 else:
-                    q = q8r(h, pinv[li][...])
+                    q = q8n(h, pinv[li][...])
             else:
                 if (li - 1) in cfg.skips:
                     q = jnp.concatenate([xq, h.astype(cd)], axis=0)
@@ -435,17 +481,17 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
             if not int8:
                 h = h.astype(cd)
 
-        hq = q8r(h, h_inv[...]) if int8 else h.astype(cd)
+        hq = q8n(h, h_inv[...]) if int8 else h.astype(cd)
         if cfg.use_viewdirs:
             sigma = mmT(aw, hq, am, ab)[0:1, :]          # [1, T]
             feat = mmT(fw, hq, fm, fb)                   # [W, T]
             if int8:
-                fq = q8r(feat, hv_inv[...][:W, :])
+                fq = q8n(feat, hv_inv[...][:W, :])
             else:
                 fq = feat.astype(cd)
             hv_in = jnp.concatenate([fq, views_ref[...]], axis=0)
             hv = jnp.maximum(mmT(vw, hv_in, vm, vb), 0.0)
-            hvq = q8r(hv, hr_inv[...]) if int8 else hv.astype(cd)
+            hvq = q8n(hv, hr_inv[...]) if int8 else hv.astype(cd)
             rgb_raw = mmT(rw, hvq, rm, rb)               # [8, T]
         else:
             rgb_raw = mmT(ow, hq, om, ob)                # [8, T]

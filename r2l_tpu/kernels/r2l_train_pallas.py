@@ -178,10 +178,10 @@ def train_fwd(fparams, cfg: R2LConfig, pts: Array, dim_pts: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
-                                             "interpret"))
+                                             "interpret", "stash_q"))
 def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
                    L: int = 10, tile: int = 512,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, stash_q: bool = False):
     """Static-scale int8 TRAINING forward with the same bf16 HBM
     activation stash contract as ``train_fwd`` (rows h_0..h_nb then t_i).
 
@@ -192,6 +192,15 @@ def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
     straight-through gradient at the quantized forward's activations.
     ``fp`` must come from ``calibrate_r2l_int8_pe`` on the CURRENT
     params (re-calibrated as they drift; see make_fused_train_apply).
+
+    ``stash_q=True``: stash the int8 Q VALUES the forward already
+    computes instead of bf16 dequants — HALVES the stash HBM traffic
+    (the measured bound on the training forward, PERF.md). Contract
+    changes: stash dtype int8; row nb holds the quantized TAIL input
+    (h + global residual, scale 1/tail_inv) rather than the
+    pre-residual body output; rows 0..nb-1 quantized with
+    1/body_inv[2b], t rows with 1/body_inv[2b+1]. The backward must
+    dequantize with the same scales (``bwd_group(body_scale=...)``).
     """
     assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
     if interpret is None:
@@ -257,29 +266,41 @@ def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
         acc = jnp.dot(xq, head_q[...], preferred_element_type=jnp.int32)
         h0f = jnp.maximum(acc.astype(jnp.float32) * head_m[...]
                           + head_b[...], 0.0)
-        h = h0f.astype(cd)
-        stash(0, h)
+        if stash_q:
+            h = h0f               # no bf16 bounce: nothing bf16 is stashed
+        else:
+            h = h0f.astype(cd)
+            stash(0, h)
         for b in range(nb):
             idx = 2 * b
             q = _q8(h.astype(jnp.float32), body_inv[pl.ds(idx, 1), :])
+            if stash_q:
+                stash(b, q)       # the q the matmul consumes IS the stash
             acc = jnp.dot(q, body_q[idx], preferred_element_type=jnp.int32)
             t1r = jnp.maximum(acc.astype(jnp.float32)
                               * body_m[pl.ds(idx, 1), :]
-                              + body_b[pl.ds(idx, 1), :], 0.0).astype(cd)
-            stash(nb + 1 + b, t1r)
+                              + body_b[pl.ds(idx, 1), :], 0.0)
+            if not stash_q:
+                t1r = t1r.astype(cd)
             q = _q8(t1r.astype(jnp.float32),
                     body_inv[pl.ds(idx + 1, 1), :])
+            stash(nb + 1 + b, q if stash_q else t1r)
             acc = jnp.dot(q, body_q[idx + 1],
                           preferred_element_type=jnp.int32)
             # res_scale folded into the block tail's m/b at calibration
             t2 = (acc.astype(jnp.float32) * body_m[pl.ds(idx + 1, 1), :]
                   + body_b[pl.ds(idx + 1, 1), :])
-            h = (t2 + h.astype(jnp.float32)).astype(cd)
-            stash(b + 1, h)
+            if stash_q:
+                h = t2 + h
+            else:
+                h = (t2 + h.astype(jnp.float32)).astype(cd)
+                stash(b + 1, h)
         hf = h.astype(jnp.float32)
         if cfg.use_residual:
             hf = hf + h0f
         q = _q8(hf, tail_inv[...])
+        if stash_q:
+            stash(nb, q)          # quantized TAIL input (residual included)
         acc = jnp.dot(q, tail_q[...], preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
         if not cfg.linear_tail:
@@ -316,9 +337,11 @@ def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_stash, n_pad, W), cd),
+            jax.ShapeDtypeStruct((n_stash, n_pad, W),
+                                 jnp.int8 if stash_q else cd),
         ),
-        scratch_shapes=[pltpu.VMEM((_STASH_RING_DEPTH, tile, W), cd),
+        scratch_shapes=[pltpu.VMEM((_STASH_RING_DEPTH, tile, W),
+                                   jnp.int8 if stash_q else cd),
                         pltpu.SemaphoreType.DMA((_STASH_RING_DEPTH,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -332,7 +355,8 @@ def train_fwd_int8(fp, cfg: R2LConfig, pts: Array, dim_pts: int,
                                              "tile", "interpret"))
 def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
               b_start: int, b_count: int, tile: int = 512,
-              interpret: bool | None = None):
+              interpret: bool | None = None,
+              body_scale: Array | None = None):
     """Backward through blocks [b_start, b_start+b_count) (descending
     order inside), accumulating weight/bias grads across ray tiles in a
     REVISITED output block.
@@ -340,6 +364,12 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
     body_w [2nb, W, W], stash from train_fwd, dh_in [N_pad, W] f32
     (grad wrt block b_start+b_count-1's OUTPUT). Returns
     (dh_out [N_pad, W] f32, dW [2*b_count, W, W] f32, db [2*b_count, W]).
+
+    ``body_scale`` [2nb, W] f32 (= 1/body_inv from the int8 calibration)
+    switches to the int8-stash contract of ``train_fwd_int8(stash_q=
+    True)``: stash row b holds the QUANTIZED block-b input, row nb+1+b
+    the quantized inner activation; the kernel dequantizes in-VMEM —
+    HALF the stash HBM reads of the bf16 contract.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -348,6 +378,7 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
     n_pad = dh_in.shape[0]
     rs = cfg.res_scale
     cd = body_w.dtype           # compute dtype follows the weights
+    quant = body_scale is not None
 
     # contraction helpers: rows-contracted (activation^T @ grad) and
     # transposed-weight matmul, both as dot_general (no explicit
@@ -363,7 +394,10 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
     def kern(w_ref, dh_ref, *refs):
         h_refs = refs[:b_count]            # block inputs, ascending
         t_refs = refs[b_count:2 * b_count]  # inner activations, ascending
-        dh_out_ref, dw_ref, db_ref = refs[2 * b_count:]
+        rest = refs[2 * b_count:]
+        if quant:
+            sc_ref, rest = rest[0], rest[1:]   # [2*b_count, W] f32
+        dh_out_ref, dw_ref, db_ref = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -374,16 +408,24 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
         dh = dh_ref[...]                                   # [T, W] f32
         for k in range(b_count - 1, -1, -1):
             li = 2 * k                    # local layer index (fc1 of blk)
-            h_in = h_refs[k][...]                          # [T, W] bf16
-            t1r = t_refs[k][...]                           # [T, W] bf16
+            if quant:
+                h_in = (h_refs[k][...].astype(jnp.float32)
+                        * sc_ref[pl.ds(li, 1), :]).astype(cd)
+                t1f = (t_refs[k][...].astype(jnp.float32)
+                       * sc_ref[pl.ds(li + 1, 1), :])
+                t1r = t1f.astype(cd)
+                mask = t1f > 0.0
+            else:
+                h_in = h_refs[k][...]                      # [T, W] bf16
+                t1r = t_refs[k][...]                       # [T, W] bf16
+                # mask in f32: Mosaic rejects bf16 vector compares
+                mask = t1r.astype(jnp.float32) > 0.0
             dt2 = (dh * rs).astype(cd)
             # fc2: t2 = t1r @ W2 + b2
             dw_ref[li + 1] += rowsT(t1r, dt2)
             db_ref[pl.ds(li + 1, 1), :] += jnp.sum(
                 dt2.astype(jnp.float32), axis=0, keepdims=True)
             dt1r = mm_wT(dt2, w_ref[li + 1])               # [T, W] f32
-            # mask in f32: Mosaic rejects bf16 vector compares
-            mask = t1r.astype(jnp.float32) > 0.0
             dt1 = jnp.where(mask, dt1r, 0.0).astype(cd)
             # fc1: t1 = h_in @ W1 + b1
             dw_ref[li] += rowsT(h_in, dt1)
@@ -411,6 +453,11 @@ def bwd_group(body_w: Array, stash: Array, dh_in: Array, cfg: R2LConfig,
         in_specs.append(pl.BlockSpec((tile, W), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(stash[nb + 1 + b])
+    if quant:
+        in_specs.append(pl.BlockSpec((2 * b_count, W), const,
+                                     memory_space=pltpu.VMEM))
+        operands.append(jax.lax.dynamic_slice_in_dim(
+            body_scale, 2 * b_start, 2 * b_count).astype(jnp.float32))
 
     dh_out, dw, db = pl.pallas_call(
         kern,
@@ -438,7 +485,8 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
                            compute_dtype=jnp.bfloat16,
                            interpret: bool | None = None,
                            quantize: str = "",
-                           calib_pts: Array | None = None):
+                           calib_pts: Array | None = None,
+                           stash_q: bool = True):
     """Build ``apply(params, pts) -> rgb`` with a fused Pallas VJP.
 
     The primal runs ``train_fwd`` (one fused pass + activation stash);
@@ -454,6 +502,13 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
     over calib_pts is a small f32 pass). Backward is the same bf16 walk
     over the stashed (dequantized) activations — a straight-through
     gradient. Accuracy impact is measured on the verify scene (PERF.md).
+
+    ``stash_q`` (int8 only, default on): stash the int8 q-values the
+    forward already computes instead of bf16 dequants — halves the
+    stash HBM traffic, the measured bound on the fused training step
+    (PERF.md r3). The backward dequantizes in-VMEM with the same
+    calibration scales, so the straight-through gradient is taken at
+    exactly the activations the quantized forward consumed.
     """
     assert cfg.n_learnable == 2 and cfg.body_arch == "resmlp"
     assert cfg.act == "relu" and cfg.inact == "relu" and cfg.outact == "none"
@@ -468,6 +523,10 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
             f"{cfg.netwidth}) — the stash DMA lane dim must be "
             "tile-aligned")
         assert tile % 8 == 0, f"tile must be sublane-aligned (got {tile})"
+        if quantize == "int8" and stash_q:
+            assert tile % 32 == 0, (
+                f"int8 stash needs tile % 32 == 0 (got {tile}) — int8 "
+                "VMEM tiling is (32, 128)")
     nb = cfg.num_blocks
     W = cfg.netwidth
     out_dim = cfg.output_dim
@@ -487,28 +546,37 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
         from .r2l_pallas import calibrate_r2l_int8_pe
         calib_const = jnp.asarray(np.asarray(calib_pts), jnp.float32)
 
+    sq = bool(int8 and stash_q)
+
     def _run_fwd(params, pts):
+        """-> (rgb, stash, scales) — scales (body [2nb,W], tail [1,W])
+        dequant multipliers when the stash is int8, else None."""
         if int8:
             fp = calibrate_r2l_int8_pe(params, cfg, dim_pts, L,
                                        calib_pts=calib_const)
-            return train_fwd_int8(fp, cfg, pts, dim_pts, L, tile=tile,
-                                  interpret=interpret)
+            rgb, stash = train_fwd_int8(fp, cfg, pts, dim_pts, L,
+                                        tile=tile, interpret=interpret,
+                                        stash_q=sq)
+            scales = ((1.0 / fp.body_inv, 1.0 / fp.tail_inv)
+                      if sq else None)
+            return rgb, stash, scales
         fp = prepare_fused_params_pe(params, cfg, dim_pts, L,
                                      weight_dtype=wd)
-        return train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
-                         interpret=interpret)
+        rgb, stash = train_fwd(fp, cfg, pts, dim_pts, L, tile=tile,
+                               interpret=interpret)
+        return rgb, stash, None
 
     @jax.custom_vjp
     def apply_(params, pts):
-        rgb, _ = _run_fwd(params, pts)
+        rgb, _, _ = _run_fwd(params, pts)
         return rgb
 
     def fwd(params, pts):
-        rgb, stash = _run_fwd(params, pts)
-        return rgb, (params, pts, stash, rgb)
+        rgb, stash, scales = _run_fwd(params, pts)
+        return rgb, (params, pts, stash, rgb, scales)
 
     def bwd(res, d_rgb):
-        params, pts, stash, rgb = res
+        params, pts, stash, rgb, scales = res
         n = pts.shape[0]
         n_pad = stash.shape[1]
         cd = wd
@@ -516,9 +584,16 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
         body_w = params["body"]["w"].reshape(2 * nb, W, W).astype(cd)
 
         # ---- tail edge (XLA) ----
-        hf = stash[nb].astype(jnp.float32)
-        if cfg.use_residual:
-            hf = hf + stash[0].astype(jnp.float32)
+        if scales is not None:
+            # int8-stash contract: row nb is the quantized TAIL input
+            # with the global residual already folded in.
+            body_scale, tail_scale = scales
+            hf = stash[nb].astype(jnp.float32) * tail_scale
+        else:
+            body_scale = None
+            hf = stash[nb].astype(jnp.float32)
+            if cfg.use_residual:
+                hf = hf + stash[0].astype(jnp.float32)
         d_out = d_rgb.astype(jnp.float32)
         if not cfg.linear_tail:
             d_out = d_out * rgb * (1.0 - rgb)   # sigmoid'
@@ -543,7 +618,8 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
             cnt = min(group_blocks, b)
             b -= cnt
             dh, dw_g, db_g = bwd_group(body_w, stash, dh, cfg, b, cnt,
-                                       tile=tile, interpret=interpret)
+                                       tile=tile, interpret=interpret,
+                                       body_scale=body_scale)
             for k in range(cnt):
                 dws[b + k] = dw_g[2 * k:2 * k + 2]
                 dbs[b + k] = db_g[2 * k:2 * k + 2]

@@ -212,7 +212,8 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                             key: jax.Array | None = None,
                             ncfg_fine: NeRFConfig | None = None,
                             tile: int = 4096,
-                            int8_calib: tuple | None = None
+                            int8_calib: tuple | None = None,
+                            fold_requant: bool = False
                             ) -> dict[str, Array]:
     """Fully-fused volumetric frame render (TPU fast path, forward-only).
 
@@ -240,19 +241,23 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
     nf_cfg = (ncfg_fine if (ncfg_fine is not None
                             and params_fine is not None) else ncfg)
     int8 = int8_calib is not None
+    fold = bool(fold_requant and int8)
     fpc = prepare_fused_nerf_t(params_coarse, ncfg, vcfg.multires,
                                vcfg.multires_views, calib=int8_calib,
-                               weight_dtype=ncfg.compute_dtype)
+                               weight_dtype=ncfg.compute_dtype,
+                               fold_requant=fold)
     fpf = (prepare_fused_nerf_t(params_fine, nf_cfg, vcfg.multires,
                                 vcfg.multires_views, calib=int8_calib,
-                                weight_dtype=nf_cfg.compute_dtype)
+                                weight_dtype=nf_cfg.compute_dtype,
+                                fold_requant=fold)
            if params_fine else fpc)
 
     def run_kernel(fp, cfg_, o, d, z, *, L_pts, L_views, white_bkgd,
                    tile):
         return fused_nerf_render_t(fp, cfg_, o, d, z, L_pts=L_pts,
                                    L_views=L_views, white_bkgd=white_bkgd,
-                                   tile=tile, int8=int8)
+                                   tile=tile, int8=int8,
+                                   fold_requant=fold)
 
     chunk = min(vcfg.ray_chunk, max(rays_o.shape[0], 1))
     ro, n = _pad_to_multiple(rays_o, chunk)

@@ -308,7 +308,8 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       fused_group_blocks: int = 4,
                       scan_steps: int = 1,
                       fused_quantize: str = "",
-                      fused_calib_pts=None):
+                      fused_calib_pts=None,
+                      fused_stash_q: bool = True):
     """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
@@ -321,7 +322,9 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
     layers in both directions (PERF.md: HBM-bound at 44% MFU).
     ``fused_quantize='int8'`` additionally runs the training FORWARD at
     the int8 MXU rate with per-step recalibrated static scales
-    (straight-through backward; needs ``fused_calib_pts``).
+    (straight-through backward; needs ``fused_calib_pts``);
+    ``fused_stash_q`` (default on) stashes int8 q-values instead of
+    bf16 dequants, halving the activation-stash HBM traffic both ways.
     """
     fused_apply = None
     if fused_vjp:
@@ -334,7 +337,8 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
             cfg, dim_pts, dcfg.embed_L, tile=fused_tile,
             group_blocks=fused_group_blocks,
             compute_dtype=cfg.compute_dtype,
-            quantize=fused_quantize, calib_pts=fused_calib_pts)
+            quantize=fused_quantize, calib_pts=fused_calib_pts,
+            stash_q=fused_stash_q)
 
     def step(state: TrainState, fresh: Array, key: jax.Array):
         return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,

@@ -189,3 +189,42 @@ def test_fused_render_t_pe_ladder_matches(key, viewdirs):
     for a, b in zip(out_l[:3], out_m[:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("viewdirs", [False, True])
+def test_fused_render_t_int8_fold_requant_matches_unfolded(key, viewdirs):
+    """fold_requant packs the same int8 weights with rearranged scales —
+    outputs must match the unfolded int8 path to ~rounding and stay in
+    the same envelope vs f32."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
+    Lp, Lv = 6, 3
+    cfg = NeRFConfig(
+        D=4, W=32, skips=(2,), use_viewdirs=viewdirs,
+        input_ch=nerf_embed_dim(3, Lp),
+        input_ch_views=nerf_embed_dim(3, Lv) if viewdirs else 0,
+        output_ch=5 if viewdirs else 4)
+    params = init_nerf(key, cfg)
+    n, S = 24, 7
+    ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.key(2), (n, 3))
+    z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = (ro[:, None, :] + rd[:, None, :] * z[..., None]).reshape(-1, 3)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    vds = jnp.broadcast_to(vd[:, None, :], (n, S, 3)).reshape(-1, 3)
+    calib = (pts, vds if viewdirs else None)
+    fp0 = prepare_fused_nerf_t(params, cfg, Lp, Lv, calib=calib)
+    fp1 = prepare_fused_nerf_t(params, cfg, Lp, Lv, calib=calib,
+                               fold_requant=True)
+    a = fused_nerf_render_t(fp0, cfg, ro, rd, z, L_pts=Lp, L_views=Lv,
+                            white_bkgd=True, tile=8, int8=True,
+                            interpret=True)
+    b = fused_nerf_render_t(fp1, cfg, ro, rd, z, L_pts=Lp, L_views=Lv,
+                            white_bkgd=True, tile=8, int8=True,
+                            interpret=True, fold_requant=True)
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]),
+                               atol=2e-2)
+    ref = _xla_pass(params, cfg, ro, rd, z, Lp, Lv, True)
+    err = np.abs(np.asarray(b[0]) - np.asarray(ref.rgb_map))
+    assert err.max() < 5e-2 and err.mean() < 1e-2, (err.max(), err.mean())

@@ -171,3 +171,85 @@ def test_int8_fused_vjp_trains(setup):
         g = jax.grad(loss8)(p)
         p = jax.tree.map(lambda w, d: w - 0.5 * d, p, g)
     assert float(loss_ref(p)) < float(lr), (float(loss_ref(p)), float(lr))
+
+
+def test_int8_stash_q_contract(setup):
+    """stash_q=True stashes the int8 q-values of the quantized chain:
+    row b = quantized block-b input, row nb+1+b = quantized inner
+    activation, row nb = quantized tail input (global residual folded).
+    Golden: an f32 emulation of the same chain in plain numpy — the
+    stashed INTEGERS must match to <=1 (f32 rounding at round() edges)."""
+    from r2l_tpu.kernels.r2l_pallas import calibrate_r2l_int8_pe
+    from r2l_tpu.kernels.r2l_train_pallas import train_fwd_int8
+    params, pts = setup
+    nb = CFG.num_blocks
+    fp = calibrate_r2l_int8_pe(params, CFG, DIM, L, calib_pts=pts)
+    _, stash = train_fwd_int8(fp, CFG, pts, DIM, L, tile=TILE,
+                              interpret=True, stash_q=True)
+    assert stash.dtype == jnp.int8
+    sq = np.asarray(stash, np.float32)
+
+    def q8(x, inv):
+        return np.clip(np.round(np.asarray(x, np.float32) * inv),
+                       -127, 127)
+
+    # freq-major embed order matches the kernel: sins, coss, raw p
+    p = np.asarray(pts, np.float32)
+    parts = [np.sin(p * (2.0 ** j)) for j in range(L)]
+    parts += [np.cos(p * (2.0 ** j)) for j in range(L)]
+    parts.append(p)
+    x = np.concatenate(parts, axis=1)
+    head_inv = np.asarray(fp.head_inv, np.float32)[0]
+    in_dim = x.shape[1]
+    xq = q8(x, head_inv[:in_dim])
+    if head_inv.shape[0] > in_dim:
+        xq = np.concatenate(
+            [xq, np.zeros((x.shape[0], head_inv.shape[0] - in_dim),
+                          np.float32)], axis=1)
+    acc = xq @ np.asarray(fp.head_q, np.float32)
+    h = np.maximum(acc * np.asarray(fp.head_m, np.float32)
+                   + np.asarray(fp.head_b, np.float32), 0.0)
+    body_q = np.asarray(fp.body_q, np.float32)
+    body_m = np.asarray(fp.body_m, np.float32)
+    body_b = np.asarray(fp.body_b, np.float32)
+    body_inv = np.asarray(fp.body_inv, np.float32)
+    h0 = h
+    for b in range(nb):
+        qin = q8(h, body_inv[2 * b])
+        np.testing.assert_allclose(sq[b], qin, atol=1, err_msg=f"h row {b}")
+        t1r = np.maximum(qin @ body_q[2 * b] * body_m[2 * b]
+                         + body_b[2 * b], 0.0)
+        qt = q8(t1r, body_inv[2 * b + 1])
+        np.testing.assert_allclose(sq[nb + 1 + b], qt, atol=1,
+                                   err_msg=f"t row {b}")
+        t2 = (qt @ body_q[2 * b + 1] * body_m[2 * b + 1]
+              + body_b[2 * b + 1])
+        h = t2 + h
+    hf = h + h0 if CFG.use_residual else h
+    qtail = q8(hf, np.asarray(fp.tail_inv, np.float32)[0])
+    np.testing.assert_allclose(sq[nb], qtail, atol=1, err_msg="tail row")
+
+
+def test_int8_stash_q_vjp_matches_bf16_stash(setup):
+    """The int8-stash backward (bwd_group(body_scale=...)) produces
+    gradients equivalent to the bf16-stash straight-through backward —
+    same loss, near-identical grad direction — while halving stash HBM."""
+    params, pts = setup
+    tgt = jax.random.uniform(jax.random.key(2), (N, 3))
+    outs = {}
+    for sq in (False, True):
+        fused = make_fused_train_apply(CFG, DIM, L, tile=TILE,
+                                       group_blocks=2, interpret=True,
+                                       quantize="int8", calib_pts=pts,
+                                       stash_q=sq)
+        loss = lambda p: jnp.mean((fused(p, pts) - tgt) ** 2)  # noqa: E731
+        outs[sq] = jax.value_and_grad(loss)(params)
+    (lb, gb), (lq, gq) = outs[False], outs[True]
+    # forward differs by the dropped bf16 residual-stream bounce only
+    np.testing.assert_allclose(float(lq), float(lb), rtol=5e-3)
+    for a, b in zip(jax.tree.leaves(gq), jax.tree.leaves(gb)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                1e-12))
+        assert cos > 0.99, cos
