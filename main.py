@@ -8,7 +8,8 @@ Same invocations as `/root/reference/main.py` (README.md:51,97,109,123):
       --render_only --render_test --pretrained_ckpt <ckpt>
 
 plus training, --benchmark, and --convert_to_onnx (which on this framework
-emits a StableHLO artifact with the same dynamic-batch semantics).
+emits a StableHLO artifact, a real .onnx, and a TF SavedModel — all with
+the same dynamic-batch semantics and reload parity checks).
 """
 from r2l_tpu.app import train
 from r2l_tpu.configs import parse_args

@@ -455,15 +455,17 @@ def run_export(args, ns, logger) -> str:
     """Export the student via jax.export (StableHLO) + parity check —
     the TPU-world analog of the reference's ONNX export
     (`main.py:831-885`)."""
-    from .export import export_onnx, export_r2l
+    from .export import export_onnx, export_r2l, export_savedmodel
     cfg, params, _ = build_r2l(args, logger)
     out_dir = args.export_dir or os.path.join(logger.exp_dir, "export")
     path = export_r2l(params, cfg, out_dir, sample_batch=4096)
     logger.print(f"exported StableHLO to {path} (parity check passed)")
-    # Also emit a real .onnx for reference-world consumers when an ONNX
-    # serializer is importable (reference `main.py:831-885`); loud skip
-    # naming the missing dependency otherwise.
+    # Also emit a real .onnx for reference-world consumers (reference
+    # `main.py:831-885`) — torch exporter when the onnx package exists,
+    # the in-repo spec-level writer otherwise — plus a TF SavedModel
+    # (jax2tf) when TensorFlow is importable.
     export_onnx(params, cfg, out_dir, log=logger.print)
+    export_savedmodel(params, cfg, out_dir, log=logger.print)
     return path
 
 

@@ -9,10 +9,13 @@ check deserializes the artifact and asserts the same tolerances as the
 reference against the live forward pass.
 
 ``export_onnx`` additionally emits a REAL ``.onnx`` for reference-world
-consumers when an ONNX serializer is importable (torch needs the ``onnx``
-package for its exporter), with the reference's onnxruntime parity check
-when onnxruntime exists — and a loud skip naming the missing dependency
-otherwise (this image bundles neither ``onnx`` nor ``onnxruntime``).
+consumers — via torch's exporter when the ``onnx`` package is importable
+(reference provenance), otherwise via the in-repo spec-level serializer
+(``onnx_writer.py``) — verified with onnxruntime at the reference
+tolerances when it exists, else with the in-repo ONNX evaluator.
+``export_savedmodel`` emits a TF SavedModel via ``jax2tf`` (symbolic
+batch) when TensorFlow is importable — the standard bridge to the wider
+ONNX toolchain (tf2onnx) and TFLite.
 """
 from __future__ import annotations
 
@@ -198,25 +201,94 @@ def export_onnx(params: dict, cfg: R2LConfig, out_dir: str,
                           dynamic_axes={"input": {0: "batch"},
                                         "rgb": {0: "batch"}},
                           dynamo=False)
-    except Exception as e:  # torch raises OnnxExporterError w/o `onnx`
-        log(f"[export] ONNX SKIPPED — torch.onnx.export needs the "
-            f"'onnx' package, which this environment does not bundle "
-            f"({type(e).__name__}: {e}). The StableHLO artifact is the "
-            f"complete TPU-native export; install 'onnx' (and "
-            f"'onnxruntime' for the parity check) to also emit .onnx.")
-        return None
+        provenance = "torch exporter"
+    except Exception:  # torch raises OnnxExporterError w/o `onnx`
+        # Fall back to the in-repo spec-level serializer (onnx_writer.py):
+        # same graph semantics (Gemm/Relu/Add/Sigmoid, dynamic batch,
+        # opset 11), no dependency on the onnx package.
+        from .onnx_writer import build_r2l_onnx
+        with open(path, "wb") as f:
+            f.write(build_r2l_onnx(params, cfg32))
+        provenance = "native writer (torch exporter needs the 'onnx' "\
+                     "package, not bundled here)"
 
     try:
         import onnxruntime as ort
     except ImportError:
-        log("[export] wrote r2l.onnx; onnxruntime not installed — "
-            "skipping the runtime parity check (reference "
-            "`main.py:857-885`). The pre-serialization torch/jax parity "
-            "check passed at rtol=1e-3/atol=1e-5.")
+        # In-repo evaluator check: decode the serialized file and run it
+        # with numpy — the reference's check_onnx (`main.py:857-885`)
+        # without onnxruntime. Only our own artifacts are guaranteed
+        # decodable (torch may emit ops the evaluator lacks).
+        from .onnx_writer import run_onnx
+        with open(path, "rb") as f:
+            blob = f.read()
+        try:
+            got_onnx = run_onnx(blob, x_np)
+        except NotImplementedError as e:
+            log(f"[export] wrote {path} via {provenance}; onnxruntime "
+                f"not installed and the in-repo evaluator cannot replay "
+                f"this graph ({e}) — install onnxruntime for the runtime "
+                f"parity check.")
+            return path
+        np.testing.assert_allclose(got_onnx, want, rtol=RTOL, atol=ATOL)
+        log(f"[export] wrote {path} via {provenance} (in-repo ONNX "
+            f"evaluator parity check passed at rtol={RTOL}/atol={ATOL}; "
+            f"install onnxruntime to also run the reference's runtime "
+            f"check, `main.py:857-885`)")
         return path
 
     sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
     ort_out = sess.run(["rgb"], {"input": x_np})[0]
     np.testing.assert_allclose(ort_out, want, rtol=RTOL, atol=ATOL)
-    log(f"[export] wrote {path} (onnxruntime parity check passed)")
+    log(f"[export] wrote {path} via {provenance} (onnxruntime parity "
+        f"check passed)")
+    return path
+
+
+def export_savedmodel(params: dict, cfg: R2LConfig, out_dir: str,
+                      sample_batch: int = 256, log=print) -> str | None:
+    """Emit ``<out_dir>/saved_model/`` via ``jax2tf`` with a symbolic
+    batch dimension, reload it, and assert parity at the reference
+    tolerances. A TF SavedModel is the standard bridge from JAX to the
+    wider interop toolchain (tf2onnx -> .onnx, TFLite) — the ecosystem
+    role the reference's ONNX file plays (`main.py:831-885`). Returns
+    the path, or None with a loud skip when TF is not importable."""
+    import dataclasses
+
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:
+        log(f"[export] SavedModel SKIPPED — TensorFlow not importable "
+            f"({e}). The StableHLO + ONNX artifacts are unaffected.")
+        return None
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype=jnp.float32,
+                                precision="highest")
+    host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+
+    # Pin the StableHLO inside the SavedModel to CPU + TPU: without this,
+    # exporting FROM a TPU host bakes in platforms=[TPU] and the TF CPU
+    # runtime (tf2onnx, TFLite, the parity check below) refuses to replay
+    # it ("current platform CPU is not among the platforms required").
+    tf_fwd = jax2tf.convert(
+        lambda x: apply_r2l(host, cfg32, x),
+        polymorphic_shapes=[f"(b, {cfg32.input_dim})"],
+        native_serialization_platforms=("cpu", "tpu"))
+    module = tf.Module()
+    module.f = tf.function(
+        tf_fwd, autograph=False,
+        input_signature=[tf.TensorSpec([None, cfg32.input_dim],
+                                       tf.float32)])
+    path = os.path.join(out_dir, "saved_model")
+    tf.saved_model.save(module, path)
+
+    restored = tf.saved_model.load(path)
+    x = np.asarray(jax.random.normal(
+        jax.random.key(0), (sample_batch, cfg32.input_dim), jnp.float32))
+    got = restored.f(x).numpy()
+    want = np.asarray(jax.jit(
+        lambda v: apply_r2l(params, cfg32, v))(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+    log(f"[export] wrote {path} (SavedModel reload parity check passed)")
     return path

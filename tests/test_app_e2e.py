@@ -136,10 +136,18 @@ def test_full_pipeline(tiny_scene, tmp_path):
         "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
         "--convert_to_onnx", "--pretrained_ckpt", best,
         "--experiment_name", "x", "--experiments_dir", exps]))
-    hlo = []
-    for root, _, files in os.walk(exps):
+    hlo, onnx, saved = [], [], []
+    for root, dirs, files in os.walk(exps):
         hlo += [f for f in files if f.endswith(".stablehlo")]
+        onnx += [f for f in files if f.endswith(".onnx")]
+        saved += [d for d in dirs if d == "saved_model"]
     assert hlo, "export artifact not written"
+    assert onnx, "real .onnx artifact not written"
+    try:
+        import tensorflow  # noqa: F401
+        assert saved, "SavedModel not written despite TF being importable"
+    except ImportError:
+        pass
 
 
 def test_teacher_use_batching_mode(tiny_scene, tmp_path):

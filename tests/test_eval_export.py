@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from r2l_tpu.evaluate import make_r2l_frame_fn, render_path, to8b
 from r2l_tpu.export import check_export, export_r2l
@@ -140,24 +141,34 @@ def test_torch_rebuild_matches_jax_forward(key):
         np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
 
-def test_export_onnx_emits_or_skips_loudly(key, tmp_path):
-    """export_onnx writes r2l.onnx when an ONNX serializer exists, and
-    otherwise returns None with a message naming the missing dep
-    (VERDICT r2 Missing #2; reference `main.py:831-885`)."""
+def test_export_onnx_always_emits_with_parity_check(key, tmp_path):
+    """export_onnx now ALWAYS writes a real r2l.onnx — torch exporter
+    when the onnx package exists, the in-repo spec-level serializer
+    otherwise — and parity-checks the serialized file (onnxruntime when
+    importable, else the in-repo evaluator). VERDICT r2 Missing #2;
+    reference `main.py:831-885`."""
     cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
                     compute_dtype=jnp.float32, precision="highest")
     params = init_r2l(key, cfg)
     msgs = []
     from r2l_tpu.export import export_onnx
     path = export_onnx(params, cfg, str(tmp_path), log=msgs.append)
-    try:
-        import onnx  # noqa: F401
-        have_onnx = True
-    except ImportError:
-        have_onnx = False
-    if have_onnx:
-        assert path is not None and os.path.exists(path)
-    else:
-        assert path is None
-        assert msgs and "onnx" in msgs[-1].lower()
-        assert "SKIPPED" in msgs[-1]
+    assert path is not None and os.path.exists(path)
+    assert os.path.getsize(path) > 0
+    assert msgs and "parity check passed" in msgs[-1]
+
+
+def test_export_savedmodel_roundtrip(key, tmp_path):
+    """export_savedmodel emits a TF SavedModel via jax2tf with a symbolic
+    batch dim and asserts reload parity — skip-free here because this
+    image bundles TensorFlow."""
+    pytest.importorskip("tensorflow")
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                    compute_dtype=jnp.float32, precision="highest")
+    params = init_r2l(key, cfg)
+    msgs = []
+    from r2l_tpu.export import export_savedmodel
+    path = export_savedmodel(params, cfg, str(tmp_path), sample_batch=16,
+                             log=msgs.append)
+    assert path is not None and os.path.isdir(path)
+    assert msgs and "parity check passed" in msgs[-1]
