@@ -501,7 +501,8 @@ def run_distill(args, ns, logger):
         lw_depth=args.lw_depth if args.learn_depth else 0.0,
         n_hard_in=n_hard_in, n_hard_out=n_hard_out, hard_mul=args.hard_mul,
         perturb=args.perturb > 0, embed_L=args.multires,
-        plucker=args.plucker, learn_depth=bool(args.learn_depth))
+        plucker=args.plucker, learn_depth=bool(args.learn_depth),
+        hard_sample=args.hard_sample_mode)
     sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
                            n_sample=args.n_sample_per_ray,
                            near=ns.near, far=ns.far)

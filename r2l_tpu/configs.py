@@ -243,15 +243,21 @@ def build_parser() -> argparse.ArgumentParser:
         help='route distillation forward+backward through the Pallas '
              'custom-VJP kernels (single device, canonical resmlp only; '
              'bf16 measured 38 vs 34 ms/step on v5e, but WITH '
-             '--fused_train_int8 it beats XLA: 30.2 vs 33.8 ms/step — '
+             '--fused_train_int8 it beats XLA: 24.7 vs 28.8 ms/step — '
              'see PERF.md)')
     add('--fused_train_int8', type=_bool, nargs='?', const=True,
         default=False,
         help='with --fused_train_vjp: run the training FORWARD at the '
              'int8 MXU rate (static scales recalibrated from the live '
              'params each step; int8 activation stash; straight-through '
-             'backward). 30.2 vs 33.8 ms/step on v5e at -0.24 dB on the '
+             'backward). 24.7 vs 28.8 ms/step on v5e at -0.24 dB on the '
              'verify scene — a speed/quality tradeoff, see PERF.md')
+    add('--hard_sample_mode', type=str, default='stratified',
+        choices=['stratified', 'permutation'],
+        help='hard-pool draw: "stratified" picks one slot per stratum '
+             '(distinct, O(n) — saves 5.7 ms/step at the canonical '
+             'config, see PERF.md), "permutation" is the reference\'s '
+             'exact uniform subset (full-pool sort)')
     add('--debug_nans', type=_bool, nargs='?', const=True, default=False,
         help='enable jax_debug_nans (the reference keeps torch '
              'set_detect_anomaly always on; here it is opt-in)')

@@ -78,6 +78,10 @@ class DistillConfig:
     embed_L: int = 10                # --multires for the R2L input PE
     plucker: bool = False
     learn_depth: bool = False        # records carry a depth column
+    # 'stratified' (TPU-fast distinct-slot draw, see hardmine.sample_hard)
+    # or 'permutation' (the reference's exact uniform subset — a full-pool
+    # sort, 5.7 ms/step at the canonical config)
+    hard_sample: str = "stratified"
 
     def __post_init__(self):
         # sample_hard fills from the fresh batch until the pool is full
@@ -208,7 +212,7 @@ def _distill_core(state: TrainState, fresh: Array, key: jax.Array,
     k_hard, k_perturb = jax.random.split(key)
     if dcfg.n_hard_out > 0:
         hard, idx = sample_hard(state.pool, k_hard, dcfg.n_hard_out,
-                                fresh)
+                                fresh, mode=dcfg.hard_sample)
         batch = jnp.concatenate([fresh, hard], axis=0)
     else:
         idx = jnp.zeros((1,), jnp.int32)

@@ -59,6 +59,49 @@ def test_sample_hard_uses_pool_only_when_full(key):
         assert set(np.unique(np.asarray(rays))) <= {7.0, 9.0}
 
 
+def test_sample_hard_stratified_distinct_and_uniform(key):
+    """Stratified mode: n distinct in-range slots, one per stratum,
+    shuffled (so update_pool's first-n_in replacement isn't biased to
+    low strata), and every slot reachable across keys. Exercises a
+    capacity NOT divisible by n (remainder strata)."""
+    cap, n = 37, 8            # base=4, rem=5 -> strata sizes 5,5,5,5,5,4,4,4
+    pool = init_pool(cap, 3)
+    pool = pool._replace(rays=jnp.arange(cap * 3.0).reshape(cap, 3),
+                         size=jnp.asarray(cap, jnp.int32))
+    fallback = jnp.zeros((n, 3))
+    seen = set()
+    sortedness = 0
+    for k in jax.random.split(key, 64):
+        rays, idx = sample_hard(pool, k, n, fallback, mode="stratified")
+        ids = np.asarray(idx).tolist()
+        assert len(set(ids)) == n                       # distinct
+        assert min(ids) >= 0 and max(ids) < cap         # in range
+        # one per stratum: stratum starts are 0,5,10,15,20,25,29,33
+        starts = [0, 5, 10, 15, 20, 25, 29, 33]
+        ends = starts[1:] + [cap]
+        for lo, hi in zip(starts, ends):
+            assert sum(lo <= i < hi for i in ids) == 1
+        # picked rays really come from those slots
+        np.testing.assert_array_equal(np.asarray(rays),
+                                      np.asarray(pool.rays)[ids])
+        seen.update(ids)
+        sortedness += ids == sorted(ids)
+    assert seen == set(range(cap))                      # full coverage
+    assert sortedness <= 2                              # shuffled order
+
+
+def test_sample_hard_permutation_mode_matches_reference_draw(key):
+    """mode='permutation' keeps the reference's exact uniform-subset
+    semantics (`main.py:1340-1341`)."""
+    pool = init_pool(8, 3)
+    pool = pool._replace(rays=jnp.arange(24.0).reshape(8, 3),
+                         size=jnp.asarray(8, jnp.int32))
+    rays, idx = sample_hard(pool, key, 4, jnp.zeros((4, 3)),
+                            mode="permutation")
+    want = jax.random.permutation(key, 8)[:4]
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
+
+
 def test_update_pool_jit_donation():
     pool = init_pool(16, 9)
 
