@@ -168,49 +168,59 @@ def build_torch_r2l(params: dict, cfg: R2LConfig):
 def export_onnx(params: dict, cfg: R2LConfig, out_dir: str,
                 sample_batch: int = 4096, log=print) -> str | None:
     """Emit ``<out_dir>/r2l.onnx`` (opset 11, dynamic batch axis — the
-    reference's ``save_onnx``, `main.py:831-853`) when torch's ONNX
-    serializer is available; verify with onnxruntime at the reference
-    tolerances (``check_onnx``, `main.py:857-885`) when importable.
-    Returns the path, or None with a loud skip naming the missing dep.
+    reference's ``save_onnx``, `main.py:831-853`): via torch's ONNX
+    serializer when available, else the dependency-free in-repo writer
+    (`onnx_writer.py`), so an artifact is always produced. Verified with
+    onnxruntime at the reference tolerances (``check_onnx``,
+    `main.py:857-885`) when importable, else with the in-repo evaluator.
+    Returns the path.
     """
     import dataclasses
 
-    import torch
+    try:
+        import torch
+    except ImportError:
+        torch = None  # the native writer below needs no torch
 
     cfg32 = dataclasses.replace(cfg, compute_dtype=jnp.float32,
                                 precision="highest")
-    module = build_torch_r2l(params, cfg32)
-
-    # The torch rebuild must match the jax forward BEFORE serializing —
-    # a conversion bug would otherwise ship silently.
     x_np = np.asarray(jax.random.normal(
         jax.random.key(0), (min(sample_batch, 256), cfg32.input_dim),
         jnp.float32))
-    with torch.no_grad():
-        got = module(torch.from_numpy(x_np)).numpy()
     want = np.asarray(jax.jit(lambda v: apply_r2l(params, cfg32, v))(
         jnp.asarray(x_np)))
-    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "r2l.onnx")
-    dummy = torch.zeros(1, cfg32.input_dim)
-    try:
-        torch.onnx.export(module, (dummy,), path, opset_version=11,
-                          input_names=["input"], output_names=["rgb"],
-                          dynamic_axes={"input": {0: "batch"},
-                                        "rgb": {0: "batch"}},
-                          dynamo=False)
-        provenance = "torch exporter"
-    except Exception:  # torch raises OnnxExporterError w/o `onnx`
-        # Fall back to the in-repo spec-level serializer (onnx_writer.py):
-        # same graph semantics (Gemm/Relu/Add/Sigmoid, dynamic batch,
-        # opset 11), no dependency on the onnx package.
+    provenance = None
+    if torch is not None:
+        module = build_torch_r2l(params, cfg32)
+        # The torch rebuild must match the jax forward BEFORE serializing
+        # — a conversion bug would otherwise ship silently.
+        with torch.no_grad():
+            got = module(torch.from_numpy(x_np)).numpy()
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+        dummy = torch.zeros(1, cfg32.input_dim)
+        try:
+            torch.onnx.export(module, (dummy,), path, opset_version=11,
+                              input_names=["input"], output_names=["rgb"],
+                              dynamic_axes={"input": {0: "batch"},
+                                            "rgb": {0: "batch"}},
+                              dynamo=False)
+            provenance = "torch exporter"
+        except Exception:  # torch raises OnnxExporterError w/o `onnx`
+            pass
+    if provenance is None:
+        # The in-repo spec-level serializer (onnx_writer.py): same graph
+        # semantics (Gemm/Relu/Add/Sigmoid, dynamic batch, opset 11),
+        # no dependency on torch or the onnx package.
         from .onnx_writer import build_r2l_onnx
         with open(path, "wb") as f:
             f.write(build_r2l_onnx(params, cfg32))
-        provenance = "native writer (torch exporter needs the 'onnx' "\
-                     "package, not bundled here)"
+        provenance = ("native writer (torch not importable)"
+                      if torch is None else
+                      "native writer (torch exporter needs the 'onnx' "
+                      "package, not bundled here)")
 
     try:
         import onnxruntime as ort
@@ -291,4 +301,103 @@ def export_savedmodel(params: dict, cfg: R2LConfig, out_dir: str,
         lambda v: apply_r2l(params, cfg32, v))(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
     log(f"[export] wrote {path} (SavedModel reload parity check passed)")
+    return path
+
+
+def _build_tf_forward(params: dict, cfg: R2LConfig):
+    """The R2L forward as PLAIN TensorFlow ops over captured constants
+    (no jax2tf/StableHLO wrapper): MatMul/BiasAdd/Relu/Sigmoid only, so
+    the graph lowers to TFLite BUILTIN ops (XNNPACK-ready). Mirrors
+    ``apply_r2l`` / reference `model/nerf_raybased.py:539-544`."""
+    import tensorflow as tf
+
+    host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    acts = {"relu": tf.nn.relu,
+            "lrelu": lambda v: tf.nn.leaky_relu(v, alpha=0.01),
+            "none": None}
+    act, inact, outact = (acts[cfg.act.lower()], acts[cfg.inact.lower()],
+                          acts[cfg.outact.lower()])
+
+    def fwd(x):
+        h = x @ tf.constant(host["head"]["w"]) + tf.constant(
+            host["head"]["b"])
+        if act is not None:
+            h = act(h)
+        out = h
+        if cfg.body_arch == "resmlp":
+            bw, bb = host["body"]["w"], host["body"]["b"]
+            for i in range(bw.shape[0]):
+                b_in = out
+                b = out
+                for j in range(bw.shape[1]):
+                    b = b @ tf.constant(bw[i, j]) + tf.constant(bb[i, j])
+                    if j < bw.shape[1] - 1 and inact is not None:
+                        b = inact(b)
+                out = b * cfg.res_scale + b_in
+                if outact is not None:
+                    out = outact(out)
+        else:
+            for layer in host["body"]:
+                out = out @ tf.constant(layer["w"]) + tf.constant(
+                    layer["b"])
+                if act is not None:
+                    out = act(out)
+        if cfg.use_residual:
+            out = out + h
+        out = out @ tf.constant(host["tail"]["w"]) + tf.constant(
+            host["tail"]["b"])
+        if not cfg.linear_tail:
+            out = tf.sigmoid(out)
+        return out
+
+    return tf.function(
+        fwd, autograph=False,
+        input_signature=[tf.TensorSpec([None, cfg.input_dim], tf.float32)])
+
+
+def export_tflite(params: dict, cfg: R2LConfig, out_dir: str,
+                  sample_batch: int = 256, log=print) -> str | None:
+    """Emit ``<out_dir>/r2l.tflite`` — the on-device deployment artifact
+    (R2L's published follow-up MobileR2L runs the distilled student on
+    phones; the reference repo itself stops at ONNX, `main.py:831-853`,
+    so this EXCEEDS its export surface). Builtin-ops-only graph
+    (`_build_tf_forward`), dynamic batch, verified against the jax
+    forward with the TFLite interpreter at the reference tolerances.
+    Returns the path, or None with a loud skip when TF is missing."""
+    import dataclasses
+
+    try:
+        import tensorflow as tf
+    except ImportError as e:
+        log(f"[export] TFLite SKIPPED — TensorFlow not importable ({e}). "
+            f"The StableHLO + ONNX artifacts are unaffected.")
+        return None
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype=jnp.float32,
+                                precision="highest")
+    fn = _build_tf_forward(params, cfg32)
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [fn.get_concrete_function()])
+    blob = converter.convert()
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "r2l.tflite")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    # Parity: replay through the TFLite interpreter (the runtime a
+    # mobile consumer actually ships) vs the jax forward.
+    x = np.asarray(jax.random.normal(
+        jax.random.key(0), (min(sample_batch, 256), cfg32.input_dim),
+        jnp.float32))
+    interp = tf.lite.Interpreter(model_path=path)
+    inp = interp.get_input_details()[0]
+    interp.resize_tensor_input(inp["index"], list(x.shape))
+    interp.allocate_tensors()
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    got = interp.get_tensor(interp.get_output_details()[0]["index"])
+    want = np.asarray(jax.jit(
+        lambda v: apply_r2l(params, cfg32, v))(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+    log(f"[export] wrote {path} (TFLite interpreter parity check passed)")
     return path

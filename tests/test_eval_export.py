@@ -172,3 +172,23 @@ def test_export_savedmodel_roundtrip(key, tmp_path):
                              log=msgs.append)
     assert path is not None and os.path.isdir(path)
     assert msgs and "parity check passed" in msgs[-1]
+
+
+def test_export_tflite_roundtrip(key, tmp_path):
+    """export_tflite emits a builtin-ops .tflite (dynamic batch) and
+    verifies it through the TFLite interpreter — the on-device artifact
+    (MobileR2L's deployment target; beyond the reference's ONNX-only
+    surface, `main.py:831-853`)."""
+    pytest.importorskip("tensorflow")
+    from r2l_tpu.export import export_tflite
+    for body_arch in ("resmlp", "mlp"):
+        cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                        body_arch=body_arch,
+                        compute_dtype=jnp.float32, precision="highest")
+        params = init_r2l(key, cfg)
+        msgs = []
+        out = str(tmp_path / body_arch)
+        path = export_tflite(params, cfg, out, sample_batch=16,
+                             log=msgs.append)
+        assert path is not None and os.path.getsize(path) > 1000
+        assert msgs and "parity check passed" in msgs[-1]
