@@ -118,10 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
     add('--create_data', type=str, default='spiral_evenly_spaced',
         help="pseudo-data mode: 'rand' (flat ray shards, the R2L "
              "training input) or 'spiral_evenly_spaced' (pseudo images). "
-             "'rand_tworays'/'rand_images'/'3x3rays'/'16x16patches*' are "
+             "'rand_images' output IS trainable here (--data_mode rays "
+             "reads the [H,W,9] frames, optionally cropped via "
+             "--rand_crop_size) — the reference only had dead code for "
+             "it. 'rand_tworays'/'3x3rays'/'16x16patches*' remain "
              "GENERATOR-ONLY, as in the reference: their consuming "
-             "student architectures were never released, so no training "
-             "path reads their output (`create_data.py:874-1333`)")
+             "student architectures were never released "
+             "(`create_data.py:874-1333`)")
     add('--no_rand_focal', dest='use_rand_focal', action='store_false',
         default=True)
     add('--max_save', type=int, default=40000)
@@ -266,6 +269,13 @@ def build_parser() -> argparse.ArgumentParser:
              'device dispatch (0 = auto: 16 on TPU, 1 elsewhere). '
              'Amortizes host-dispatch latency; bit-identical to the '
              'per-iter loop (same key chain)')
+    add('--rand_crop_size', type=int, default=-1,
+        help='with image-shaped ray shards (rand_images_*.npz in '
+             '--datadir_kd, --data_mode rays): train on a random SxS '
+             'crop per draw instead of the whole frame — the reference '
+             "BlenderDataset_v2's rand_crop_size branch "
+             '(dataset/load_blender.py:306-317), which its CLI never '
+             'exposed; -1 = whole frame')
     add('--platform', type=str, default='auto',
         choices=['auto', 'cpu', 'tpu'],
         help="force the JAX backend: 'cpu' runs the whole CLI on host "

@@ -66,40 +66,118 @@ def get_pseudo_ratio(schedule: str, step: int) -> float:
     return float(r1 + (r2 - r1) * t)
 
 
+def _open_image_shard(path: str) -> np.ndarray:
+    """Open a ``rand_images`` .npz batch ([n_frame, H, W, D] under key
+    'data', `datagen.generate_rand_images`) as a memory-mappable array.
+
+    npz entries cannot be mmapped (zip members), so the first open
+    consolidates the stack into a sibling ``<name>.frames.npy`` cache and
+    every later open mmaps that — the same few-large-mmapped-files design
+    as the flat shards. Falls back to an in-memory array when the data
+    dir is not writable.
+    """
+    cache = path[:-len(".npz")] + ".frames.npy"
+    if not os.path.exists(cache):
+        with np.load(path) as z:
+            arr = np.asarray(z["data"], dtype=np.float32)
+        try:
+            # np.save appends '.npy' unless the name already ends with it
+            tmp = cache[:-len(".npy")] + f".tmp{os.getpid()}.npy"
+            np.save(tmp, arr)
+            os.replace(tmp, cache)
+        except OSError:
+            return arr
+    return np.load(cache, mmap_mode="r")
+
+
 class RayShardDataset:
-    """Memory-mapped view over a directory of ray shards."""
+    """Memory-mapped view over a directory of ray shards.
+
+    Two shard layouts coexist (the reference's BlenderDataset_v2 handles
+    both in one class, `dataset/load_blender.py:306-322`):
+
+      * flat ``.npy`` of pre-shuffled records ``[N, record_dim]`` — the
+        rays workhorse;
+      * image-shaped ``rand_images_*.npz`` batches ``[F, H, W, record_dim]``
+        (`datagen.generate_rand_images`). Draws pick a random frame and —
+        with ``rand_crop_size > 0`` — a random square crop, the reference's
+        ``_square_rand_bbox`` branch (`load_blender.py:306-317`; dead code
+        there since nothing ever passes rand_crop_size — implemented live
+        here so the rand_images mode has a training consumer).
+    """
 
     def __init__(self, datadir: str, pseudo_ratio: float = -1.0,
                  hold_ratio: float = 0.0,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 rand_crop_size: int = -1):
         self.datadir = datadir
         self.pseudo_ratio = pseudo_ratio
-        files = sorted(f for f in os.listdir(datadir) if f.endswith(".npy"))
-        if not files:
-            raise FileNotFoundError(f"no .npy ray shards in {datadir}")
-        real_files = [f for f in files if f.startswith("train_")]
-        pseudo_files = [f for f in files if not f.startswith("train_")]
+        self.rand_crop_size = rand_crop_size
+        files = sorted(f for f in os.listdir(datadir)
+                       if f.endswith(".npy") and not f.endswith(".frames.npy")
+                       and ".tmp" not in f)  # consolidation leftovers
+        img_files = []
+        for f in sorted(os.listdir(datadir)):
+            if not f.endswith(".npz"):
+                continue
+            with np.load(os.path.join(datadir, f)) as z:
+                if "data" in z.files:   # rand_images batch (others: patches)
+                    img_files.append(f)
+        if not files and not img_files:
+            raise FileNotFoundError(f"no .npy/.npz ray shards in {datadir}")
+        all_files = files + img_files
+        real_files = [f for f in all_files if f.startswith("train_")]
+        pseudo_files = [f for f in all_files if not f.startswith("train_")]
         if hold_ratio > 0:  # ablation: hold out part of the pseudo set
             rng = rng or np.random.default_rng(0)
             keep = max(1, int(len(pseudo_files) * (1.0 - hold_ratio)))
             pseudo_files = list(rng.permutation(pseudo_files)[:keep])
-        self.real = [np.load(os.path.join(datadir, f), mmap_mode="r")
-                     for f in real_files]
-        self.pseudo = [np.load(os.path.join(datadir, f), mmap_mode="r")
-                       for f in pseudo_files]
+
+        def _open(f: str) -> np.ndarray:
+            path = os.path.join(datadir, f)
+            if f.endswith(".npz"):
+                return _open_image_shard(path)
+            return np.load(path, mmap_mode="r")
+
+        self.real = [_open(f) for f in real_files]
+        self.pseudo = [_open(f) for f in pseudo_files]
         arrs = self.real + self.pseudo
-        self.record_dim = int(arrs[0].shape[-1])
-        self.n_real = sum(int(a.shape[0]) for a in self.real)
-        self.n_pseudo = sum(int(a.shape[0]) for a in self.pseudo)
+        dims = {int(a.shape[-1]) for a in arrs}
+        if len(dims) > 1:
+            raise ValueError(f"mixed record dims {sorted(dims)} in {datadir}")
+        self.record_dim = dims.pop()
+        if rand_crop_size > 0:
+            for a in arrs:
+                if a.ndim == 4 and (a.shape[1] < rand_crop_size
+                                    or a.shape[2] < rand_crop_size):
+                    raise ValueError(
+                        f"rand_crop_size {rand_crop_size} exceeds frame "
+                        f"{a.shape[1]}x{a.shape[2]}")
+        self.n_real = sum(self._n_rays(a) for a in self.real)
+        self.n_pseudo = sum(self._n_rays(a) for a in self.pseudo)
+
+    @staticmethod
+    def _n_rays(a: np.ndarray) -> int:
+        return int(np.prod(a.shape[:-1]))
 
     def __len__(self) -> int:
         return self.n_real + self.n_pseudo
 
     def _draw_chunk(self, rng: np.random.Generator, arrs: list[np.ndarray],
                     chunk: int) -> np.ndarray:
-        sizes = np.asarray([a.shape[0] for a in arrs], dtype=np.float64)
+        sizes = np.asarray([self._n_rays(a) for a in arrs], dtype=np.float64)
         idx = rng.choice(len(arrs), p=sizes / sizes.sum())
         a = arrs[idx]
+        if a.ndim == 4:  # image-shaped shard: random frame (+ crop)
+            frame = a[int(rng.integers(0, a.shape[0]))]
+            s = self.rand_crop_size
+            if s and s > 0:
+                # reference _square_rand_bbox (`load_blender.py:306-310`)
+                y = int(rng.integers(0, frame.shape[0] - s + 1))
+                x = int(rng.integers(0, frame.shape[1] - s + 1))
+                frame = frame[y:y + s, x:x + s]
+            a = np.asarray(frame, dtype=np.float32).reshape(
+                -1, frame.shape[-1])
         if a.shape[0] <= chunk:
             return np.asarray(a)
         off = int(rng.integers(0, a.shape[0] - chunk + 1))

@@ -506,3 +506,41 @@ def test_deepvoxels_cli_teacher_train(tmp_path):
     for root, _, files in os.walk(exps):
         found |= "teacher.msgpack" in files
     assert found
+
+
+def test_rand_images_distill_with_crop(tiny_scene, tmp_path):
+    """rand_images datagen -> rays-mode distillation consuming the
+    image-shaped shards with --rand_crop_size (the reference's
+    BlenderDataset_v2 crop branch, `load_blender.py:306-317`, which its
+    CLI never wired up)."""
+    exps = str(tmp_path / "ExpRI")
+    from r2l_tpu.app import build_teacher, load_dataset, vol_config
+    from r2l_tpu.datagen import DataGenConfig, generate_rand_images
+    from r2l_tpu.logging_ import Logger
+
+    args = parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--experiments_dir", exps, "--experiment_name", "gen"])
+    lg = Logger("gen", experiments_dir=exps)
+    ns = load_dataset(args, lg)
+    ncfg, _, pc, pf, _ = build_teacher(args, lg)
+    imgdir = str(tmp_path / "rimg")
+    n = generate_rand_images(pc, None, ncfg, vol_config(args, ns),
+                             DataGenConfig(n_pose=3, H=ns.H, W=ns.W,
+                                           focal=ns.focal),
+                             imgdir, radius=4.0)
+    assert n == 3
+
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--datadir_kd", imgdir, "--data_mode", "rays",
+        "--rand_crop_size", "8",
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "128", "--N_iters", "4", "--i_testset", "4",
+        "--i_weights", "4",
+        "--experiment_name", "ri", "--experiments_dir", exps]))
+    found = any(f == "ckpt_best.msgpack"
+                for _, _, files in os.walk(exps) for f in files)
+    assert found, "rand_images-fed distill did not write a checkpoint"

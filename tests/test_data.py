@@ -227,3 +227,66 @@ def test_ray_batch_loader_worker_error_surfaces(tmp_path):
         for _ in range(4):
             next(loader)
     loader.close()
+
+
+def test_image_shard_consumer(tmp_path, rng):
+    """rand_images_*.npz image-shaped shards are a live training input
+    (the reference's BlenderDataset_v2 image branch,
+    `dataset/load_blender.py:306-322`, is dead code there)."""
+    from r2l_tpu.data.rayshards import RayShardDataset
+    F, H, W = 3, 8, 8
+    # frame f filled with value f in every record slot -> provenance check
+    data = np.stack([np.full((H, W, 9), f, np.float32) for f in range(F)])
+    np.savez(str(tmp_path / "rand_images_00000.npz"), data=data)
+
+    ds = RayShardDataset(str(tmp_path))
+    assert len(ds) == F * H * W and ds.record_dim == 9
+    assert ds.n_pseudo == F * H * W and ds.n_real == 0
+    batch = ds.sample_batch(rng, 128, chunk=32)
+    assert batch.shape == (128, 9)
+    assert set(np.unique(batch)).issubset({0.0, 1.0, 2.0})
+    # each 32-row chunk comes from ONE frame (whole-frame draw)
+    for c in batch.reshape(-1, 32, 9)[:2]:
+        assert len(np.unique(c)) == 1
+    # consolidation cache written once, then mmapped
+    assert (tmp_path / "rand_images_00000.frames.npy").exists()
+
+
+def test_image_shard_rand_crop(tmp_path, rng):
+    """--rand_crop_size draws a random SxS crop per chunk (the reference
+    _square_rand_bbox, `load_blender.py:306-310`)."""
+    from r2l_tpu.data.rayshards import RayShardDataset
+    H = W = 8
+    # record value encodes the pixel (y*W + x) so crops are recognizable
+    frame = np.arange(H * W, dtype=np.float32).reshape(H, W, 1)
+    data = np.repeat(frame[None], 9, axis=-1)
+    np.savez(str(tmp_path / "rand_images_00000.npz"), data=data)
+
+    s = 4
+    ds = RayShardDataset(str(tmp_path), rand_crop_size=s)
+    chunk = ds._draw_chunk(rng, ds.pseudo, s * s)
+    assert chunk.shape == (s * s, 9)
+    ids = chunk[:, 0].astype(int)
+    ys, xs = ids // W, ids % W
+    # a contiguous s x s box
+    assert ys.max() - ys.min() == s - 1 and xs.max() - xs.min() == s - 1
+    assert len(np.unique(ids)) == s * s
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds frame"):
+        RayShardDataset(str(tmp_path), rand_crop_size=H + 1)
+
+
+def test_image_and_flat_shards_mix(tmp_path, rng):
+    """Flat train_ shards and image-shaped pseudo shards mix under
+    pseudo_ratio, weighted by ray count."""
+    from r2l_tpu.data.rayshards import RayShardDataset, write_ray_shards
+    write_ray_shards(str(tmp_path), np.zeros((256, 9), np.float32),
+                     prefix="train", shuffle=False)
+    np.savez(str(tmp_path / "rand_images_00000.npz"),
+             data=np.ones((2, 8, 8, 9), np.float32))
+    ds = RayShardDataset(str(tmp_path), pseudo_ratio=0.5)
+    assert ds.n_real == 256 and ds.n_pseudo == 128
+    frac = np.mean([ds.sample_batch(rng, 128, chunk=32)[:, 0].mean()
+                    for _ in range(20)])
+    assert 0.3 < frac < 0.7  # ~50/50 real/pseudo
