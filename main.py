@@ -11,6 +11,20 @@ plus training, --benchmark, and --convert_to_onnx (which on this framework
 emits a StableHLO artifact, a real .onnx, and a TF SavedModel — all with
 the same dynamic-batch semantics and reload parity checks).
 """
+import os
+
+# Raise the XLA:CPU in-process collective watchdog before jax loads: on
+# oversubscribed CPU hosts (shared CI boxes) slow scheduling or a
+# concurrent single-core XLA compile can push an in-flight multi-device
+# collective rendezvous past the default 40 s termination watchdog ->
+# silent SIGABRT (xla/.../rendezvous.cc). 300 s gives legitimate
+# stragglers room while still bounding a real deadlock. No effect on TPU.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=300"
+        " --xla_cpu_collective_timeout_seconds=300").strip()
+
 from r2l_tpu.app import train
 from r2l_tpu.configs import parse_args
 

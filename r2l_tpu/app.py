@@ -118,23 +118,43 @@ def _fires(i: int, period: int) -> bool:
     return period > 0 and i % period == 0
 
 
-def _fold_lossline(lossline, ms, names: dict):
-    """Fold step metrics into the print EMA exactly as the reference's
-    per-iteration loop does (`main.py:1383-1386`: hist updates EVERY
-    iter). Under scanned dispatch the step returns stacked [K] metrics —
-    fold each of the K values in order, not just the last, so the
-    smoothed line matches a K=1 run step for step.
+def _fold_lossline(lossline, ms_list, names: dict):
+    """Fold buffered step metrics into the print EMA exactly as the
+    reference's per-iteration loop does (`main.py:1383-1386`: hist
+    updates EVERY iter). Under scanned dispatch each entry holds stacked
+    [K] metrics — fold each of the K values in order, not just the last,
+    so the smoothed line matches a K=1 run step for step.
 
-    ``names`` maps metric key -> lossline name. Values are read back
-    once per dispatch (one host sync), then folded on host.
+    ``ms_list`` is the backlog of per-dispatch metric dicts (device
+    arrays), ``names`` maps metric key -> lossline name. Callers buffer
+    the (tiny, [K]-scalar) metrics and call this only when a print
+    actually fires: a readback every dispatch would block the host on
+    the device step and serialize batch assembly with device compute.
+    One ``device_get`` transfers the whole backlog in a single trip.
     """
-    arrs = {k: np.asarray(ms[k]) for k in names}
-    n_steps = 1 if next(iter(arrs.values())).ndim == 0 else \
-        next(iter(arrs.values())).shape[0]
-    for j in range(n_steps):
-        for k, name in names.items():
-            a = arrs[k]
-            lossline.update(name, float(a) if a.ndim == 0 else float(a[j]))
+    for ms in jax.device_get(list(ms_list)):
+        arrs = {k: np.asarray(ms[k]) for k in names}
+        n_steps = 1 if next(iter(arrs.values())).ndim == 0 else \
+            next(iter(arrs.values())).shape[0]
+        for j in range(n_steps):
+            for k, name in names.items():
+                a = arrs[k]
+                lossline.update(name,
+                                float(a) if a.ndim == 0 else float(a[j]))
+
+
+def _auto_mesh() -> bool:
+    """Whether to data-parallelize over all visible devices with no
+    explicit ``--mesh`` — the reference wraps models in DataParallel
+    whenever it sees multiple GPUs (`main.py:472-479`), and real
+    multi-chip TPU/GPU hosts get the same treatment here. VIRTUAL CPU
+    devices (``--xla_force_host_platform_device_count``, the test
+    backend) don't: 8-way in-process collectives on an oversubscribed
+    CPU host can deadlock XLA's rendezvous (observed on 1-core CI boxes:
+    two in-flight sharded dispatches exhaust the execution pool and
+    SIGABRT after the 40 s watchdog). An explicit ``--mesh`` always
+    wins, which is how the sharding tests opt in on CPU."""
+    return len(jax.devices()) > 1 and jax.default_backend() != "cpu"
 
 
 def _resolve_steps_per_dispatch(args) -> int:
@@ -365,7 +385,10 @@ def run_render_only(args, ns, logger) -> EvalResult:
     # summary reports the honest K-frames-per-jit latency instead
     # (same protocol as --benchmark / bench.py).
     ms_label = f"{res.ms_per_frame:.1f} ms/frame (per-dispatch)"
-    if (jax.default_backend() == "tpu"
+    # The K-frames-per-jit re-timing costs a second calibration + compile;
+    # only worth it when the summary line below will actually print it.
+    if (res.test_psnr is not None
+            and jax.default_backend() == "tpu"
             and args.model_name in ("R2L", "nerf_v3.2")):
         from .evaluate import make_r2l_bench_fn
         bench_fn = make_r2l_bench_fn(
@@ -455,7 +478,8 @@ def run_export(args, ns, logger) -> str:
     """Export the student via jax.export (StableHLO) + parity check —
     the TPU-world analog of the reference's ONNX export
     (`main.py:831-885`)."""
-    from .export import export_onnx, export_r2l, export_savedmodel
+    from .export import (export_onnx, export_r2l, export_savedmodel,
+                         export_tflite)
     cfg, params, _ = build_r2l(args, logger)
     out_dir = args.export_dir or os.path.join(logger.exp_dir, "export")
     path = export_r2l(params, cfg, out_dir, sample_batch=4096)
@@ -463,9 +487,10 @@ def run_export(args, ns, logger) -> str:
     # Also emit a real .onnx for reference-world consumers (reference
     # `main.py:831-885`) — torch exporter when the onnx package exists,
     # the in-repo spec-level writer otherwise — plus a TF SavedModel
-    # (jax2tf) when TensorFlow is importable.
+    # (jax2tf) and an on-device .tflite when TensorFlow is importable.
     export_onnx(params, cfg, out_dir, log=logger.print)
     export_savedmodel(params, cfg, out_dir, log=logger.print)
+    export_tflite(params, cfg, out_dir, log=logger.print)
     return path
 
 
@@ -511,7 +536,7 @@ def run_distill(args, ns, logger):
     # replicated (or width-sharded over 'model'); XLA inserts the psums.
     mesh_axes = parse_mesh_spec(args.mesh)
     batch_shd, mesh = None, None
-    if mesh_axes or len(jax.devices()) > 1:
+    if mesh_axes or _auto_mesh():
         from .parallel import (batch_sharding, make_mesh,
                                r2l_param_shardings, shard_pytree)
         mesh = make_mesh(mesh_axes)
@@ -549,7 +574,8 @@ def run_distill(args, ns, logger):
     else:
         def make_loader(seed, step0=0):
             ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,
-                                 hold_ratio=args.pseudo_data_hold_ratio)
+                                 hold_ratio=args.pseudo_data_hold_ratio,
+                                 rand_crop_size=args.rand_crop_size)
             return ds, RayBatchLoader(
                 ds, batch_size - n_hard_out, seed=seed,
                 pseudo_ratio_schedule=args.pseudo_ratio_schedule or None,
@@ -645,6 +671,7 @@ def run_distill(args, ns, logger):
     timer = Timer(max((args.N_iters - start) // max(args.i_testset, 1), 1))
     from .logging_ import LossLine
     lossline = LossLine(ema=0.95)
+    pending_ms = []
     key = jax.random.key(args.seed + 1)
 
     n_pseudo_img, n_seen_img = 0, 0
@@ -690,11 +717,16 @@ def run_distill(args, ns, logger):
                            else jnp.asarray(batches))
                 state, ms, key = step_k(k)(state, batches, key)
         i += k
-        # Fold ALL k step metrics into the EMA every dispatch (reference
-        # updates hist every iteration, `main.py:1383-1386`).
-        _fold_lossline(lossline, ms, {"loss": "loss", "psnr": "train_psnr"})
+        # Buffer the [k]-stacked metrics; folded into the EMA per
+        # iteration at print time (reference updates hist every
+        # iteration, `main.py:1383-1386` — reading back here would
+        # block the host on the device step every dispatch).
+        pending_ms.append(ms)
 
         if _fires(i, args.i_print):
+            _fold_lossline(lossline, pending_ms,
+                           {"loss": "loss", "psnr": "train_psnr"})
+            pending_ms.clear()
             loss = lossline.vals["loss"]
             psnr = lossline.vals["train_psnr"]
             extra = ""
@@ -703,6 +735,16 @@ def run_distill(args, ns, logger):
                 extra = f" pseudo_img_ratio {n_pseudo_img / n_seen_img:.4f}"
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}{extra}")
+
+        if (_fires(i, args.i_img) or _fires(i, args.i_testset)
+                or _fires(i, args.i_video) or i == args.N_iters):
+            # Drain the in-flight dispatch before building/compiling an
+            # eval graph: on oversubscribed CPU hosts a concurrent XLA
+            # compile can starve an in-flight multi-device collective
+            # rendezvous past its 40 s termination watchdog (SIGABRT in
+            # xla rendezvous.cc). Free on TPU — the step must finish
+            # before eval reads the params anyway.
+            jax.block_until_ready(ms)
 
         if _fires(i, args.i_img) and not _fires(i, args.i_testset):
             # Periodic one-image check render (--i_img; parsed-but-dead in
@@ -782,7 +824,7 @@ def run_teacher_train(args, ns, logger):
         select_pixel_mode=args.select_pixel_mode)
     mesh = None
     mesh_axes = parse_mesh_spec(args.mesh)
-    if mesh_axes or len(jax.devices()) > 1:
+    if mesh_axes or _auto_mesh():
         from .parallel import make_mesh
         mesh = make_mesh(mesh_axes or {"data": len(jax.devices())})
         logger.print(f"teacher mesh: {dict(mesh.shape)}")
@@ -831,6 +873,7 @@ def run_teacher_train(args, ns, logger):
 
     from .logging_ import LossLine
     lossline = LossLine(ema=0.95)
+    pending_ms = []
     key = jax.random.key(args.seed)
     shuffle_rng = np.random.default_rng(args.seed + 17)
     best_psnr = -1.0
@@ -889,14 +932,22 @@ def run_teacher_train(args, ns, logger):
             else:
                 state, ms, key = fn(state, images, poses, key)
         i += k
-        # Per-iteration EMA fold, even under scanned dispatch
-        # (reference `main.py:1383-1386`).
-        _fold_lossline(lossline, ms, {"loss": "loss", "psnr": "psnr"})
+        # Buffer the [k]-stacked metrics; per-iteration EMA fold happens
+        # at print time (reference `main.py:1383-1386`) so the hot loop
+        # never blocks on a device readback.
+        pending_ms.append(ms)
         if _fires(i, args.i_print):
+            _fold_lossline(lossline, pending_ms,
+                           {"loss": "loss", "psnr": "psnr"})
+            pending_ms.clear()
             loss = lossline.vals["loss"]
             psnr = lossline.vals["psnr"]
             logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
                          f"psnr {psnr:.4f}")
+        if (_fires(i, args.i_img) or _fires(i, args.i_testset)
+                or _fires(i, args.i_video) or i == args.N_iters):
+            # Same collective-vs-compile drain as run_distill (see there).
+            jax.block_until_ready(ms)
         if _fires(i, args.i_img) and i < args.N_iters:
             # Periodic one-image check render (--i_img; the flag is parsed
             # but dead in the reference — here it renders the first test

@@ -81,8 +81,10 @@ class VolOutputs(NamedTuple):
     rgb0: Array | None            # coarse outputs when hierarchical
     disp0: Array | None
     acc0: Array | None
-    z_std: Array | None = None    # per-ray std of the fine z_samples
-    #                               (reference `main.py:743-750`, log-only)
+    z_std: Array | None = None    # per-ray std of the fine z_samples.
+    #   Output-field parity with the reference (`main.py:743-750`), which
+    #   also computes it into the ret dict and never consumes it further;
+    #   dead inside jit (XLA DCEs it) unless a caller reads it.
 
 
 def _coarse_z(vcfg: VolRenderConfig, n_ray: int,

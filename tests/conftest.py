@@ -14,8 +14,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # On an oversubscribed CPU host (CI boxes here can be 1-core), slow
+    # scheduling can push an in-flight 8-way in-process collective
+    # rendezvous past its DEFAULT 40 s termination watchdog -> silent
+    # SIGABRT (xla/.../rendezvous.cc). 300 s gives legitimate stragglers
+    # (e.g. a concurrent single-core XLA compile) room while still
+    # failing a genuinely deadlocked test in bounded time.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=300"
+              " --xla_cpu_collective_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

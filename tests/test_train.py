@@ -239,10 +239,20 @@ def test_scanned_ema_matches_per_iter_loop(key, rng):
     ll1 = LossLine(ema=0.95)
     k0 = jax.random.key(11)
     kh = k0
+    backlog = []
     for i in range(4):
         kh, sub = jax.random.split(kh)
         state1, m = step1(state1, pool, jnp.asarray(i * 32, jnp.int32), sub)
-        _fold_lossline(ll1, m, {"loss": "loss", "psnr": "psnr"})
+        _fold_lossline(ll1, [m], {"loss": "loss", "psnr": "psnr"})
+        backlog.append(m)
+
+    # Buffered backlog (how the app loop defers readback to print time):
+    # folding all dispatches in one call matches per-dispatch folding.
+    llb = LossLine(ema=0.95)
+    _fold_lossline(llb, backlog, {"loss": "loss", "psnr": "psnr"})
+    for name in ("loss", "psnr"):
+        np.testing.assert_allclose(llb.vals[name], ll1.vals[name],
+                                   rtol=1e-6)
 
     # K=4 scanned run: one dispatch, stacked metrics folded in order.
     state2, tx2 = init_teacher_state(init_nerf(key, ncfg), {}, tcfg)
@@ -250,7 +260,7 @@ def test_scanned_ema_matches_per_iter_loop(key, rng):
     ll4 = LossLine(ema=0.95)
     state2, ms, _ = scan4(state2, pool, jnp.asarray(0, jnp.int32), k0)
     assert ms["psnr"].shape == (4,)
-    _fold_lossline(ll4, ms, {"loss": "loss", "psnr": "psnr"})
+    _fold_lossline(ll4, [ms], {"loss": "loss", "psnr": "psnr"})
 
     for name in ("loss", "psnr"):
         np.testing.assert_allclose(ll4.vals[name], ll1.vals[name],
