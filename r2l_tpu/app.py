@@ -643,7 +643,8 @@ def run_distill(args, ns, logger):
                 _step_cache[k] = make_distill_step(
                     cfg, dcfg, sampler, tx, mesh=mesh,
                     fused_vjp=fused_vjp, scan_steps=k,
-                    fused_quantize=fq, fused_calib_pts=fcalib)
+                    fused_quantize=fq, fused_calib_pts=fcalib,
+                    fused_calib_every=getattr(args, "fused_calib_every", 1))
             return _step_cache[k]
 
     # Eval renderer rebuilt whenever params change materially (cheap jit

@@ -255,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
              'params each step; int8 activation stash; straight-through '
              'backward). 24.7 vs 28.8 ms/step on v5e at -0.24 dB on the '
              'verify scene — a speed/quality tradeoff, see PERF.md')
+    add('--fused_calib_every', type=int, default=1,
+        help='with --fused_train_int8 and a scanned dispatch: '
+             'recalibrate the int8 scales every N global steps instead '
+             'of inside every step (the ~1.2 ms in-step calibration '
+             'forward, PERF.md decomp). Scales are at most N-1 steps '
+             'stale; a full per-dispatch hoist (N=16) LOST 3.7 dB on '
+             'the verify scene, so 1 (exact) stays the default — see '
+             'PERF.md for the measured dial')
     add('--hard_sample_mode', type=str, default='stratified',
         choices=['stratified', 'permutation'],
         help='hard-pool draw: "stratified" picks one slot per stratum '

@@ -486,7 +486,8 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
                            interpret: bool | None = None,
                            quantize: str = "",
                            calib_pts: Array | None = None,
-                           stash_q: bool = True):
+                           stash_q: bool = True,
+                           external_calib: bool = False):
     """Build ``apply(params, pts) -> rgb`` with a fused Pallas VJP.
 
     The primal runs ``train_fwd`` (one fused pass + activation stash);
@@ -502,6 +503,15 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
     over calib_pts is a small f32 pass). Backward is the same bf16 walk
     over the stashed (dequantized) activations — a straight-through
     gradient. Accuracy impact is measured on the verify scene (PERF.md).
+
+    ``external_calib`` (int8 only): returns ``(apply_fp, calibrate)``
+    instead, where ``apply_fp(params, pts, fp)`` consumes a
+    pre-calibrated ``FusedParamsInt8PE`` and ``calibrate(params) -> fp``
+    packs one from live params. Lets the caller hoist the per-step
+    recalibration (a measured ~1.2 ms, PERF.md r3 decomp) OUT of a
+    ``lax.scan`` over K steps: calibrate once per dispatch, scales at
+    most K-1 steps stale. ``params`` still feeds the backward (the bf16
+    weight walk), so gradients flow to the live weights as before.
 
     ``stash_q`` (int8 only, default on): stash the int8 q-values the
     forward already computes instead of bf16 dequants — halves the
@@ -577,6 +587,9 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
 
     def bwd(res, d_rgb):
         params, pts, stash, rgb, scales = res
+        return _bwd_core(params, pts, stash, rgb, scales, d_rgb)
+
+    def _bwd_core(params, pts, stash, rgb, scales, d_rgb):
         n = pts.shape[0]
         n_pad = stash.shape[1]
         cd = wd
@@ -653,4 +666,43 @@ def make_fused_train_apply(cfg: R2LConfig, dim_pts: int, L: int = 10,
         return d_params, jnp.zeros_like(pts)
 
     apply_.defvjp(fwd, bwd)
-    return apply_
+    if not external_calib:
+        return apply_
+
+    # --- external-calibration mode: fp is an explicit (non-diff) arg ---
+    assert int8, "external_calib requires quantize='int8'"
+    import numpy as _np
+
+    def calibrate(params):
+        return calibrate_r2l_int8_pe(params, cfg, dim_pts, L,
+                                     calib_pts=calib_const)
+
+    def _fwd_fp(params, pts, fp):
+        rgb, stash = train_fwd_int8(fp, cfg, pts, dim_pts, L,
+                                    tile=tile, interpret=interpret,
+                                    stash_q=sq)
+        scales = ((1.0 / fp.body_inv, 1.0 / fp.tail_inv) if sq else None)
+        return rgb, stash, scales
+
+    @jax.custom_vjp
+    def apply_fp(params, pts, fp):
+        rgb, _, _ = _fwd_fp(params, pts, fp)
+        return rgb
+
+    def fwd_fp(params, pts, fp):
+        rgb, stash, scales = _fwd_fp(params, pts, fp)
+        return rgb, (params, pts, fp, stash, rgb, scales)
+
+    def bwd_fp(res, d_rgb):
+        params, pts, fp, stash, rgb, scales = res
+        d_params, d_pts = _bwd_core(params, pts, stash, rgb, scales, d_rgb)
+        # fp is packed calibration data, never differentiated: float0
+        # cotangents for integer leaves, zeros for the float ones.
+        d_fp = jax.tree.map(
+            lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+            if jnp.issubdtype(x.dtype, jnp.integer) else jnp.zeros_like(x),
+            fp)
+        return d_params, d_pts, d_fp
+
+    apply_fp.defvjp(fwd_fp, bwd_fp)
+    return apply_fp, calibrate

@@ -313,7 +313,8 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
                       scan_steps: int = 1,
                       fused_quantize: str = "",
                       fused_calib_pts=None,
-                      fused_stash_q: bool = True):
+                      fused_stash_q: bool = True,
+                      fused_calib_every: int = 1):
     """Build the jitted distillation train step (rays data mode).
 
     Signature: (state, fresh_batch [B-n_hard_out, rd], key) ->
@@ -329,27 +330,77 @@ def make_distill_step(cfg: R2LConfig, dcfg: DistillConfig,
     (straight-through backward; needs ``fused_calib_pts``);
     ``fused_stash_q`` (default on) stashes int8 q-values instead of
     bf16 dequants, halving the activation-stash HBM traffic both ways.
+    ``fused_calib_every`` (int8 only) recalibrates the int8 scales every
+    N GLOBAL steps instead of inside every step (N=1, the default): the
+    in-step recalibration forward is a measured ~1.2 ms of the 24.4 ms
+    step (PERF.md r3 decomp). Inside the scanned dispatch the packed
+    scales ride the carry and a ``lax.cond`` refreshes them when
+    ``state.step % N == 0`` — staleness is bounded by N-1 steps at ANY
+    training phase (a full per-dispatch hoist, staleness K-1=15, lost
+    3.7 dB on the verify scene — the early fast-drift phase cannot run
+    on stale scales; PERF.md r3). N is a speed/quality dial; the
+    verify-scene A/B for the shipped default is in PERF.md.
     """
-    fused_apply = None
+    fused_apply = fused_calibrate = None
     if fused_vjp:
         assert mesh is None, "fused_vjp is single-device (no GSPMD "\
             "partitioning of pallas_call)"
         from .kernels.r2l_train_pallas import make_fused_train_apply
         dim_pts = 6 if dcfg.plucker else cfg.input_dim // (2 * dcfg.embed_L + 1)
         assert not dcfg.plucker
-        fused_apply = make_fused_train_apply(
+        external = bool(fused_calib_every > 1 and fused_quantize == "int8"
+                        and scan_steps > 1)
+        built = make_fused_train_apply(
             cfg, dim_pts, dcfg.embed_L, tile=fused_tile,
             group_blocks=fused_group_blocks,
             compute_dtype=cfg.compute_dtype,
             quantize=fused_quantize, calib_pts=fused_calib_pts,
-            stash_q=fused_stash_q)
+            stash_q=fused_stash_q, external_calib=external)
+        if external:
+            fused_apply, fused_calibrate = built
+        else:
+            fused_apply = built
 
-    def step(state: TrainState, fresh: Array, key: jax.Array):
+    n_fresh = dcfg.batch_size - dcfg.n_hard_out
+    if fused_calibrate is None:
+        # N=1, or the unscanned path (no carry to keep scales in): the
+        # classic in-step recalibration.
+        def step(state: TrainState, fresh: Array, key: jax.Array):
+            return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,
+                                 n_fresh=n_fresh, mesh=mesh,
+                                 fused_apply=fused_apply)
+
+        return _maybe_scan(step, scan_steps, "distill")
+
+    # Periodic recalibration inside the scanned dispatch: the packed fp
+    # rides the scan carry; a lax.cond refreshes it every
+    # fused_calib_every global steps (one branch executes on TPU).
+    every = jnp.asarray(fused_calib_every, jnp.int32)
+
+    def step_fp(state, fresh, key, fp):
         return _distill_core(state, fresh, key, cfg, dcfg, sampler, tx,
-                             n_fresh=dcfg.batch_size - dcfg.n_hard_out,
-                             mesh=mesh, fused_apply=fused_apply)
+                             n_fresh=n_fresh, mesh=None,
+                             fused_apply=lambda p, x: fused_apply(p, x, fp))
 
-    return _maybe_scan(step, scan_steps, "distill")
+    def scan_fn(state, batches, key):
+        entry_step = state.step
+        fp0 = fused_calibrate(state.params)   # fresh at dispatch entry
+
+        def body(carry, b):
+            s, k, fp = carry
+            fp = jax.lax.cond(
+                (s.step % every == 0) & (s.step != entry_step),
+                lambda _: fused_calibrate(s.params),
+                lambda f: f, fp)
+            k, sub = jax.random.split(k)
+            s, m = step_fp(s, b, sub, fp)
+            return (s, k, fp), m
+
+        (state, key, _), ms = jax.lax.scan(body, (state, key, fp0),
+                                           batches)
+        return state, ms, key
+
+    return jax.jit(scan_fn, donate_argnums=(0,))
 
 
 def make_distill_step_images(cfg: R2LConfig, dcfg: DistillConfig,

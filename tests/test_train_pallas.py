@@ -253,3 +253,69 @@ def test_int8_stash_q_vjp_matches_bf16_stash(setup):
         cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b),
                                 1e-12))
         assert cos > 0.99, cos
+
+
+def test_int8_external_calib_matches_internal(setup):
+    """external_calib=True with fp freshly packed from the same params is
+    bit-identical to the in-step-calibration path (same scales, same
+    kernel), and gradients agree exactly."""
+    params, pts = setup
+    tgt = jax.random.uniform(jax.random.key(2), (N, 3))
+    fused_in = make_fused_train_apply(CFG, DIM, L, tile=TILE,
+                                      group_blocks=2, interpret=True,
+                                      quantize="int8", calib_pts=pts)
+    fused_ex, calibrate = make_fused_train_apply(
+        CFG, DIM, L, tile=TILE, group_blocks=2, interpret=True,
+        quantize="int8", calib_pts=pts, external_calib=True)
+    fp = calibrate(params)
+    np.testing.assert_array_equal(np.asarray(fused_in(params, pts)),
+                                  np.asarray(fused_ex(params, pts, fp)))
+
+    loss_in = lambda p: jnp.mean((fused_in(p, pts) - tgt) ** 2)  # noqa
+    loss_ex = lambda p: jnp.mean((fused_ex(p, pts, fp) - tgt) ** 2)  # noqa
+    li, gi = jax.value_and_grad(loss_in)(params)
+    le, ge = jax.value_and_grad(loss_ex)(params)
+    np.testing.assert_array_equal(float(li), float(le))
+    for a, b in zip(jax.tree.leaves(gi), jax.tree.leaves(ge)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distill_step_calib_every(setup):
+    """fused_calib_every=N inside a scanned dispatch: scales ride the
+    scan carry and a lax.cond refreshes them every N global steps.
+    Step 1 of the scan sees dispatch-entry scales == live-params scales,
+    so it must EXACTLY reproduce one step of the exact (N=1) path with
+    the same derived key; later steps run on (bounded) stale scales."""
+    from r2l_tpu.sampler import PointSampler
+    from r2l_tpu.train import (DistillConfig, init_train_state,
+                               make_distill_step)
+    params, pts = setup
+    dcfg = DistillConfig(batch_size=64, n_hard_in=8, n_hard_out=16,
+                         hard_mul=2.0, embed_L=L, perturb=True)
+    sampler = PointSampler(H=8, W=8, focal=8.0, n_sample=2,
+                           near=2.0, far=6.0)
+    fresh = jax.random.uniform(jax.random.key(3), (48, 9))
+
+    p = jax.tree.map(jnp.array, params)
+    state, tx = init_train_state(jax.random.key(4), p, dcfg)
+    scan3 = make_distill_step(
+        CFG, dcfg, sampler, tx, fused_vjp=True, fused_tile=32,
+        fused_group_blocks=2, fused_quantize="int8",
+        fused_calib_pts=pts, scan_steps=3, fused_calib_every=2)
+    batches = jnp.stack([fresh] * 3)
+    state, mss, _ = scan3(state, batches, jax.random.key(10))
+    assert mss["loss"].shape == (3,)
+    assert np.isfinite(np.asarray(mss["loss"])).all()
+    assert int(state.step) == 3
+
+    # exact-mode (N=1) first step with the scan's derived key
+    p = jax.tree.map(jnp.array, params)
+    state1, tx1 = init_train_state(jax.random.key(4), p, dcfg)
+    step1 = make_distill_step(
+        CFG, dcfg, sampler, tx1, fused_vjp=True, fused_tile=32,
+        fused_group_blocks=2, fused_quantize="int8",
+        fused_calib_pts=pts)
+    _, sub = jax.random.split(jax.random.key(10))
+    _, m1 = step1(state1, fresh, sub)
+    np.testing.assert_array_equal(float(m1["loss"]),
+                                  float(mss["loss"][0]))
