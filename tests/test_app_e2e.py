@@ -544,3 +544,33 @@ def test_rand_images_distill_with_crop(tiny_scene, tmp_path):
     found = any(f == "ckpt_best.msgpack"
                 for _, _, files in os.walk(exps) for f in files)
     assert found, "rand_images-fed distill did not write a checkpoint"
+
+
+def test_cli_mesh_flag_distill(tiny_scene, tmp_path):
+    """Explicit --mesh through the CLI (the auto-mesh default no longer
+    fires on virtual CPU devices — see app._auto_mesh): rays-mode
+    distillation on an 8-device data mesh trains and checkpoints."""
+    exps = str(tmp_path / "ExpM")
+    from r2l_tpu.app import load_dataset
+    from r2l_tpu.datagen import images_to_ray_records
+    from r2l_tpu.data.rayshards import write_ray_shards
+    from r2l_tpu.logging_ import Logger
+    common = COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--N_rand", "512", "--i_testset", "4", "--i_weights", "4",
+        "--i_print", "2", "--mesh", "data:8",
+        "--experiments_dir", exps]
+    args0 = parse_args(common + ["--experiment_name", "mk"])
+    lg = Logger("mk", experiments_dir=exps)
+    ns = load_dataset(args0, lg)
+    rays = images_to_ray_records(ns.images[ns.i_train],
+                                 ns.poses[ns.i_train], ns.H, ns.W, ns.focal)
+    raydir = str(tmp_path / "raysM")
+    write_ray_shards(raydir, rays, prefix="train")
+    train(parse_args(common + ["--N_iters", "4", "--datadir_kd", raydir,
+                               "--experiment_name", "m8"]))
+    found = any(f == "ckpt_best.msgpack"
+                for _, _, files in os.walk(exps) for f in files)
+    assert found, "mesh-flag distill did not checkpoint"
