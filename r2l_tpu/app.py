@@ -509,8 +509,11 @@ def run_distill(args, ns, logger):
         batch_size = args.N_rand * 4096 if args.N_rand < 512 else args.N_rand
     n_hard_in, n_hard_out = parse_hard_ratio(args.hard_ratio, batch_size)
     # The fresh part of the batch (host-fed rays, or on-device-selected
-    # pixels in images mode) must shard evenly over devices.
-    n_dev = len(jax.devices())
+    # pixels in images mode) must shard evenly over devices — only when
+    # a mesh will actually be built (an unsharded run on a multi-device
+    # host must match a true single-device run with identical flags).
+    will_mesh = bool(parse_mesh_spec(args.mesh)) or _auto_mesh()
+    n_dev = len(jax.devices()) if will_mesh else 1
     fresh = batch_size - n_hard_out
     if fresh % n_dev:
         # Align by SHRINKING the pool draw (growing it can push a valid
@@ -545,6 +548,11 @@ def run_distill(args, ns, logger):
         # loader host-feeds batches that need an explicit placement.
         batch_shd = None if images_mode else batch_sharding(mesh)
         logger.print(f"mesh: {dict(mesh.shape)}")
+    elif len(jax.devices()) > 1:
+        logger.print(f"NOTE: {len(jax.devices())} CPU devices visible but "
+                     "training single-device — pass --mesh data:N to "
+                     "data-parallelize over virtual CPU devices "
+                     "(automatic only on TPU/GPU backends)")
 
     datadir = args.datadir_kd or args.datadir
     loader = dataset = None
@@ -723,6 +731,10 @@ def run_distill(args, ns, logger):
         # iteration, `main.py:1383-1386` — reading back here would
         # block the host on the device step every dispatch).
         pending_ms.append(ms)
+        if len(pending_ms) >= 64:  # bound the backlog when i_print is off
+            _fold_lossline(lossline, pending_ms,
+                           {"loss": "loss", "psnr": "train_psnr"})
+            pending_ms.clear()
 
         if _fires(i, args.i_print):
             _fold_lossline(lossline, pending_ms,
@@ -796,6 +808,10 @@ def run_distill(args, ns, logger):
                 dataset, loader = make_loader(args.seed + i, i)
                 logger.print(f"reloaded ray dataset: {len(dataset)} rays")
 
+    if pending_ms:  # drain the metric backlog (N_iters % i_print != 0)
+        _fold_lossline(lossline, pending_ms,
+                       {"loss": "loss", "psnr": "train_psnr"})
+        pending_ms.clear()
     if loader is not None:
         loader.close()
     return state, best_psnr
@@ -829,6 +845,11 @@ def run_teacher_train(args, ns, logger):
         from .parallel import make_mesh
         mesh = make_mesh(mesh_axes or {"data": len(jax.devices())})
         logger.print(f"teacher mesh: {dict(mesh.shape)}")
+    elif len(jax.devices()) > 1:
+        logger.print(f"NOTE: {len(jax.devices())} CPU devices visible but "
+                     "training single-device — pass --mesh data:N to "
+                     "data-parallelize over virtual CPU devices "
+                     "(automatic only on TPU/GPU backends)")
     state, tx = init_teacher_state(pc, pf, tcfg)
 
     # use_batching (reference default for LLFF): pre-generate the global
@@ -937,6 +958,10 @@ def run_teacher_train(args, ns, logger):
         # at print time (reference `main.py:1383-1386`) so the hot loop
         # never blocks on a device readback.
         pending_ms.append(ms)
+        if len(pending_ms) >= 64:  # bound the backlog when i_print is off
+            _fold_lossline(lossline, pending_ms,
+                           {"loss": "loss", "psnr": "psnr"})
+            pending_ms.clear()
         if _fires(i, args.i_print):
             _fold_lossline(lossline, pending_ms,
                            {"loss": "loss", "psnr": "psnr"})
@@ -1006,6 +1031,10 @@ def run_teacher_train(args, ns, logger):
                     {"coarse": state.params_coarse,
                      "fine": state.params_fine},
                     meta={"global_step": i})
+    if pending_ms:  # drain the metric backlog (N_iters % i_print != 0)
+        _fold_lossline(lossline, pending_ms, {"loss": "loss",
+                                              "psnr": "psnr"})
+        pending_ms.clear()
     return state, best_psnr
 
 

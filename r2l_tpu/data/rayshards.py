@@ -15,7 +15,6 @@ mixing is controlled by ``pseudo_ratio`` (-1 = use everything).
 """
 from __future__ import annotations
 
-import math
 import os
 import queue
 import threading
@@ -77,7 +76,10 @@ def _open_image_shard(path: str) -> np.ndarray:
     dir is not writable.
     """
     cache = path[:-len(".npz")] + ".frames.npy"
-    if not os.path.exists(cache):
+    # mtime check: datagen restarts numbering at 0, so a regenerated
+    # rand_images_00000.npz must invalidate the stale consolidation.
+    if (not os.path.exists(cache)
+            or os.path.getmtime(cache) < os.path.getmtime(path)):
         with np.load(path) as z:
             arr = np.asarray(z["data"], dtype=np.float32)
         try:
@@ -175,9 +177,17 @@ class RayShardDataset:
                 # reference _square_rand_bbox (`load_blender.py:306-310`)
                 y = int(rng.integers(0, frame.shape[0] - s + 1))
                 x = int(rng.integers(0, frame.shape[1] - s + 1))
-                frame = frame[y:y + s, x:x + s]
-            a = np.asarray(frame, dtype=np.float32).reshape(
-                -1, frame.shape[-1])
+                return np.asarray(frame[y:y + s, x:x + s],
+                                  dtype=np.float32).reshape(s * s, -1)
+            h, w, d = frame.shape
+            if h * w <= chunk:
+                return np.asarray(frame, np.float32).reshape(h * w, d)
+            # copy only the mmap rows covering the flat window
+            off = int(rng.integers(0, h * w - chunk + 1))
+            r0, r1 = off // w, (off + chunk - 1) // w
+            rows = np.asarray(frame[r0:r1 + 1], np.float32).reshape(-1, d)
+            lo = off - r0 * w
+            return rows[lo:lo + chunk]
         if a.shape[0] <= chunk:
             return np.asarray(a)
         off = int(rng.integers(0, a.shape[0] - chunk + 1))
@@ -192,21 +202,23 @@ class RayShardDataset:
         batching (`main.py:1304-1311`) with pseudo/real mixing.
         """
         pr = self.pseudo_ratio if pseudo_ratio is None else pseudo_ratio
-        n_chunks = math.ceil(batch_size / chunk)
-        parts = []
-        for _ in range(n_chunks):
+        # Draw until full: image-shard draws yield s*s (crop) or H*W
+        # (whole-frame) rows regardless of ``chunk``, so counting
+        # ceil(batch/chunk) fixed chunks would silently under-fill and
+        # tile duplicates. Tiny datasets still fill by repetition (each
+        # loop iteration draws independently, like the old tile-up).
+        parts, total = [], 0
+        while total < batch_size:
             use_pseudo = bool(self.pseudo) and (
                 not self.real or pr < 0 or rng.random() < pr)
             # pr<0 means "use everything": weight by pool size.
             if pr < 0 and self.real and self.pseudo:
                 use_pseudo = rng.random() < self.n_pseudo / max(len(self), 1)
             arrs = self.pseudo if use_pseudo else self.real
-            parts.append(self._draw_chunk(rng, arrs, chunk))
-        batch = np.concatenate(parts, axis=0)[:batch_size]
-        if batch.shape[0] < batch_size:  # tiny dataset: tile up
-            reps = math.ceil(batch_size / batch.shape[0])
-            batch = np.tile(batch, (reps, 1))[:batch_size]
-        return batch
+            part = self._draw_chunk(rng, arrs, chunk)
+            parts.append(part)
+            total += part.shape[0]
+        return np.concatenate(parts, axis=0)[:batch_size]
 
 
 class RayBatchLoader:

@@ -538,7 +538,7 @@ def test_rand_images_distill_with_crop(tiny_scene, tmp_path):
         "--rand_crop_size", "8",
         "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
         "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
-        "--N_rand", "128", "--N_iters", "4", "--i_testset", "4",
+        "--N_rand", "512", "--N_iters", "4", "--i_testset", "4",
         "--i_weights", "4",
         "--experiment_name", "ri", "--experiments_dir", exps]))
     found = any(f == "ckpt_best.msgpack"

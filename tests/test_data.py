@@ -290,3 +290,23 @@ def test_image_and_flat_shards_mix(tmp_path, rng):
     frac = np.mean([ds.sample_batch(rng, 128, chunk=32)[:, 0].mean()
                     for _ in range(20)])
     assert 0.3 < frac < 0.7  # ~50/50 real/pseudo
+
+
+def test_image_shard_crop_fills_batch_without_tiling(tmp_path, rng):
+    """Regression: crop draws yield s*s rows (not `chunk`), so
+    sample_batch must keep drawing until the batch is full instead of
+    tiling a single under-sized draw."""
+    from r2l_tpu.data.rayshards import RayShardDataset
+    H = W = 8
+    frames = []
+    for f in range(2):
+        ids = (np.arange(H * W, dtype=np.float32) + 1000 * f
+               ).reshape(H, W, 1)
+        frames.append(np.repeat(ids, 9, axis=-1))
+    np.savez(str(tmp_path / "rand_images_00000.npz"),
+             data=np.stack(frames))
+    ds = RayShardDataset(str(tmp_path), rand_crop_size=4)
+    batch = ds.sample_batch(rng, 64, chunk=4096)
+    assert batch.shape == (64, 9)
+    # old behavior: ONE 16-row crop tiled 4x -> <= 16 unique pixel ids
+    assert len(np.unique(batch[:, 0])) > 16
