@@ -412,6 +412,11 @@ def run_render_only(args, ns, logger) -> EvalResult:
                      f"SSIM {res.test_ssim:.4f} FLIP {res.test_flip:.4f}"
                      f"{lp} ({ms_label})")
     write_video(os.path.join(savedir, "video.mp4"), res.frames)
+    if gt is not None:
+        # Reference also writes the |render - gt| error video when ground
+        # truth exists (`main.py:1098-1104`, misc['errors'] at `:331`).
+        write_video(os.path.join(savedir, "video_error.mp4"),
+                    np.abs(res.frames - np.asarray(gt, np.float32)))
     return res
 
 

@@ -343,6 +343,10 @@ def render_path(frame_fn: Callable[[Array], Array],
                 import imageio.v2 as imageio
                 imageio.imwrite(os.path.join(savedir, f"{i:03d}_err.png"),
                                 to8b(np.abs(img_np - gt_images[i])))
+                # reference saves the gt frame next to the render
+                # (`main.py:339-340`)
+                imageio.imwrite(os.path.join(savedir, f"{i:03d}_gt.png"),
+                                to8b(np.asarray(gt_images[i], np.float32)))
         if savedir is not None:
             import imageio.v2 as imageio
             imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"),

@@ -124,10 +124,14 @@ def test_full_pipeline(tiny_scene, tmp_path):
         "--render_only", "--render_test", "--pretrained_ckpt", best,
         "--use_pallas", "False",
         "--experiment_name", "r", "--experiments_dir", exps]))
-    pngs = []
+    pngs, errvids = [], []
     for root, _, files in os.walk(exps):
         pngs += [f for f in files if f == "000.png"]
+        errvids += [f for f in files if f.startswith("video_error.")]
     assert pngs, "rendered frames not written"
+    # reference writes |render - gt| as a video when gt exists
+    # (`main.py:1098-1104`)
+    assert errvids, "error video not written for --render_test"
 
     # 5. export mode
     train(parse_args(COMMON + [

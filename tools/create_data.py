@@ -63,6 +63,16 @@ def main() -> None:
 
     ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
     vcfg = vol_config(args, ns)
+    if not (args.teacher_ckpt or args.pretrained_ckpt):
+        # The reference unconditionally loads --teacher_ckpt
+        # (`create_data.py:289-296`); a random-init teacher silently
+        # generates junk pseudo data, so warn loudly (kept non-fatal
+        # for machinery smoke tests).
+        logger.print(
+            "WARNING: no --teacher_ckpt given — the teacher is RANDOM-"
+            "INIT and the generated pseudo data is meaningless. Pass "
+            "--teacher_ckpt <trained NeRF ckpt> for real distillation "
+            "data (reference create_data.py:289-296 requires it).")
 
     if args.test_teacher:
         sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
