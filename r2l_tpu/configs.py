@@ -292,6 +292,20 @@ def build_parser() -> argparse.ArgumentParser:
     add('--num_cpu_devices', type=int, default=0,
         help='with --platform cpu: create N virtual host devices (test '
              'meshes without TPU hardware, like tests/conftest.py)')
+    add('--lpips_rescale', type=str, default='standard',
+        choices=['standard', 'minmax'],
+        help="LPIPS input rescale: 'standard' maps [0,1] via 2x-1 (the "
+             "original LPIPS convention); 'minmax' reproduces the "
+             "reference's per-tensor min-max rescale to [-1,1] "
+             "(main.py:361-364) so numbers are comparable to reference "
+             "logs")
+    add('--allow_random_teacher', type=_bool, nargs='?', const=True,
+        default=False,
+        help='create_data only: proceed WITHOUT --teacher_ckpt (random-'
+             'init teacher -> meaningless pseudo data; the reference '
+             'hard-requires the ckpt, create_data.py:289-296). Default '
+             'is a hard error; this opt-out exists for machinery smoke '
+             'tests')
     return p
 
 

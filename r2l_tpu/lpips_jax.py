@@ -214,18 +214,42 @@ def _unit_normalize(f: Array, eps: float = 1e-10) -> Array:
     return f / (n + eps)
 
 
-def lpips(params: dict, img0: Array, img1: Array) -> Array:
-    """LPIPS distance between [N, H, W, 3] (or [H, W, 3]) sRGB in [0,1]."""
+def minmax_rescale(x: Array, ymin: float = -1.0, ymax: float = 1.0) -> Array:
+    """The reference's per-tensor min-max rescale (`main.py:361-364`):
+    global min -> ymin, global max -> ymax over the WHOLE tensor (the
+    reference applies it to the full [N, 3, H, W] frame stack at once)."""
+    lo, hi = jnp.min(x), jnp.max(x)
+    return (ymax - ymin) / jnp.maximum(hi - lo, 1e-12) * (x - lo) + ymin
+
+
+def lpips(params: dict, img0: Array, img1: Array,
+          rescale: str = "standard") -> Array:
+    """LPIPS distance between [N, H, W, 3] (or [H, W, 3]) sRGB in [0,1].
+
+    ``rescale``:
+      * ``'standard'`` (default): [0,1] -> [-1,1] via 2x-1, the original
+        LPIPS input convention (richzhang/PerceptualSimilarity).
+      * ``'minmax'``: the reference's per-tensor min-max rescale to
+        [-1,1] (`main.py:361-364`) — nonstandard, but makes numbers
+        comparable to reference logs (--lpips_rescale minmax). NOTE the
+        reference rescales the WHOLE frame stack at once; callers
+        comparing to reference logs should pre-scale the stack and pass
+        ``rescale='none'`` per image (see evaluate.render_path).
+      * ``'none'``: inputs are already in [-1,1].
+    """
     if img0.ndim == 3:
         img0 = img0[None]
     if img1.ndim == 3:
         img1 = img1[None]
     assert img0.shape == img1.shape, (img0.shape, img1.shape)
-    # [0,1] -> [-1,1], the standard LPIPS input convention. (The
-    # reference min-max rescales each tensor to [-1,1] instead,
-    # `main.py:364-369` — a nonstandard choice; numbers computed here
-    # follow the original LPIPS definition.)
-    x0, x1 = 2.0 * img0 - 1.0, 2.0 * img1 - 1.0
+    if rescale == "standard":
+        x0, x1 = 2.0 * img0 - 1.0, 2.0 * img1 - 1.0
+    elif rescale == "minmax":
+        x0, x1 = minmax_rescale(img0), minmax_rescale(img1)
+    elif rescale == "none":
+        x0, x1 = img0, img1
+    else:
+        raise ValueError(f"unknown rescale {rescale!r}")
     x0 = (x0 - _SHIFT) / _SCALE
     x1 = (x1 - _SHIFT) / _SCALE
     features = _FEATURES[params.get("net", "alex")]

@@ -151,3 +151,32 @@ def test_lpips_squeeze_torch_roundtrip(rng):
     assert params["convs"][3]["w"].shape == (3, 3, 16, 64)
     a = jnp.asarray(rng.uniform(0, 1, (33, 35, 3)).astype(np.float32))
     assert np.isfinite(float(lpips(params, a, a * 0.5)))
+
+
+def test_lpips_minmax_rescale_matches_reference_lambda(rng):
+    """minmax_rescale reproduces the reference's rescale lambda
+    (`main.py:361-364`): global min -> -1, global max -> +1."""
+    from r2l_tpu.lpips_jax import minmax_rescale
+    x = rng.uniform(0.2, 0.7, (2, 8, 8, 3)).astype(np.float32)
+    ref = (1 - (-1)) / (x.max() - x.min()) * (x - x.min()) + (-1)
+    np.testing.assert_allclose(np.asarray(minmax_rescale(jnp.asarray(x))),
+                               ref, rtol=1e-5, atol=1e-6)
+    y = np.asarray(minmax_rescale(jnp.asarray(x)))
+    assert np.isclose(y.min(), -1.0, atol=1e-6)
+    assert np.isclose(y.max(), 1.0, atol=1e-6)
+
+
+def test_lpips_rescale_conventions_differ(key, rng):
+    """--lpips_rescale minmax (reference-compat) differs from the
+    standard 2x-1 convention on non-full-range images, and 'none' on
+    pre-scaled inputs equals 'minmax' (r3 verdict Next #5)."""
+    from r2l_tpu.lpips_jax import init_lpips, lpips, minmax_rescale
+    params = init_lpips(key, net="alex")
+    a = jnp.asarray(rng.uniform(0.3, 0.6, (1, 33, 33, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.3, 0.6, (1, 33, 33, 3)).astype(np.float32))
+    std = float(lpips(params, a, b))                      # default
+    mm = float(lpips(params, a, b, rescale="minmax"))
+    pre = float(lpips(params, minmax_rescale(a), minmax_rescale(b),
+                      rescale="none"))
+    assert abs(mm - pre) < 1e-6
+    assert abs(mm - std) > 1e-5   # conventions genuinely differ here

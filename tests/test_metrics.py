@@ -55,3 +55,29 @@ def test_ssim_against_scipy_golden(rng):
                      ((mu1 ** 2 + mu2 ** 2 + C1) * (s1 + s2 + C2)))
     ours = float(metrics.ssim(jnp.asarray(img1), jnp.asarray(img2)))
     np.testing.assert_allclose(ours, golden, rtol=1e-4)
+
+
+def test_frame_metrics_matches_eager_components(rng):
+    """The one-dispatch eval bundle (render_path hot path) returns the
+    same values as the separate eager calls (r3 verdict Next #3)."""
+    import jax
+    from r2l_tpu.metrics import frame_metrics, img2mse, mse2psnr, ssim
+    img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    m = jax.device_get(frame_metrics(img, gt))
+    np.testing.assert_allclose(m["mse"], float(img2mse(img, gt)), rtol=1e-6)
+    np.testing.assert_allclose(m["psnr"],
+                               float(mse2psnr(img2mse(img, gt))), rtol=1e-6)
+    np.testing.assert_allclose(m["ssim"], float(ssim(img, gt)), rtol=1e-6)
+
+
+def test_ssim_is_jitted_single_dispatch(rng):
+    """ssim routes through one jitted callable (was ~10 eager dispatches
+    per frame through the ~30 ms device tunnel)."""
+    from r2l_tpu import metrics as M
+    img = jnp.asarray(rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+    # the jitted wrapper exists and is used by the public fn
+    assert hasattr(M, "_ssim_jit")
+    np.testing.assert_allclose(
+        float(M._ssim_jit(img, img, 11, 1.5)), float(M.ssim(img, img)),
+        rtol=1e-7)
