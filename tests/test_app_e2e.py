@@ -218,14 +218,18 @@ def test_benchmark_mode_nerf(tiny_scene, tmp_path):
 
 
 def test_distill_resume(tiny_scene, tmp_path):
-    """--pretrained_ckpt <native> --resume continues from the saved step."""
+    """--pretrained_ckpt <native> --resume restores the FULL training
+    state (reference `main.py:504-509`): global_step, optimizer state
+    (Adam moments + LR-schedule counts), best_psnr bookkeeping, and the
+    mined hard pool (TPU-native extra)."""
     exps = str(tmp_path / "ExpR")
     common = COMMON + [
         "--model_name", "R2L", "--datadir", tiny_scene,
         "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
         "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
         "--N_rand", "1024", "--i_testset", "1000000", "--i_weights", "4",
-        "--datadir_kd", "", "--experiments_dir", exps]
+        "--warmup_lr", "1e-6,100", "--hard_ratio", "0.1,0.2",
+        "--hard_mul", "2", "--datadir_kd", "", "--experiments_dir", exps]
     # Build a tiny ray dir from the train images first.
     from r2l_tpu.app import load_dataset
     from r2l_tpu.datagen import images_to_ray_records
@@ -249,21 +253,91 @@ def test_distill_resume(tiny_scene, tmp_path):
     assert ck
 
     import json as _json
+
+    import jax as _jax
+    from flax import serialization as _ser
     meta = _json.load(open(ck + ".meta.json"))
     assert meta["global_step"] == 4
 
-    # Resume: trains steps 5..6 and saves with global_step 6.
+    raw = _ser.msgpack_restore(open(ck, "rb").read())
+    # optimizer + pool are IN the checkpoint...
+    assert "opt_state" in raw and "pool" in raw
+    assert int(raw["opt_state"]["0"]["count"]) == 4   # Adam count
+    assert int(raw["opt_state"]["1"]["count"]) == 4   # schedule count
+    mu_max = max(float(np.max(np.abs(l)))
+                 for l in _jax.tree.leaves(raw["opt_state"]["0"]["mu"]))
+    assert mu_max > 0.0
+    assert int(raw["pool"]["size"]) > 0
+
+    # Pretend a previous eval found a great best: a resumed (worse) eval
+    # must NOT claim "new best" (reference restores best_psnr,
+    # `main.py:507-509`).
+    meta["best_psnr"], meta["best_psnr_step"] = 999.0, 3
+    _json.dump(meta, open(ck + ".meta.json", "w"))
+
+    # Resume: trains steps 5..6, evals at 6, saves with global_step 6.
     train(parse_args(common + [
         "--N_iters", "6", "--datadir_kd", raydir, "--resume",
-        "--pretrained_ckpt", ck, "--i_weights", "6",
+        "--pretrained_ckpt", ck, "--i_weights", "6", "--i_testset", "6",
         "--experiment_name", "b"]))
-    metas = []
+    final_meta, final_raw, log_text = None, None, ""
     for root, _, files in os.walk(exps):
         for f in files:
-            if f == "ckpt.msgpack.meta.json":
-                metas.append(_json.load(open(os.path.join(root, f)))
-                             ["global_step"])
-    assert 6 in metas
+            p = os.path.join(root, f)
+            if f == "ckpt.msgpack.meta.json" and "/a-" not in p.replace(
+                    os.sep, "/"):
+                m = _json.load(open(p))
+                if m["global_step"] == 6:
+                    final_meta = m
+                    final_raw = _ser.msgpack_restore(
+                        open(p[:-len(".meta.json")], "rb").read())
+            if f.startswith("log") and f.endswith(".txt") and \
+                    "/b-" in p.replace(os.sep, "/"):
+                log_text += open(p).read()
+    assert final_meta is not None, "resumed run did not save at step 6"
+    # ...and restored on resume: counts continued 4 -> 6, best kept.
+    assert int(final_raw["opt_state"]["0"]["count"]) == 6
+    assert int(final_raw["opt_state"]["1"]["count"]) == 6
+    assert final_meta["best_psnr"] == 999.0, \
+        "resumed eval overwrote the restored best_psnr"
+    assert "restored optimizer state" in log_text
+    assert "restored hard-ray pool" in log_text
+    assert "new best" not in log_text
+
+
+def test_teacher_resume_restores_opt_state(tiny_scene, tmp_path):
+    """Teacher --resume restores optimizer state + step (the reference
+    saves the teacher optimizer too, `main.py:1516-1542`)."""
+    exps = str(tmp_path / "ExpTR")
+    common = COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0", "--N_rand", "32",
+        "--i_testset", "1000000", "--no_batching",
+        "--experiments_dir", exps]
+    train(parse_args(common + ["--N_iters", "3", "--i_weights", "3",
+                               "--experiment_name", "a"]))
+    ck = None
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f == "teacher.msgpack":
+                ck = os.path.join(root, f)
+    assert ck
+    from flax import serialization as _ser
+    raw = _ser.msgpack_restore(open(ck, "rb").read())
+    assert "opt_state" in raw
+    assert int(raw["opt_state"]["0"]["count"]) == 3
+
+    train(parse_args(common + [
+        "--N_iters", "5", "--i_weights", "5", "--resume",
+        "--teacher_ckpt", ck, "--experiment_name", "b"]))
+    ok = False
+    for root, _, files in os.walk(exps):
+        for f in files:
+            p = os.path.join(root, f)
+            if f == "teacher.msgpack" and p != ck:
+                raw2 = _ser.msgpack_restore(open(p, "rb").read())
+                ok |= int(raw2["opt_state"]["0"]["count"]) == 5
+    assert ok, "teacher resume did not continue the optimizer count"
 
 
 def test_images_mode_distill(tiny_scene, tmp_path):
@@ -490,6 +564,34 @@ def test_llff_cli_pipeline(tmp_path):
     for root, _, files in os.walk(exps):
         found |= "ckpt_best.msgpack" in files
     assert found
+
+
+def test_create_data_requires_teacher_ckpt(tiny_scene, tmp_path):
+    """create_data hard-errors without --teacher_ckpt (a random-init
+    teacher silently generates junk; the reference hard-requires the
+    ckpt, create_data.py:289-296). --allow_random_teacher opts out."""
+    import sys
+
+    import tools.create_data as cd
+    exps = str(tmp_path / "ExpCD")
+    base = COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--create_data", "rand", "--n_pose_kd", "1",
+        "--datadir_kd", str(tmp_path / "kd"),
+        "--experiment_name", "cd", "--experiments_dir", exps]
+    argv = sys.argv
+    try:
+        sys.argv = ["create_data.py"] + base
+        with pytest.raises(SystemExit, match="teacher_ckpt"):
+            cd.main()
+        # explicit opt-out proceeds
+        sys.argv = ["create_data.py"] + base + ["--allow_random_teacher"]
+        cd.main()
+    finally:
+        sys.argv = argv
+    assert any(f.endswith(".npy")
+               for f in os.listdir(str(tmp_path / "kd")))
 
 
 def test_deepvoxels_cli_teacher_train(tmp_path):

@@ -61,18 +61,24 @@ def main() -> None:
                      f"to {len(paths)} shards in {datadir_kd}")
         return
 
-    ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
-    vcfg = vol_config(args, ns)
     if not (args.teacher_ckpt or args.pretrained_ckpt):
         # The reference unconditionally loads --teacher_ckpt
         # (`create_data.py:289-296`); a random-init teacher silently
-        # generates junk pseudo data, so warn loudly (kept non-fatal
-        # for machinery smoke tests).
+        # generates junk pseudo data — burning an hours-long run on a
+        # forgotten/typo'd ckpt. Hard error by default; the explicit
+        # opt-out exists for machinery smoke tests.
+        if not args.allow_random_teacher:
+            raise SystemExit(
+                "ERROR: no --teacher_ckpt given — the teacher would be "
+                "RANDOM-INIT and the generated pseudo data meaningless "
+                "(the reference hard-requires it, create_data.py:289-"
+                "296). Pass --teacher_ckpt <trained NeRF ckpt>, or "
+                "--allow_random_teacher to proceed anyway (smoke tests).")
         logger.print(
-            "WARNING: no --teacher_ckpt given — the teacher is RANDOM-"
-            "INIT and the generated pseudo data is meaningless. Pass "
-            "--teacher_ckpt <trained NeRF ckpt> for real distillation "
-            "data (reference create_data.py:289-296 requires it).")
+            "WARNING: --allow_random_teacher — the teacher is RANDOM-"
+            "INIT and the generated pseudo data is meaningless.")
+    ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
+    vcfg = vol_config(args, ns)
 
     if args.test_teacher:
         sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
