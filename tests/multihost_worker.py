@@ -1,0 +1,69 @@
+"""Worker for test_multihost.py: one process of a 2-process
+``jax.distributed`` CPU slice.
+
+Pins app.train's --multihost init ORDERING contract (`app.py:1073-1090`):
+``apply_platform(args, defer_backend_check=True)`` must run BEFORE
+``jax.distributed.initialize()`` (config-only — touching the backend
+first would pin this process to its local devices and break the global
+mesh), and the backend assert only after. Then one data-parallel distill
+step runs over a mesh SPANNING BOTH PROCESSES and prints its loss, which
+the test compares to the single-process value.
+
+Usage: python multihost_worker.py <process_id> <coordinator_port>
+"""
+import sys
+from types import SimpleNamespace
+
+pid, port = int(sys.argv[1]), sys.argv[2]
+
+import jax  # noqa: E402
+
+# Stand-in for --platform cpu --num_cpu_devices 2 (the CLI forbids cpu
+# with --multihost because no real multi-host CPU slices exist; the
+# ordering contract is what this pins).
+args = SimpleNamespace(platform="cpu", num_cpu_devices=2, multihost=True)
+from r2l_tpu.app import apply_platform  # noqa: E402
+
+apply_platform(args, defer_backend_check=args.multihost)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+apply_platform(args)  # the post-init call app.train makes
+
+assert jax.process_index() == pid, (jax.process_index(), pid)
+assert jax.local_device_count() == 2, jax.local_devices()
+assert jax.device_count() == 4, jax.devices()
+
+import numpy as np  # noqa: E402
+
+from r2l_tpu.models.r2l import R2LConfig, init_r2l  # noqa: E402
+from r2l_tpu.parallel import batch_sharding, make_mesh  # noqa: E402
+from r2l_tpu.sampler import PointSampler  # noqa: E402
+from r2l_tpu.train import (DistillConfig, init_train_state,  # noqa: E402
+                           make_distill_step)
+
+cfg = R2LConfig(input_dim=4 * 3 * 21, netwidth=16, netdepth=4)
+dcfg = DistillConfig(batch_size=32, perturb=True)
+sampler = PointSampler(H=4, W=4, focal=5.0, n_sample=4, near=2.0, far=6.0)
+params = init_r2l(jax.random.key(0), cfg)
+# host-resident state: identical on both processes, globalized by the
+# pjit'd step (committed single-device arrays would be process-local)
+state, tx = init_train_state(jax.random.key(0), params, dcfg)
+state = jax.tree.map(np.asarray, state)
+
+mesh = make_mesh({"data": 4})
+assert {d.process_index for d in mesh.devices.flat} == {0, 1}, \
+    "mesh does not span both processes"
+step = make_distill_step(cfg, dcfg, sampler, tx, mesh=mesh)
+
+rng = np.random.default_rng(0)  # same records on both processes
+rec = np.concatenate([np.zeros((32, 3), np.float32),
+                      rng.normal(size=(32, 3)).astype(np.float32),
+                      rng.uniform(0, 1, (32, 3)).astype(np.float32)], 1)
+# each process feeds ITS shard of the global batch (2 of 4 mesh rows)
+local = rec.reshape(4, 8, 9)[pid * 2:(pid + 1) * 2].reshape(16, 9)
+batch = jax.make_array_from_process_local_data(
+    batch_sharding(mesh), local, (32, 9))
+
+state, ms = step(state, batch, jax.random.key(1))
+print(f"MULTIHOST_OK pid={pid} loss={float(ms['loss']):.8f} "
+      f"psnr={float(ms['psnr']):.6f}", flush=True)
