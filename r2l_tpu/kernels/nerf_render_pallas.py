@@ -330,22 +330,42 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
 @functools.partial(jax.jit, static_argnames=("cfg", "L_pts", "L_views",
                                              "white_bkgd", "tile", "int8",
                                              "pe_ladder", "interpret",
-                                             "fold_requant"))
+                                             "fold_requant",
+                                             "sample_pairs"))
 def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                         rays_o: Array, rays_d: Array, z_vals: Array,
                         L_pts: int = 10, L_views: int = 4,
                         white_bkgd: bool = False, tile: int = 2048,
                         int8: bool = False, pe_ladder: bool = True,
                         interpret: bool | None = None,
-                        fold_requant: bool = False):
+                        fold_requant: bool = False,
+                        sample_pairs: bool | int = False):
     """Transposed-layout volumetric pass; same contract as
     ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S]).
     ``fold_requant`` needs params packed with the same flag: activation
     requantizes become round+clip (scales pre-folded into the producers'
-    dequant constants)."""
+    dequant constants).
+
+    ``sample_pairs`` processes P samples per grid step (True == 2; 2/4/8
+    accepted, must divide 8) as P INDEPENDENT interleaved MLP chains
+    (compositing stays sequential, in-register). Why: the r4
+    decomposition (PERF.md) showed the int8 kernel is VPU-bound on the
+    inter-layer requantize epilogue (~160 ms of VPU work vs ~100 ms of
+    MXU per canonical frame) and a single sample's chain serializes them
+    (each matmul consumes the previous requant); in-flight siblings give
+    the scheduler one sample's epilogue to run under another's matmul.
+    Measured: P=2 at tile 4096 is −4.6% per frame, bit-identical output
+    (exp/probe_teacher_decomp.jsonl r4_pairs_*). Needs S % P == 0 (falls
+    back to P=1 otherwise) and VMEM for P activation sets.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, S = z_vals.shape
+    P = int(sample_pairs) if not isinstance(sample_pairs, bool) else \
+        (2 if sample_pairs else 1)
+    assert P in (1, 2, 4, 8), f"sample_pairs P={P} must divide 8"
+    if S % P != 0:
+        P = 1  # odd/misaligned sample count: plain path
     n_pad = _round_up(max(n, 1), tile)
     W = cfg.W
     k_pts = 8 + _round_up(6 * L_pts, 8)
@@ -454,60 +474,78 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                 inv_v = hv_inv[...][W:, :] if int8 else None
                 views_ref[...] = embed_t(vd, Av, bv, L_views, inv_v)
 
-        r = j % 8
-        z_i = z_ref[pl.ds(r, 1), :]                      # [1, T]
-        z_n = znx_ref[pl.ds(r, 1), :]
-        dist = (z_n - z_i) * d_norm
+        def sample_inputs(r):
+            """z row r of the current block -> (z_i, dist, int8/bf16 PE)."""
+            z_i = z_ref[pl.ds(r, 1), :]                  # [1, T]
+            z_n = znx_ref[pl.ds(r, 1), :]
+            dist = (z_n - z_i) * d_norm
+            p3 = ro_ref[0:3, :] + d3 * z_i               # [3, T]
+            xq = embed_t(p3, Ap, bp, L_pts,
+                         pinv[0][...] if int8 else None)  # [k_pts, T]
+            return z_i, dist, xq
 
-        p3 = ro_ref[0:3, :] + d3 * z_i                   # [3, T]
-        xq = embed_t(p3, Ap, bp, L_pts,
-                     pinv[0][...] if int8 else None)     # [k_pts, T]
-
-        h = jnp.maximum(mmT(pw[0], xq, pm[0], pb[0]), 0.0)
-        h = h.astype(cd) if not int8 else h
-        for li in range(1, n_layers):
-            if int8:
-                if (li - 1) in cfg.skips:
-                    hq = q8n(h, pinv[li][...][k_pts:, :])
-                    q = jnp.concatenate([xq, hq], axis=0)
+        def chain(xq):
+            """The full MLP for one sample -> (sigma [1,T], rgb_raw)."""
+            h = jnp.maximum(mmT(pw[0], xq, pm[0], pb[0]), 0.0)
+            h = h.astype(cd) if not int8 else h
+            for li in range(1, n_layers):
+                if int8:
+                    if (li - 1) in cfg.skips:
+                        hq = q8n(h, pinv[li][...][k_pts:, :])
+                        q = jnp.concatenate([xq, hq], axis=0)
+                    else:
+                        q = q8n(h, pinv[li][...])
                 else:
-                    q = q8n(h, pinv[li][...])
-            else:
-                if (li - 1) in cfg.skips:
-                    q = jnp.concatenate([xq, h.astype(cd)], axis=0)
+                    if (li - 1) in cfg.skips:
+                        q = jnp.concatenate([xq, h.astype(cd)], axis=0)
+                    else:
+                        q = h.astype(cd)
+                h = jnp.maximum(mmT(pw[li], q, pm[li], pb[li]), 0.0)
+                if not int8:
+                    h = h.astype(cd)
+
+            hq = q8n(h, h_inv[...]) if int8 else h.astype(cd)
+            if cfg.use_viewdirs:
+                sigma = mmT(aw, hq, am, ab)[0:1, :]      # [1, T]
+                feat = mmT(fw, hq, fm, fb)               # [W, T]
+                if int8:
+                    fq = q8n(feat, hv_inv[...][:W, :])
                 else:
-                    q = h.astype(cd)
-            h = jnp.maximum(mmT(pw[li], q, pm[li], pb[li]), 0.0)
-            if not int8:
-                h = h.astype(cd)
-
-        hq = q8n(h, h_inv[...]) if int8 else h.astype(cd)
-        if cfg.use_viewdirs:
-            sigma = mmT(aw, hq, am, ab)[0:1, :]          # [1, T]
-            feat = mmT(fw, hq, fm, fb)                   # [W, T]
-            if int8:
-                fq = q8n(feat, hv_inv[...][:W, :])
+                    fq = feat.astype(cd)
+                hv_in = jnp.concatenate([fq, views_ref[...]], axis=0)
+                hv = jnp.maximum(mmT(vw, hv_in, vm, vb), 0.0)
+                hvq = q8n(hv, hr_inv[...]) if int8 else hv.astype(cd)
+                rgb_raw = mmT(rw, hvq, rm, rb)           # [8, T]
             else:
-                fq = feat.astype(cd)
-            hv_in = jnp.concatenate([fq, views_ref[...]], axis=0)
-            hv = jnp.maximum(mmT(vw, hv_in, vm, vb), 0.0)
-            hvq = q8n(hv, hr_inv[...]) if int8 else hv.astype(cd)
-            rgb_raw = mmT(rw, hvq, rm, rb)               # [8, T]
-        else:
-            rgb_raw = mmT(ow, hq, om, ob)                # [8, T]
-            sigma = rgb_raw[3:4, :]
+                rgb_raw = mmT(ow, hq, om, ob)            # [8, T]
+                sigma = rgb_raw[3:4, :]
+            return sigma, rgb_raw
 
+        def composite(sigma, rgb_raw, z_i, dist, r, trans):
+            """One raw2outputs step; returns (contrib [8,T], new trans)."""
+            alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dist)
+            w = alpha * trans                            # [1, T]
+            w_ref[pl.ds(r, 1), :] = w
+            rgb_c = w * jax.nn.sigmoid(rgb_raw[0:3, :])  # [3, T]
+            contrib = jnp.concatenate(
+                [rgb_c, w, w * z_i,
+                 jnp.zeros((3, w.shape[1]), jnp.float32)], axis=0)
+            return contrib, trans * (1.0 - alpha + 1e-10)
+
+        # P samples per step as P INDEPENDENT chains (the scheduler
+        # overlaps one chain's requant epilogue with another's matmuls);
+        # compositing stays sequential, in-register.
         trans = trans_ref[...]
-        alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dist)
-        w = alpha * trans                                # [1, T]
-        trans_ref[...] = trans * (1.0 - alpha + 1e-10)
-        w_ref[pl.ds(r, 1), :] = w
-
-        rgb_c = w * jax.nn.sigmoid(rgb_raw[0:3, :])      # [3, T]
-        contrib = jnp.concatenate(
-            [rgb_c, w, w * z_i,
-             jnp.zeros((3, w.shape[1]), jnp.float32)], axis=0)
-        acc_out = out_ref[...] + contrib
+        r0 = (P * j) % 8          # P | 8 -> all P rows share the block
+        inputs = [sample_inputs(r0 + t) for t in range(P)]
+        chains = [chain(xq) for (_, _, xq) in inputs]
+        acc_out = out_ref[...]
+        for t in range(P):
+            z_i, dist, _ = inputs[t]
+            sig, rgb_raw = chains[t]
+            c, trans = composite(sig, rgb_raw, z_i, dist, r0 + t, trans)
+            acc_out = acc_out + c
+        trans_ref[...] = trans
 
         if white_bkgd:
             @pl.when(j == S_total - 1)
@@ -524,15 +562,16 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
             out_ref[...] = acc_out
 
     const = lambda i, j: (0, 0)  # noqa: E731
+    # z blocks hold 8 sample rows; a grid step consumes 1 (or 2) of them
+    per_step = P
+    zmap = lambda i, j: (j * per_step // 8, i)  # noqa: E731
     in_specs = [
         pl.BlockSpec((8, tile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, tile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), zmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), zmap, memory_space=pltpu.VMEM),
         pl.BlockSpec(A_p.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(b_p.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(A_v.shape, const, memory_space=pltpu.VMEM),
@@ -554,13 +593,12 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
 
     packed, weights_t = pl.pallas_call(
         kern,
-        grid=(n_pad // tile, S),
+        grid=(n_pad // tile, S // per_step),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((8, tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile), lambda i, j: (j // 8, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), zmap, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),

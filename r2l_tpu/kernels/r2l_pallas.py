@@ -476,13 +476,14 @@ def _q8(x_f32, inv):
 
 def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
                    body_b, body_inv, tail_q, tail_m, tail_b, tail_inv,
-                   o_ref, *, cfg: R2LConfig, dim_pts: int, L: int,
+                   *, cfg: R2LConfig, dim_pts: int, L: int,
                    in_dim: int, in_pad: int, bf16_resid: bool = False,
                    fold_requant: bool = False,
-                   nobf16_inner: bool = False) -> None:
+                   nobf16_inner: bool = False):
     """Shared int8 PE + matmul chain: raw points p [T, dim_pts] (f32,
-    in-VMEM) -> o_ref (single source of truth for the int8 forward; the
-    pts-input and ray-gen kernels both wrap it).
+    in-VMEM) -> out [T, out_pad] f32 (single source of truth for the
+    int8 forward; returned, not written, so a caller can run several
+    independent chains per grid step — see ``chains`` below).
 
     ``bf16_resid``: residual adds in bf16 (no f32 up/downcast per block;
     the error is bounded by the following requantize).
@@ -560,28 +561,37 @@ def _int8_pe_chain(p, head_q, head_m, head_b, head_inv, body_q, body_m,
     out = acc.astype(jnp.float32) * tail_m[...] + tail_b[...]
     if not cfg.linear_tail:
         out = jax.nn.sigmoid(out)
-    o_ref[...] = out
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dim_pts", "L", "tile",
                                              "interpret", "bf16_resid",
                                              "fold_requant",
-                                             "nobf16_inner"))
+                                             "nobf16_inner", "chains"))
 def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
                             pts: Array, dim_pts: int, L: int = 10,
                             tile: int = 1024,
                             interpret: bool | None = None,
                             bf16_resid: bool = False,
                             fold_requant: bool = False,
-                            nobf16_inner: bool = False) -> Array:
+                            nobf16_inner: bool = False,
+                            chains: int = 1) -> Array:
     """pts [N, dim_pts] raw sample points -> RGB [N, output_dim] f32.
 
     PE on the VPU, whole int8 weight stack (~5.9 MB) VMEM-resident, every
     matmul on the MXU's 2x int8 rate, residual stream in bf16/f32.
     ``fold_requant`` requires params calibrated with the same flag.
+
+    ``chains`` splits each ray tile into C independent sub-chains run
+    side by side in one grid step — the teacher kernel's r4 overlap
+    lever (PERF.md): the int8 forward is partially VPU-bound on the
+    inter-layer requantize, and independent chains let the scheduler run
+    one chain's requant under another's matmul. Bit-identical output
+    (rows never mix). tile % chains == 0 required.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert tile % max(chains, 1) == 0, (tile, chains)
     n = pts.shape[0]
     in_pad = fp.head_q.shape[0]
     out_pad = fp.tail_q.shape[1]
@@ -596,12 +606,22 @@ def fused_r2l_apply_int8_pe(fp: FusedParamsInt8PE, cfg: R2LConfig,
 
     def kern(p_ref, head_q, head_m, head_b, head_inv, body_q, body_m,
              body_b, body_inv, tail_q, tail_m, tail_b, tail_inv, o_ref):
-        _int8_pe_chain(p_ref[...], head_q, head_m, head_b, head_inv,
-                       body_q, body_m, body_b, body_inv, tail_q, tail_m,
-                       tail_b, tail_inv, o_ref, cfg=cfg, dim_pts=dim_pts,
-                       L=L, in_dim=in_dim, in_pad=in_pad,
-                       bf16_resid=bf16_resid, fold_requant=fold_requant,
-                       nobf16_inner=nobf16_inner)
+        def chain(p):
+            return _int8_pe_chain(
+                p, head_q, head_m, head_b, head_inv,
+                body_q, body_m, body_b, body_inv, tail_q, tail_m,
+                tail_b, tail_inv, cfg=cfg, dim_pts=dim_pts,
+                L=L, in_dim=in_dim, in_pad=in_pad,
+                bf16_resid=bf16_resid, fold_requant=fold_requant,
+                nobf16_inner=nobf16_inner)
+        if chains <= 1:
+            o_ref[...] = chain(p_ref[...])
+        else:
+            sub = tile // chains
+            outs = [chain(p_ref[pl.ds(c * sub, sub), :])
+                    for c in range(chains)]
+            for c, o in enumerate(outs):
+                o_ref[pl.ds(c * sub, sub), :] = o
 
     W = cfg.netwidth
     nbl = fp.body_q.shape[0]

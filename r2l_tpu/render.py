@@ -213,7 +213,7 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                             rays_o: Array, rays_d: Array,
                             key: jax.Array | None = None,
                             ncfg_fine: NeRFConfig | None = None,
-                            tile: int = 4096,
+                            tile: int | None = None,
                             int8_calib: tuple | None = None,
                             fold_requant: bool = False
                             ) -> dict[str, Array]:
@@ -254,12 +254,25 @@ def render_frame_nerf_fused(params_coarse: dict, params_fine: dict | None,
                                 fold_requant=fold)
            if params_fine else fpc)
 
+    # Tile / samples-per-step defaults from the r4 sweep
+    # (exp/probe_teacher_decomp.jsonl r4_* rows): int8 is VPU-bound on
+    # the requant epilogue, so 8 interleaved chains at tile 1024 overlap
+    # it under the MXU (182.5 vs 199.4 ms/frame, bit-identical); bf16 is
+    # MXU-bound and keeps the single-chain tile-4096 layout (315.6 ms —
+    # every multi-chain bf16 variant measured slower).
+    if tile is None:
+        tile = 1024 if int8 else 4096
+    pairs = 8 if int8 else 1
+
     def run_kernel(fp, cfg_, o, d, z, *, L_pts, L_views, white_bkgd,
                    tile):
+        p = pairs
+        while z.shape[1] % p:   # degrade to the largest P dividing S
+            p //= 2
         return fused_nerf_render_t(fp, cfg_, o, d, z, L_pts=L_pts,
                                    L_views=L_views, white_bkgd=white_bkgd,
                                    tile=tile, int8=int8,
-                                   fold_requant=fold)
+                                   fold_requant=fold, sample_pairs=p)
 
     chunk = min(vcfg.ray_chunk, max(rays_o.shape[0], 1))
     ro, n = _pad_to_multiple(rays_o, chunk)

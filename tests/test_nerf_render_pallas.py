@@ -228,3 +228,68 @@ def test_fused_render_t_int8_fold_requant_matches_unfolded(key, viewdirs):
     ref = _xla_pass(params, cfg, ro, rd, z, Lp, Lv, True)
     err = np.abs(np.asarray(b[0]) - np.asarray(ref.rgb_map))
     assert err.max() < 5e-2 and err.mean() < 1e-2, (err.max(), err.mean())
+
+
+@pytest.mark.parametrize("viewdirs,int8", [(True, False), (True, True),
+                                           (False, False)])
+def test_fused_render_t_sample_pairs_matches_single(key, viewdirs, int8):
+    """sample_pairs=True (two interleaved chains per grid step, the r4
+    VPU/MXU-overlap experiment) computes the SAME math as the
+    single-sample grid — bitwise-equal outputs."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
+    Lp, Lv = 6, 3
+    cfg = NeRFConfig(
+        D=4, W=32, skips=(2,), use_viewdirs=viewdirs,
+        input_ch=nerf_embed_dim(3, Lp),
+        input_ch_views=nerf_embed_dim(3, Lv) if viewdirs else 0,
+        output_ch=5 if viewdirs else 4)
+    params = init_nerf(key, cfg)
+    calib = None
+    if int8:
+        cp = jax.random.uniform(jax.random.key(5), (64, 3),
+                                minval=-2, maxval=2)
+        cd_ = jax.random.normal(jax.random.key(6), (64, 3))
+        calib = (cp, cd_ / jnp.linalg.norm(cd_, axis=-1, keepdims=True))
+    fp = prepare_fused_nerf_t(params, cfg, Lp, Lv, calib=calib,
+                              weight_dtype=jnp.float32)
+    n, S = 16, 6   # S even (pair mode requires it)
+    ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.key(2), (n, 3))
+    z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    kw = dict(L_pts=Lp, L_views=Lv, white_bkgd=True, tile=8,
+              int8=int8, interpret=True)
+    single = fused_nerf_render_t(fp, cfg, ro, rd, z, **kw)
+    paired = fused_nerf_render_t(fp, cfg, ro, rd, z, sample_pairs=True,
+                                 **kw)
+    # same math, different graph shape: compiler reassociation leaves
+    # 1-ulp differences only
+    for a, b in zip(single, paired):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=3e-7)
+
+
+def test_fused_render_t_sample_pairs_odd_s_falls_back(key):
+    """Odd sample counts silently use the single-sample grid."""
+    from r2l_tpu.kernels.nerf_render_pallas import (fused_nerf_render_t,
+                                                    prepare_fused_nerf_t)
+    Lp, Lv = 4, 2
+    cfg = NeRFConfig(D=3, W=16, skips=(), use_viewdirs=False,
+                     input_ch=nerf_embed_dim(3, Lp), input_ch_views=0,
+                     output_ch=4)
+    params = init_nerf(key, cfg)
+    fp = prepare_fused_nerf_t(params, cfg, Lp, Lv,
+                              weight_dtype=jnp.float32)
+    n, S = 8, 5
+    ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.key(2), (n, 3))
+    z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    kw = dict(L_pts=Lp, L_views=Lv, white_bkgd=False, tile=8,
+              interpret=True)
+    single = fused_nerf_render_t(fp, cfg, ro, rd, z, **kw)
+    paired = fused_nerf_render_t(fp, cfg, ro, rd, z, sample_pairs=True,
+                                 **kw)
+    for a, b in zip(single, paired):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

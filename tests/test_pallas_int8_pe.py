@@ -117,3 +117,30 @@ def test_fold_requant_exact_vs_unfolded_scales(setup):
     # same int8 weights, scales only rearranged; difference comes from
     # the bf16 intermediate now holding the scaled value
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_int8_pe_chains_bitwise_matches_single(key):
+    """chains=C (C independent sub-chains per ray tile, the r4 overlap
+    lever) is bitwise-identical to the single chain — rows never mix."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from r2l_tpu.kernels.r2l_pallas import (calibrate_r2l_int8_pe,
+                                            fused_r2l_apply_int8_pe)
+    from r2l_tpu.models.r2l import R2LConfig, init_r2l
+    dim_pts, L = 12, 4
+    cfg = R2LConfig(input_dim=dim_pts * (2 * L + 1), netwidth=128,
+                    netdepth=6)
+    params = init_r2l(key, cfg)
+    pts = jax.random.uniform(jax.random.key(1), (48, dim_pts),
+                             minval=-2.0, maxval=2.0)
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts, L, calib_pts=pts,
+                               fold_requant=True)
+    kw = dict(tile=16, interpret=True, fold_requant=True,
+              nobf16_inner=True)
+    base = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts, L, **kw)
+    for C in (2, 4):
+        out = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts, L,
+                                      chains=C, **kw)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
