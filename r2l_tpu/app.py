@@ -347,6 +347,16 @@ def run_render_only(args, ns, logger) -> EvalResult:
         write_video(os.path.join(savedir, "video.mp4"), res.frames)
         return res
 
+    # Explicit --mesh shards each frame's rays over the 'data' axis
+    # (each device renders a ray tile — multi-chip inference; the
+    # reference deliberately skips DataParallel for render_only,
+    # `main.py:472-479`, so this stays opt-in).
+    render_mesh = None
+    if parse_mesh_spec(args.mesh):
+        from .parallel import make_mesh
+        render_mesh = make_mesh(parse_mesh_spec(args.mesh))
+        logger.print(f"render mesh: {dict(render_mesh.shape)}")
+
     if args.model_name in ("R2L", "nerf_v3.2"):
         cfg, params, _ = build_r2l(args, logger)
         sampler = PointSampler(H=H, W=W, focal=focal,
@@ -356,7 +366,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
             params, cfg, sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
             pallas_tile=args.pallas_tile, quantize=args.quantize,
-            calib_poses=ns.poses)
+            calib_poses=ns.poses, mesh=render_mesh)
     else:
         ncfg, ncfg_fine, pc, pf, _ = build_teacher(args, logger)
         vcfg = vol_config(args, ns)
@@ -401,7 +411,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
                 params, cfg, sampler, embed_L=args.multires,
                 plucker=args.plucker, use_pallas=args.use_pallas,
                 pallas_tile=args.pallas_tile, quantize=args.quantize,
-                calib_poses=ns.poses)
+                calib_poses=ns.poses, mesh=render_mesh)
             Kb = min(8, max(len(poses), 1))
         else:
             # volumetric frames are ~25x an R2L frame: keep the jit small
@@ -467,13 +477,19 @@ def run_benchmark(args, ns, logger) -> float:
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.n_sample_per_ray,
                                near=ns.near, far=ns.far)
+        bench_mesh = None
+        if parse_mesh_spec(args.mesh):
+            from .parallel import make_mesh
+            bench_mesh = make_mesh(parse_mesh_spec(args.mesh))
+            logger.print(f"bench mesh: {dict(bench_mesh.shape)}")
         bench_fn = make_r2l_bench_fn(params, cfg, sampler,
                                      embed_L=args.multires,
                                      plucker=args.plucker,
                                      use_pallas=args.use_pallas,
                                      pallas_tile=args.pallas_tile,
                                      quantize=args.quantize,
-                                     calib_poses=ns.poses)
+                                     calib_poses=ns.poses,
+                                     mesh=bench_mesh)
         K, frames_target = 16, 100
     poses = jnp.asarray(np.stack([np.asarray(p)[:3, :4]
                                   for p in ns.video_poses[:K]]))

@@ -52,30 +52,65 @@ import functools
 @functools.lru_cache(maxsize=64)
 def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
                    plucker: bool, pallas_tile: int, kind: str,
-                   dim_pts: int) -> Callable:
+                   dim_pts: int, mesh=None) -> Callable:
     """Jitted (prepared_params, c2w) -> [H, W, 3], cached on the static
     config so periodic in-training evals re-use ONE compilation (params
     are a runtime argument, not a baked-in constant — a fresh jit per
-    eval would recompile 30-90 s each through this image's TPU tunnel)."""
+    eval would recompile 30-90 s each through this image's TPU tunnel).
 
-    def frame(p, c2w):
-        pts = (sampler.sample_test_plucker(c2w) if plucker
-               else sampler.sample_test(c2w))
+    ``mesh``: shard the frame's RAY axis over the mesh 'data' axis —
+    each device renders a ray tile (SURVEY.md §2.8's TPU-native
+    inference scaling; the reference renders on one GPU). The plain-XLA
+    path shards via a GSPMD constraint; the Pallas kinds run the fused
+    kernel per device shard under ``shard_map`` (params replicated).
+    """
+    n_dev = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
+
+    def net(p, pts):
         if kind == "int8":
             # fold_requant + nobf16_inner: the round-3 epilogue winner —
             # 9.73 ms/frame vs 10.3 baseline at 400^2 on v5e
             # (exp/probe_epi2.jsonl; calibration packs the folded scales)
             from .kernels.r2l_pallas import fused_r2l_apply_int8_pe
-            rgb = fused_r2l_apply_int8_pe(p, cfg, pts, dim_pts, embed_L,
-                                          tile=pallas_tile,
-                                          fold_requant=True,
-                                          nobf16_inner=True)
+            return fused_r2l_apply_int8_pe(p, cfg, pts, dim_pts, embed_L,
+                                           tile=pallas_tile,
+                                           fold_requant=True,
+                                           nobf16_inner=True)
         elif kind == "pe":
             from .kernels.r2l_pallas import fused_r2l_apply_pe
-            rgb = fused_r2l_apply_pe(p, cfg, pts, dim_pts, embed_L,
-                                     tile=pallas_tile)
+            return fused_r2l_apply_pe(p, cfg, pts, dim_pts, embed_L,
+                                      tile=pallas_tile)
+        return apply_r2l(p, cfg, r2l_embed(pts, embed_L))
+
+    def frame(p, c2w):
+        pts = (sampler.sample_test_plucker(c2w) if plucker
+               else sampler.sample_test(c2w))
+        n = pts.shape[0]
+        if mesh is None or n_dev <= 1:
+            rgb = net(p, pts)
         else:
-            rgb = apply_r2l(p, cfg, r2l_embed(pts, embed_L))
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_pad = -(-n // n_dev) * n_dev
+            if n_pad != n:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((n_pad - n, pts.shape[1]),
+                                    pts.dtype)])
+            if kind == "jnp":
+                # GSPMD: constrain the ray axis; XLA partitions the
+                # embed + matmul chain (params replicated).
+                pts = jax.lax.with_sharding_constraint(
+                    pts, NamedSharding(mesh, PartitionSpec("data")))
+                rgb = net(p, pts)
+            else:
+                # Pallas runs per device: shard_map over the ray axis,
+                # the fused kernel on each local [n/n_dev] shard.
+                from jax import shard_map
+                rgb = shard_map(
+                    net, mesh=mesh,
+                    in_specs=(PartitionSpec(), PartitionSpec("data")),
+                    out_specs=PartitionSpec("data"),
+                    check_vma=False)(p, pts)
+            rgb = rgb[:n]
         # learn_depth models emit 4 channels; frames keep RGB
         # (reference `main.py:227-231`).
         return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
@@ -168,13 +203,16 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       use_pallas: bool = True,
                       pallas_tile: int = 512,
                       quantize: str = "",
-                      calib_poses=None) -> Callable[[Array], Array]:
-    """Build the jitted c2w -> [H, W, 3] frame renderer (fast path)."""
+                      calib_poses=None,
+                      mesh=None) -> Callable[[Array], Array]:
+    """Build the jitted c2w -> [H, W, 3] frame renderer (fast path).
+    ``mesh`` shards the frame's rays over the mesh 'data' axis (each
+    device renders a ray tile; Pallas kinds via shard_map)."""
     prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
                                            plucker, use_pallas, quantize,
                                            calib_poses=calib_poses)
     jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
-                            kind, dim_pts)
+                            kind, dim_pts, mesh=mesh)
     return lambda c2w: jit_fn(prepared, c2w)
 
 
@@ -182,7 +220,7 @@ def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                       embed_L: int = 10, plucker: bool = False,
                       use_pallas: bool = True, pallas_tile: int = 512,
                       quantize: str = "",
-                      calib_poses=None) -> Callable[[Array], Array]:
+                      calib_poses=None, mesh=None) -> Callable[[Array], Array]:
     """Jitted poses [K, 3, 4] -> scalar checksum, rendering the K frames
     sequentially INSIDE one jit (``lax.map``).
 
@@ -197,7 +235,7 @@ def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
                                            plucker, use_pallas, quantize,
                                            calib_poses=calib_poses)
     frame = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
-                           kind, dim_pts)
+                           kind, dim_pts, mesh=mesh)
 
     @jax.jit
     def render_k(p, poses):

@@ -652,6 +652,27 @@ def test_rand_images_distill_with_crop(tiny_scene, tmp_path):
     assert found, "rand_images-fed distill did not write a checkpoint"
 
 
+def test_cli_mesh_flag_render_only(tiny_scene, tmp_path):
+    """--render_only --mesh data:8 shards each frame's rays over the
+    mesh (each device renders a ray tile; evaluate._r2l_frame_jit mesh
+    path through the CLI)."""
+    exps = str(tmp_path / "ExpRM")
+    train(parse_args(COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--render_only", "--render_test", "--use_pallas", "False",
+        "--mesh", "data:8",
+        "--experiment_name", "rm", "--experiments_dir", exps]))
+    log = ""
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f.startswith("log") and f.endswith(".txt"):
+                log += open(os.path.join(root, f)).read()
+    assert "render mesh: {'data': 8}" in log
+    assert "render_only: PSNR" in log
+
+
 def test_cli_mesh_flag_distill(tiny_scene, tmp_path):
     """Explicit --mesh through the CLI (the auto-mesh default no longer
     fires on virtual CPU devices — see app._auto_mesh): rays-mode

@@ -230,3 +230,43 @@ def test_images_mode_distill_step_mesh_matches_single_device(key):
                                    rtol=1e-4, atol=1e-6)
     # pool stays data-local on the mesh
     assert len(sb.pool.rays.addressable_shards) == 8
+
+
+def test_sharded_student_frame_matches_single(key):
+    """Frame rays sharded over the mesh 'data' axis (each device renders
+    a ray tile, SURVEY §2.8): XLA path via GSPMD constraint, Pallas
+    paths via shard_map — all match the single-device frame."""
+    import numpy as np
+
+    from r2l_tpu.evaluate import make_r2l_frame_fn
+    from r2l_tpu.models.r2l import R2LConfig, init_r2l
+    from r2l_tpu.parallel import make_mesh
+    from r2l_tpu.rays import pose_spherical
+    from r2l_tpu.sampler import PointSampler
+
+    dim_pts, L = 12, 10
+    cfg = R2LConfig(input_dim=dim_pts * (2 * L + 1), netwidth=128,
+                    netdepth=6, precision="highest")
+    params = init_r2l(key, cfg)
+    # H*W = 16*16 = 256 rays; NOT divisible by 8*tile -> exercises the
+    # pad-and-slice path too (pad to n_dev multiple).
+    sampler = PointSampler(H=16, W=16, focal=20.0, n_sample=4,
+                           near=2.0, far=6.0)
+    c2w = jnp.asarray(pose_spherical(30.0, -40.0, 4.0)[:3, :4]
+                      .astype(np.float32))
+    mesh = make_mesh({"data": 8})
+    poses = np.stack([np.asarray(c2w)])
+
+    for kind_kwargs in (dict(use_pallas=False),
+                        dict(use_pallas=True),
+                        dict(use_pallas=True, quantize="int8",
+                             calib_poses=poses)):
+        single = make_r2l_frame_fn(params, cfg, sampler, embed_L=L,
+                                   pallas_tile=16, **kind_kwargs)(c2w)
+        sharded = make_r2l_frame_fn(params, cfg, sampler, embed_L=L,
+                                    pallas_tile=16, mesh=mesh,
+                                    **kind_kwargs)(c2w)
+        np.testing.assert_allclose(np.asarray(single),
+                                   np.asarray(sharded),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=str(kind_kwargs))
