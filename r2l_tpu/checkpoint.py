@@ -157,6 +157,27 @@ def torch_nerf_to_params(state_dict: dict, cfg: NeRFConfig) -> dict:
     return params
 
 
+def params_to_torch_nerf(params: dict, cfg: NeRFConfig) -> dict:
+    """Inverse of ``torch_nerf_to_params`` (numpy arrays, reference
+    ``NeRF`` naming `model/nerf_raybased.py:337-375`; torch Linears are
+    [out, in] -> transposed)."""
+    host = jax.tree.map(np.asarray, params)
+    sd = {}
+    for i, lin in enumerate(host["pts_linears"]):
+        sd[f"pts_linears.{i}.weight"] = lin["w"].T
+        sd[f"pts_linears.{i}.bias"] = lin["b"]
+    if cfg.use_viewdirs:
+        sd["views_linears.0.weight"] = host["views_linears"][0]["w"].T
+        sd["views_linears.0.bias"] = host["views_linears"][0]["b"]
+        for name in ("feature_linear", "alpha_linear", "rgb_linear"):
+            sd[name + ".weight"] = host[name]["w"].T
+            sd[name + ".bias"] = host[name]["b"]
+    else:
+        sd["output_linear.weight"] = host["output_linear"]["w"].T
+        sd["output_linear.bias"] = host["output_linear"]["b"]
+    return sd
+
+
 def infer_r2l_config_from_state_dict(state_dict: dict, **overrides) -> R2LConfig:
     """Derive architecture hyper-params from a torch state_dict's shapes."""
     sd = strip_module_prefix(state_dict)

@@ -180,3 +180,40 @@ def test_lpips_rescale_conventions_differ(key, rng):
                       rescale="none"))
     assert abs(mm - pre) < 1e-6
     assert abs(mm - std) > 1e-5   # conventions genuinely differ here
+
+
+def test_render_path_lpips_minmax_stack_semantics(key, rng):
+    """render_path(lpips_rescale='minmax') rescales the WHOLE frame
+    stack with one global min/max per tensor (reference main.py:361-364
+    rescales the full [N,3,H,W] stack at once), then averages per-image
+    distances."""
+    from r2l_tpu.evaluate import render_path
+    from r2l_tpu.lpips_jax import init_lpips, lpips, minmax_rescale
+
+    params = init_lpips(key, net="alex")
+    H = W = 33
+    gts = rng.uniform(0.2, 0.8, (2, H, W, 3)).astype(np.float32)
+    frames = np.clip(gts + rng.normal(0, 0.05, gts.shape), 0, 1
+                     ).astype(np.float32)
+
+    calls = []
+    fn = iter(list(jnp.asarray(f) for f in frames))
+
+    def frame_fn(c2w):
+        calls.append(1)
+        return next(fn)
+
+    res = render_path(frame_fn, [np.eye(4)[:3, :4]] * 2, gt_images=gts,
+                      lpips_params=params, compute_flip=False,
+                      lpips_rescale="minmax")
+    g = minmax_rescale(jnp.asarray(gts))
+    r = minmax_rescale(jnp.asarray(frames))
+    expect = float(np.mean([float(lpips(params, g[i], r[i],
+                                        rescale="none"))
+                            for i in range(2)]))
+    np.testing.assert_allclose(res.test_lpips, expect, rtol=1e-5)
+    # and it differs from per-image standard rescale on these inputs
+    std = float(np.mean([float(lpips(params, jnp.asarray(gts[i]),
+                                     jnp.asarray(frames[i])))
+                         for i in range(2)]))
+    assert abs(res.test_lpips - std) > 1e-6

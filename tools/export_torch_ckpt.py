@@ -1,0 +1,131 @@
+"""Export a native .msgpack checkpoint as a reference-schema torch .tar.
+
+The inverse of ``--pretrained_ckpt <lego.tar>``: a model trained in this
+framework becomes loadable by the reference code's checkpoint path
+(`/root/reference/main.py:482-502` reads ``network_fn_state_dict`` /
+``network_fine_state_dict``; save schema per `main.py:1516-1542`).
+
+  # student (R2L) checkpoint
+  python tools/export_torch_ckpt.py --ckpt weights/ckpt_best.msgpack \
+      --out lego.tar
+
+  # teacher (NeRF) checkpoint
+  python tools/export_torch_ckpt.py --ckpt weights/teacher.msgpack \
+      --out teacher.tar --model_name nerf --use_viewdirs
+
+The reference ALSO pickles the whole torch module into R2L tars
+(``network_fn``, `main.py:1534-1536`); that pickle embeds their class
+object and is not reproducible from outside their repo — consumers load
+via the state_dict path, which this writes. The optimizer state is torch
+Adam-specific and likewise not emitted (document in the meta key).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True,
+                   help="native .msgpack checkpoint (trainer layout)")
+    p.add_argument("--out", required=True, help="output .tar path")
+    p.add_argument("--model_name", default="R2L",
+                   choices=["R2L", "nerf"],
+                   help="R2L student or NeRF teacher checkpoint")
+    p.add_argument("--use_viewdirs", action="store_true", default=True)
+    p.add_argument("--no_viewdirs", dest="use_viewdirs",
+                   action="store_false")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import torch
+
+    from r2l_tpu import checkpoint as ckpt
+
+    raw, meta = ckpt.load_checkpoint(args.ckpt)
+    blob = {"global_step": int(meta.get("global_step", 0)),
+            "best_psnr": float(meta.get("best_psnr", -1.0)),
+            "best_psnr_step": int(meta.get("best_psnr_step", -1))}
+
+    def to_t(sd):
+        return {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+                for k, v in sd.items()}
+
+    if args.model_name == "nerf":
+        # teacher layout: {"coarse": ..., "fine": ..., ["opt_state"]}
+        from r2l_tpu.models.nerf import NeRFConfig
+
+        def cfg_of(tree):
+            nl = sorted(int(k) for k in tree["pts_linears"])
+            vd = "alpha_linear" in tree
+            return NeRFConfig(D=len(nl), W=int(np.asarray(
+                tree["pts_linears"]["0"]["w"]).shape[1]),
+                use_viewdirs=vd)
+
+        def restore(tree):
+            # msgpack dicts use "0","1"... for list indices
+            lins = [
+                {"w": np.asarray(tree["pts_linears"][str(i)]["w"]),
+                 "b": np.asarray(tree["pts_linears"][str(i)]["b"])}
+                for i in range(len(tree["pts_linears"]))]
+            out = {"pts_linears": lins}
+            for name in ("views_linears",):
+                if name in tree and tree[name]:
+                    out[name] = [
+                        {"w": np.asarray(tree[name]["0"]["w"]),
+                         "b": np.asarray(tree[name]["0"]["b"])}]
+            for name in ("feature_linear", "alpha_linear", "rgb_linear",
+                         "output_linear"):
+                if name in tree:
+                    out[name] = {"w": np.asarray(tree[name]["w"]),
+                                 "b": np.asarray(tree[name]["b"])}
+            return out
+
+        coarse = restore(raw["coarse"])
+        blob["network_fn_state_dict"] = to_t(
+            ckpt.params_to_torch_nerf(coarse, cfg_of(raw["coarse"])))
+        if raw.get("fine"):
+            fine = restore(raw["fine"])
+            blob["network_fine_state_dict"] = to_t(
+                ckpt.params_to_torch_nerf(fine, cfg_of(raw["fine"])))
+        n_par = sum(int(np.asarray(v).size)
+                    for v in blob["network_fn_state_dict"].values())
+    else:
+        params = raw["params"] if isinstance(raw, dict) and "params" in raw \
+            else raw
+        head_w = np.asarray(params["head"]["w"])
+        body_w = np.asarray(params["body"]["w"])
+        from r2l_tpu.models.r2l import R2LConfig
+        cfg = R2LConfig(input_dim=int(head_w.shape[0]),
+                        netwidth=int(head_w.shape[1]),
+                        n_block=int(body_w.shape[0]),
+                        n_learnable=int(body_w.shape[1]),
+                        netdepth=2 + int(body_w.shape[0])
+                        * int(body_w.shape[1]),
+                        output_dim=int(np.asarray(
+                            params["tail"]["w"]).shape[1]))
+        np_params = {"head": {k: np.asarray(v)
+                              for k, v in params["head"].items()},
+                     "body": {k: np.asarray(v)
+                              for k, v in params["body"].items()},
+                     "tail": {k: np.asarray(v)
+                              for k, v in params["tail"].items()}}
+        blob["network_fn_state_dict"] = to_t(
+            ckpt.params_to_torch_r2l(np_params, cfg))
+        n_par = sum(int(np.asarray(v).size)
+                    for v in blob["network_fn_state_dict"].values())
+
+    blob["note"] = ("exported from a native r2l_tpu checkpoint; "
+                    "optimizer state / pickled module omitted "
+                    "(torch-specific in the reference)")
+    torch.save(blob, args.out)
+    print(f"wrote {args.out}: {n_par/1e6:.2f}M params, "
+          f"global_step {blob['global_step']}, "
+          f"best_psnr {blob['best_psnr']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
