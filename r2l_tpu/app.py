@@ -352,9 +352,10 @@ def run_render_only(args, ns, logger) -> EvalResult:
     # reference deliberately skips DataParallel for render_only,
     # `main.py:472-479`, so this stays opt-in).
     render_mesh = None
-    if parse_mesh_spec(args.mesh):
+    mesh_axes = parse_mesh_spec(args.mesh)
+    if mesh_axes:
         from .parallel import make_mesh
-        render_mesh = make_mesh(parse_mesh_spec(args.mesh))
+        render_mesh = make_mesh(mesh_axes)
         logger.print(f"render mesh: {dict(render_mesh.shape)}")
 
     if args.model_name in ("R2L", "nerf_v3.2"):
@@ -379,7 +380,8 @@ def run_render_only(args, ns, logger) -> EvalResult:
         frame_fn = make_nerf_frame_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       ndc_params, ncfg_fine=ncfg_fine,
                                       perturb_test=args.perturb_test > 0,
-                                      use_pallas=args.use_pallas)
+                                      use_pallas=args.use_pallas,
+                                      mesh=render_mesh)
 
     if args.render_test:
         poses = ns.poses[ns.i_test]
@@ -419,7 +421,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
             bench_fn = make_nerf_bench_fn(
                 pc, pf or None, ncfg, vcfg, sampler, ndc_params,
                 ncfg_fine=ncfg_fine, use_pallas=args.use_pallas,
-                perturb_test=args.perturb_test > 0)
+                perturb_test=args.perturb_test > 0, mesh=render_mesh)
             Kb = min(4, max(len(poses), 1))
         bposes = jnp.asarray(np.stack(
             [np.asarray(p)[:3, :4] for p in poses[:Kb]]))
@@ -454,6 +456,12 @@ def run_benchmark(args, ns, logger) -> float:
     """
     from .evaluate import make_nerf_bench_fn, make_r2l_bench_fn
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
+    bench_mesh = None
+    mesh_axes = parse_mesh_spec(args.mesh)
+    if mesh_axes:
+        from .parallel import make_mesh
+        bench_mesh = make_mesh(mesh_axes)
+        logger.print(f"bench mesh: {dict(bench_mesh.shape)}")
     if args.model_name == "nerf":
         # Benchmark the model the flag asked for: the teacher's fused
         # volumetric frame path (reference --benchmark times whichever
@@ -467,7 +475,8 @@ def run_benchmark(args, ns, logger) -> float:
         bench_fn = make_nerf_bench_fn(pc, pf or None, ncfg, vcfg, sampler,
                                       ndc_params, ncfg_fine=ncfg_fine,
                                       use_pallas=args.use_pallas,
-                                      perturb_test=args.perturb_test > 0)
+                                      perturb_test=args.perturb_test > 0,
+                                      mesh=bench_mesh)
         # A teacher frame is ~25x an R2L frame (303.82M vs 11.79M
         # FLOPs/pixel): keep 4 frames/jit and scale reps down so a
         # default run stays minutes, not hours.
@@ -477,11 +486,6 @@ def run_benchmark(args, ns, logger) -> float:
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.n_sample_per_ray,
                                near=ns.near, far=ns.far)
-        bench_mesh = None
-        if parse_mesh_spec(args.mesh):
-            from .parallel import make_mesh
-            bench_mesh = make_mesh(parse_mesh_spec(args.mesh))
-            logger.print(f"bench mesh: {dict(bench_mesh.shape)}")
         bench_fn = make_r2l_bench_fn(params, cfg, sampler,
                                      embed_L=args.multires,
                                      plucker=args.plucker,
@@ -670,6 +674,7 @@ def run_distill(args, ns, logger):
         if best_psnr > 0:
             logger.print(f"restored best_psnr {best_psnr:.4f} "
                          f"@ step {best_step}")
+        ckpt.drop_cached_checkpoint()   # release the ~3x-params blob
     _step_cache: dict = {}
     if images_mode:
         def step_k(k: int):
@@ -981,6 +986,7 @@ def run_teacher_train(args, ns, logger):
         best_psnr = float(rmeta.get("best_psnr", -1.0))
         if best_psnr > 0:
             logger.print(f"restored teacher best_psnr {best_psnr:.4f}")
+        ckpt.drop_cached_checkpoint()
 
     # use_batching (reference default for LLFF): pre-generate the global
     # shuffled ray pool from all train images; no_batching samples pixels

@@ -47,8 +47,24 @@ def save_checkpoint(path: str, pytree: Any, meta: dict | None = None) -> None:
         os.replace(mtmp, path + ".meta.json")
 
 
+_last_raw: tuple | None = None   # (abspath, mtime, tree, meta)
+
+
 def load_checkpoint(path: str, target: Any = None) -> tuple[Any, dict]:
-    """Load a pytree checkpoint; returns (pytree, meta)."""
+    """Load a pytree checkpoint; returns (pytree, meta).
+
+    Raw (target-less) loads memoize ONE blob keyed by (path, mtime):
+    --resume reads the same file twice moments apart (params via
+    load_params, then the opt_state/pool blob via _native_resume_blob)
+    and with the optimizer saved the blob is ~3x param size. Call
+    ``drop_cached_checkpoint()`` when done to release the memory.
+    """
+    global _last_raw
+    ap = os.path.abspath(path)
+    if target is None:
+        mt = os.path.getmtime(ap)
+        if _last_raw is not None and _last_raw[:2] == (ap, mt):
+            return _last_raw[2], _last_raw[3]
     with open(path, "rb") as f:
         data = f.read()
     if target is not None:
@@ -59,7 +75,15 @@ def load_checkpoint(path: str, target: Any = None) -> tuple[Any, dict]:
     if os.path.exists(path + ".meta.json"):
         with open(path + ".meta.json") as f:
             meta = json.load(f)
+    if target is None:
+        _last_raw = (ap, mt, tree, meta)
     return tree, meta
+
+
+def drop_cached_checkpoint() -> None:
+    """Release the raw-load memo (see load_checkpoint)."""
+    global _last_raw
+    _last_raw = None
 
 
 def load_params(path: str, target: Any) -> tuple[Any, dict]:
@@ -196,6 +220,28 @@ def infer_r2l_config_from_state_dict(state_dict: dict, **overrides) -> R2LConfig
               # --trial.n_learnable; 2+2*nb would misreport those)
               netdepth=2 + nl * nb, output_dim=int(tail_w.shape[0]),
               linear_tail=linear_tail)
+    kw.update(overrides)
+    return R2LConfig(**kw)
+
+
+def infer_r2l_config_from_params(params: dict, **overrides) -> R2LConfig:
+    """Derive R2LConfig from a NATIVE param pytree's shapes (the
+    msgpack-restored or live layout: head/body/tail with stacked body
+    [n_block, n_learnable, W, W]).
+
+    Architecture semantics that shapes cannot express (use_residual,
+    linear_tail, act/inact) must come via ``overrides`` — exactly like
+    the torch-side ``infer_r2l_config_from_state_dict`` + CLI flags in
+    ``app.build_r2l``.
+    """
+    head_w = np.asarray(params["head"]["w"])
+    body_w = np.asarray(params["body"]["w"])
+    tail_w = np.asarray(params["tail"]["w"])
+    nb, nl = int(body_w.shape[0]), int(body_w.shape[1])
+    kw = dict(input_dim=int(head_w.shape[0]),
+              netwidth=int(head_w.shape[1]),
+              n_block=nb, n_learnable=nl, netdepth=2 + nb * nl,
+              output_dim=int(tail_w.shape[1]))
     kw.update(overrides)
     return R2LConfig(**kw)
 

@@ -249,7 +249,8 @@ def make_nerf_bench_fn(params_coarse: dict, params_fine: dict | None,
                        ncfg, vcfg: VolRenderConfig, sampler: PointSampler,
                        ndc_params: tuple | None = None,
                        use_pallas: bool = False, ncfg_fine=None,
-                       perturb_test: bool = False) -> Callable:
+                       perturb_test: bool = False,
+                       mesh=None) -> Callable:
     """Teacher analog of ``make_r2l_bench_fn``: poses [K, 3, 4] -> scalar
     checksum with the K volumetric frames rendered inside ONE jit
     (``--benchmark --model_name nerf``, reference `main.py:401-404,
@@ -259,7 +260,7 @@ def make_nerf_bench_fn(params_coarse: dict, params_fine: dict | None,
     fused = bool(use_pallas and jax.default_backend() == "tpu"
                  and vcfg.multires > 0)
     frame = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
-                            perturb_test, fused)
+                            perturb_test, fused, mesh=mesh)
     pf = params_fine if params_fine else None
 
     @jax.jit
@@ -276,7 +277,7 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
                        use_pallas: bool = False,
                        ncfg_fine=None,
                        perturb_test: bool = False,
-                       with_disp: bool = False) -> Callable:
+                       with_disp: bool = False, mesh=None) -> Callable:
     """c2w -> [H, W, 3] via the volumetric teacher. ``ndc_params`` is
     (H, W, focal) to enable the LLFF NDC warp. On TPU the MLP query runs
     through the fused Pallas kernel.
@@ -296,7 +297,7 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
     fused = bool(use_pallas and jax.default_backend() == "tpu"
                  and vcfg.multires > 0)
     jit_fn = _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t, sampler, ndc_params,
-                             perturb_test, fused, with_disp)
+                             perturb_test, fused, with_disp, mesh=mesh)
     pf = params_fine if params_fine else None
     return lambda c2w: jit_fn(params_coarse, pf, c2w)
 
@@ -304,13 +305,24 @@ def make_nerf_frame_fn(params_coarse: dict, params_fine: dict | None,
 @functools.lru_cache(maxsize=64)
 def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
                     sampler: PointSampler, ndc_params, perturb_test: bool,
-                    fused: bool, with_disp: bool = False) -> Callable:
+                    fused: bool, with_disp: bool = False,
+                    mesh=None) -> Callable:
     """Jitted (params_coarse, params_fine, c2w) -> [H, W, 3], cached on
     static config (see ``_r2l_frame_jit``). ``fused`` routes through the
     fully-fused Pallas volumetric pass (eval is noise-free, so it always
-    qualifies)."""
+    qualifies).
+
+    ``mesh`` shards the frame's ray axis over the mesh 'data' axis (the
+    volumetric pass is per-ray: sampling, MLP, compositing, sample_pdf
+    all local). XLA path via GSPMD constraint — bit-identical to
+    unsharded; fused path via shard_map (with ``perturb_test`` the
+    per-shard stratified draw differs from the single-device draw in
+    WHICH jitter each ray gets — same distribution, eval stays
+    deterministic per pose).
+    """
     from .rays import ndc_rays
     from .render import render_frame_nerf_fused
+    n_dev = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
 
     def frame(pc, pf, c2w):
         rays_o, rays_d = sampler.frame_rays(c2w)
@@ -324,11 +336,39 @@ def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
             key = jax.random.fold_in(jax.random.key(0),
                                      jnp.sum(bits).astype(jnp.uint32))
         render = render_frame_nerf_fused if fused else render_frame_nerf
-        out = render(pc, pf, ncfg, vcfg_t, rays_o, rays_d, key=key,
-                     ncfg_fine=ncfg_fine)
-        rgb = out["rgb"].reshape(sampler.H, sampler.W, 3)
+
+        def run(pc_, pf_, ro, rd):
+            out = render(pc_, pf_, ncfg, vcfg_t, ro, rd, key=key,
+                         ncfg_fine=ncfg_fine)
+            return out["rgb"], out["disp"]
+
+        n = rays_o.shape[0]
+        if mesh is None or n_dev <= 1:
+            rgb, disp = run(pc, pf, rays_o, rays_d)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_pad = -(-n // n_dev) * n_dev
+            if n_pad != n:
+                pad = jnp.zeros((n_pad - n, 3), rays_o.dtype)
+                rays_o = jnp.concatenate([rays_o, pad])
+                rays_d = jnp.concatenate([rays_d, jnp.ones_like(pad)])
+            if not fused:
+                shd = NamedSharding(mesh, PartitionSpec("data"))
+                rays_o = jax.lax.with_sharding_constraint(rays_o, shd)
+                rays_d = jax.lax.with_sharding_constraint(rays_d, shd)
+                rgb, disp = run(pc, pf, rays_o, rays_d)
+            else:
+                from jax import shard_map
+                P_ = PartitionSpec
+                rgb, disp = shard_map(
+                    run, mesh=mesh,
+                    in_specs=(P_(), P_(), P_("data"), P_("data")),
+                    out_specs=(P_("data"), P_("data")),
+                    check_vma=False)(pc, pf, rays_o, rays_d)
+            rgb, disp = rgb[:n], disp[:n]
+        rgb = rgb.reshape(sampler.H, sampler.W, 3)
         if with_disp:
-            return rgb, out["disp"].reshape(sampler.H, sampler.W)
+            return rgb, disp.reshape(sampler.H, sampler.W)
         return rgb
 
     return jax.jit(frame)

@@ -49,9 +49,7 @@ def test_teacher_msgpack_to_tar_roundtrip(key, tmp_path, viewdirs):
                          meta={"global_step": 9})
     tar = str(tmp_path / "teacher.tar")
     args = ["--ckpt", native, "--out", tar, "--model_name", "nerf"]
-    if not viewdirs:
-        args.append("--no_viewdirs")
-    assert export_main(args) == 0
+    assert export_main(args) == 0   # viewdirs inferred from the tree
 
     blob = ckpt.load_torch_tar(tar)
     assert blob["global_step"] == 9
@@ -67,3 +65,23 @@ def test_params_to_torch_nerf_is_inverse(key):
     pc = init_nerf(key, ncfg)
     sd = ckpt.params_to_torch_nerf(pc, ncfg)
     _tree_equal(ckpt.torch_nerf_to_params(sd, ncfg), pc)
+
+
+def test_r2l_linear_tail_export_uses_reference_keys(key, tmp_path):
+    """--linear_tail exports tail weights under 'tail.*' (the reference
+    naming for a sigmoid-less tail) instead of 'tail.0.*'."""
+    pytest.importorskip("torch")
+    cfg = R2LConfig(input_dim=4 * 3 * 21, netwidth=32, netdepth=6,
+                    linear_tail=True)
+    params = init_r2l(key, cfg)
+    native = str(tmp_path / "lt.msgpack")
+    ckpt.save_checkpoint(native, {"params": params},
+                         meta={"global_step": 1})
+    tar = str(tmp_path / "lt.tar")
+    assert export_main(["--ckpt", native, "--out", tar,
+                        "--linear_tail"]) == 0
+    sd = ckpt.load_torch_tar(tar)["network_fn_state_dict"]
+    assert "tail.weight" in sd and "tail.0.weight" not in sd
+    cfg2 = ckpt.infer_r2l_config_from_state_dict(sd)
+    assert cfg2.linear_tail
+    _tree_equal(ckpt.torch_r2l_to_params(sd, cfg2), params)

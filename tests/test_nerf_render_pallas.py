@@ -253,7 +253,7 @@ def test_fused_render_t_sample_pairs_matches_single(key, viewdirs, int8):
         calib = (cp, cd_ / jnp.linalg.norm(cd_, axis=-1, keepdims=True))
     fp = prepare_fused_nerf_t(params, cfg, Lp, Lv, calib=calib,
                               weight_dtype=jnp.float32)
-    n, S = 16, 6   # S even (pair mode requires it)
+    n, S = 16, 16   # S % 8 == 0 so every production P qualifies
     ro = jax.random.normal(jax.random.key(1), (n, 3)) * 0.1
     rd = jax.random.normal(jax.random.key(2), (n, 3))
     z = jnp.sort(jax.random.uniform(jax.random.key(3), (n, S),
@@ -261,13 +261,15 @@ def test_fused_render_t_sample_pairs_matches_single(key, viewdirs, int8):
     kw = dict(L_pts=Lp, L_views=Lv, white_bkgd=True, tile=8,
               int8=int8, interpret=True)
     single = fused_nerf_render_t(fp, cfg, ro, rd, z, **kw)
-    paired = fused_nerf_render_t(fp, cfg, ro, rd, z, sample_pairs=True,
-                                 **kw)
-    # same math, different graph shape: compiler reassociation leaves
-    # 1-ulp differences only
-    for a, b in zip(single, paired):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=3e-7)
+    for P in (2, 4, 8):   # 8 = the shipped int8 production default
+        paired = fused_nerf_render_t(fp, cfg, ro, rd, z, sample_pairs=P,
+                                     **kw)
+        # same math, different graph shape: compiler reassociation
+        # leaves 1-ulp differences only
+        for a, b in zip(single, paired):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=3e-7,
+                                       err_msg=f"P={P}")
 
 
 def test_fused_render_t_sample_pairs_odd_s_falls_back(key):

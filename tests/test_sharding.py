@@ -270,3 +270,35 @@ def test_sharded_student_frame_matches_single(key):
                                    np.asarray(sharded),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=str(kind_kwargs))
+
+
+def test_sharded_teacher_frame_matches_single(key):
+    """--mesh on the teacher render path: the volumetric frame's rays
+    shard over 'data' (GSPMD on the XLA path — bit-comparable to the
+    single-device render; the fused path runs per shard on TPU)."""
+    import numpy as np
+
+    from r2l_tpu.evaluate import make_nerf_frame_fn
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+    from r2l_tpu.parallel import make_mesh
+    from r2l_tpu.rays import pose_spherical
+    from r2l_tpu.render import VolRenderConfig
+    from r2l_tpu.sampler import PointSampler
+
+    ncfg = NeRFConfig(D=3, W=32, skips=(1,), use_viewdirs=True,
+                      input_ch=63, input_ch_views=27, output_ch=5)
+    k1, k2 = jax.random.split(key)
+    pc, pf = init_nerf(k1, ncfg), init_nerf(k2, ncfg)
+    vcfg = VolRenderConfig(n_coarse=6, n_fine=4, use_viewdirs=True,
+                           white_bkgd=True, multires=10, multires_views=4,
+                           ray_chunk=64)   # 63/27-d PE == ncfg input dims
+    sampler = PointSampler(H=12, W=12, focal=16.0, n_sample=6,
+                           near=2.0, far=6.0)
+    c2w = jnp.asarray(pose_spherical(45.0, -35.0, 4.0)[:3, :4]
+                      .astype(np.float32))
+    mesh = make_mesh({"data": 8})
+    single = make_nerf_frame_fn(pc, pf, ncfg, vcfg, sampler)(c2w)
+    sharded = make_nerf_frame_fn(pc, pf, ncfg, vcfg, sampler,
+                                 mesh=mesh)(c2w)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=1e-5, atol=1e-6)

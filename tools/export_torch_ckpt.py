@@ -9,9 +9,9 @@ framework becomes loadable by the reference code's checkpoint path
   python tools/export_torch_ckpt.py --ckpt weights/ckpt_best.msgpack \
       --out lego.tar
 
-  # teacher (NeRF) checkpoint
+  # teacher (NeRF) checkpoint (viewdirs inferred from the tree)
   python tools/export_torch_ckpt.py --ckpt weights/teacher.msgpack \
-      --out teacher.tar --model_name nerf --use_viewdirs
+      --out teacher.tar --model_name nerf
 
 The reference ALSO pickles the whole torch module into R2L tars
 (``network_fn``, `main.py:1534-1536`); that pickle embeds their class
@@ -33,10 +33,14 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, help="output .tar path")
     p.add_argument("--model_name", default="R2L",
                    choices=["R2L", "nerf"],
-                   help="R2L student or NeRF teacher checkpoint")
-    p.add_argument("--use_viewdirs", action="store_true", default=True)
-    p.add_argument("--no_viewdirs", dest="use_viewdirs",
-                   action="store_false")
+                   help="R2L student or NeRF teacher checkpoint "
+                        "(viewdirs and fine-net presence are inferred "
+                        "from the checkpoint tree)")
+    p.add_argument("--linear_tail", action="store_true", default=False,
+                   help="the student was trained with --linear_tail: "
+                        "export the tail under the reference's "
+                        "'tail.*' keys instead of 'tail.0.*' (shape-"
+                        "identical, not inferable from the tree)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -95,17 +99,8 @@ def main(argv=None) -> int:
     else:
         params = raw["params"] if isinstance(raw, dict) and "params" in raw \
             else raw
-        head_w = np.asarray(params["head"]["w"])
-        body_w = np.asarray(params["body"]["w"])
-        from r2l_tpu.models.r2l import R2LConfig
-        cfg = R2LConfig(input_dim=int(head_w.shape[0]),
-                        netwidth=int(head_w.shape[1]),
-                        n_block=int(body_w.shape[0]),
-                        n_learnable=int(body_w.shape[1]),
-                        netdepth=2 + int(body_w.shape[0])
-                        * int(body_w.shape[1]),
-                        output_dim=int(np.asarray(
-                            params["tail"]["w"]).shape[1]))
+        cfg = ckpt.infer_r2l_config_from_params(
+            params, linear_tail=args.linear_tail)
         np_params = {"head": {k: np.asarray(v)
                               for k, v in params["head"].items()},
                      "body": {k: np.asarray(v)

@@ -47,6 +47,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--multires", type=int, default=10,
                    help="R2L input PE frequency count L (reference "
                         "--multires)")
+    # Architecture semantics that checkpoint SHAPES cannot express —
+    # mirror the flags app.build_r2l honors at load time. Defaults match
+    # the released R2L models (README.md:51: --use_residual, sigmoid
+    # tail, relu activations).
+    p.add_argument("--use_residual", action="store_true", default=True,
+                   help="global body(x)+x residual (released models: on)")
+    p.add_argument("--no_residual", dest="use_residual",
+                   action="store_false")
+    p.add_argument("--linear_tail", action="store_true", default=False,
+                   help="tail without sigmoid (native ckpts only; torch "
+                        "tars carry it in the key naming)")
+    p.add_argument("--act", type=str, default="relu",
+                   choices=["relu", "lrelu", "none"],
+                   help="head/in-block activation (non-relu uses the "
+                        "plain XLA forward)")
     p.add_argument("--near", type=float, default=2.0)
     p.add_argument("--far", type=float, default=6.0)
     p.add_argument("--expect_psnr", type=float, default=None,
@@ -82,10 +97,15 @@ def main(argv=None) -> int:
     from r2l_tpu.sampler import PointSampler
 
     # --- convert the checkpoint -----------------------------------------
+    arch = dict(use_residual=args.use_residual, act=args.act,
+                inact=args.act)
     if args.ckpt.endswith(".tar"):
         blob = ckpt.load_torch_tar(args.ckpt)
         sd = blob.get("network_fn_state_dict", blob)
-        cfg = ckpt.infer_r2l_config_from_state_dict(sd)
+        # linear_tail IS recoverable from torch key naming (tail.weight
+        # vs tail.0.weight) — infer_... sets it; the rest come from the
+        # flags above (same contract as app.build_r2l).
+        cfg = ckpt.infer_r2l_config_from_state_dict(sd, **arch)
         params = ckpt.torch_r2l_to_params(sd, cfg)
         print(f"converted torch ckpt {args.ckpt}: "
               f"input_dim {cfg.input_dim}, W {cfg.netwidth}, "
@@ -93,20 +113,11 @@ def main(argv=None) -> int:
               f"(global_step {blob.get('global_step', '?')}, "
               f"best_psnr {blob.get('best_psnr', '?')})")
     else:
-        cfg0 = ckpt.infer_r2l_config_from_state_dict  # noqa: F841
         raw, meta = ckpt.load_checkpoint(args.ckpt)
         p0 = raw["params"] if isinstance(raw, dict) and "params" in raw \
             else raw
-        # shapes from the blob itself
-        head_w = np.asarray(p0["head"]["w"])
-        body_w = np.asarray(p0["body"]["w"])
-        from r2l_tpu.models.r2l import R2LConfig
-        cfg = R2LConfig(input_dim=int(head_w.shape[0]),
-                        netwidth=int(head_w.shape[1]),
-                        n_block=int(body_w.shape[0]),
-                        n_learnable=int(body_w.shape[1]),
-                        netdepth=2 + int(body_w.shape[0])
-                        * int(body_w.shape[1]))
+        cfg = ckpt.infer_r2l_config_from_params(
+            p0, linear_tail=args.linear_tail, **arch)
         from flax import serialization
         params = serialization.from_state_dict(
             init_r2l(jax.random.key(0), cfg), p0)
