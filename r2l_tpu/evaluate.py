@@ -118,11 +118,40 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
     return jax.jit(frame)
 
 
+# Scoped VMEM is a hard 16 MiB; the estimate below doesn't model
+# Mosaic's stack/scratch (~1.3 MiB measured at canonical size: demand
+# 16.20 MiB at tile 640 vs the 15.77 modeled), so budget 14 MiB. At
+# canonical bf16 this lands on tile 512 — the config r2 measured working
+# (68.5 FPS) before the default tile moved to 800 for int8.
+_VMEM_BUDGET = 14 << 20
+
+
+def _pe_kernel_tile_fit(cfg: R2LConfig, dim_pts: int,
+                        requested: int) -> int:
+    """VMEM-fitting ray tile for the bf16/f32 PE-fused kernel, or 0 when
+    the WEIGHTS alone cannot fit (canonical f32 is 22.6 MB > the 16 MB
+    scoped limit — found by a canonical-scale soak: the default
+    --pallas_tile 800 with bf16 canonical weights demanded 17.09 MB and
+    Mosaic stack-OOMed at the end-of-training eval)."""
+    W, in_pad = cfg.netwidth, -(-cfg.input_dim // 128) * 128
+    nl = cfg.num_blocks * cfg.n_learnable
+    wsize = 2 if cfg.compute_dtype == jnp.bfloat16 else 4
+    wbytes = (in_pad * W + nl * W * W + W * 128) * wsize \
+        + (W * (nl + 1) + 128) * 4                     # f32 biases
+    # per-ray activation bytes: xq [in_pad] wsize, double-buffered input
+    # [dim_pts] f32 + output [128] f32, h + matmul acc [W] f32 each
+    per_ray = in_pad * wsize + dim_pts * 4 * 2 + 128 * 4 * 2 + W * 4 * 2
+    fit = (_VMEM_BUDGET - wbytes) // per_ray
+    if fit < 128:
+        return 0
+    return min(requested, int(fit) // 128 * 128)
+
+
 def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
                  embed_L: int, plucker: bool, use_pallas: bool,
-                 quantize: str, calib_poses=None):
+                 quantize: str, calib_poses=None, pallas_tile: int = 512):
     """Pick the fastest supported path and pack params for it.
-    Returns (prepared_params, kind, dim_pts).
+    Returns (prepared_params, kind, dim_pts, tile).
 
     ``calib_poses`` [M, 3/4, 4]: camera poses spanning the DEPLOYMENT
     distribution, used to calibrate the int8 activation scales (the app
@@ -183,19 +212,36 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
         prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
                                          calib_pts=calib,
                                          fold_requant=True)
-        return prepared, "int8", dim_pts
+        return prepared, "int8", dim_pts, pallas_tile
     if use_pallas:
         # PE fused into the kernel (freq-major layout): the positional
         # encoding runs on the VPU overlapped with the matmul chain and
         # the [n_ray, input_dim] embedded activations never touch HBM
         # (~2 ms/frame over the embed-outside kernel on v5e).
+        tile = _pe_kernel_tile_fit(cfg, dim_pts, pallas_tile)
+        if tile == 0:
+            # weights alone exceed scoped VMEM (e.g. canonical f32,
+            # 22.6 MB): the fused kernel cannot run at any tile
+            import sys
+            print("WARNING: model weights do not fit the fused kernel's "
+                  "VMEM budget in "
+                  f"{'bf16' if cfg.compute_dtype == jnp.bfloat16 else 'f32'}"
+                  " — rendering through the plain XLA forward (use "
+                  "--quantize int8 or --compute_dtype bfloat16 for the "
+                  "fast path).", file=sys.stderr)
+            return params, "jnp", dim_pts, pallas_tile
+        if tile < pallas_tile:
+            import sys
+            print(f"NOTE: --pallas_tile {pallas_tile} exceeds the fused "
+                  f"bf16 kernel's VMEM budget at this model size — "
+                  f"using tile {tile}.", file=sys.stderr)
         from .kernels.r2l_pallas import prepare_fused_params_pe
         wd = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
               else jnp.float32)
         prepared = prepare_fused_params_pe(params, cfg, dim_pts, embed_L,
                                            weight_dtype=wd)
-        return prepared, "pe", dim_pts
-    return params, "jnp", dim_pts
+        return prepared, "pe", dim_pts, tile
+    return params, "jnp", dim_pts, pallas_tile
 
 
 def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
@@ -208,10 +254,10 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     """Build the jitted c2w -> [H, W, 3] frame renderer (fast path).
     ``mesh`` shards the frame's rays over the mesh 'data' axis (each
     device renders a ray tile; Pallas kinds via shard_map)."""
-    prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
-                                           plucker, use_pallas, quantize,
-                                           calib_poses=calib_poses)
-    jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
+    prepared, kind, dim_pts, tile = _prepare_r2l(
+        params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
+        calib_poses=calib_poses, pallas_tile=pallas_tile)
+    jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, tile,
                             kind, dim_pts, mesh=mesh)
     return lambda c2w: jit_fn(prepared, c2w)
 
@@ -231,10 +277,10 @@ def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     (`main.py:1124-1133`) uses torch.utils.benchmark on a local GPU where
     per-call sync timing is fine.
     """
-    prepared, kind, dim_pts = _prepare_r2l(params, cfg, sampler, embed_L,
-                                           plucker, use_pallas, quantize,
-                                           calib_poses=calib_poses)
-    frame = _r2l_frame_jit(cfg, sampler, embed_L, plucker, pallas_tile,
+    prepared, kind, dim_pts, tile = _prepare_r2l(
+        params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
+        calib_poses=calib_poses, pallas_tile=pallas_tile)
+    frame = _r2l_frame_jit(cfg, sampler, embed_L, plucker, tile,
                            kind, dim_pts, mesh=mesh)
 
     @jax.jit

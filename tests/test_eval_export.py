@@ -192,3 +192,42 @@ def test_export_tflite_roundtrip(key, tmp_path):
                              log=msgs.append)
         assert path is not None and os.path.getsize(path) > 1000
         assert msgs and "parity check passed" in msgs[-1]
+
+
+def test_pe_kernel_tile_vmem_clamp():
+    """The bf16/f32 PE-fused eval kernel clamps its ray tile to the
+    16 MB scoped-VMEM budget (canonical bf16 at --pallas_tile 800
+    stack-OOMed at 17.09 MB in a canonical-scale soak), and canonical
+    f32 weights (22.6 MB) fall back to the XLA forward entirely."""
+    import jax.numpy as jnp
+
+    from r2l_tpu.evaluate import _pe_kernel_tile_fit
+    from r2l_tpu.models.r2l import R2LConfig
+
+    bf16 = R2LConfig(compute_dtype=jnp.bfloat16)   # canonical W256 D88
+    t = _pe_kernel_tile_fit(bf16, 48, 800)
+    assert 128 <= t < 800 and t % 128 == 0, t
+
+    f32 = R2LConfig()                              # canonical f32
+    assert _pe_kernel_tile_fit(f32, 48, 800) == 0
+
+    small = R2LConfig(input_dim=4 * 3 * 21, netwidth=32, netdepth=6,
+                      compute_dtype=jnp.bfloat16)
+    assert _pe_kernel_tile_fit(small, 12, 512) == 512  # unclamped
+
+
+def test_prepare_r2l_f32_canonical_falls_back_to_xla(key, capsys):
+    """use_pallas with canonical f32 weights cannot run the fused
+    kernel; _prepare_r2l must pick the XLA kind with a loud warning."""
+    from r2l_tpu.evaluate import _prepare_r2l
+    from r2l_tpu.models.r2l import R2LConfig, init_r2l
+    from r2l_tpu.sampler import PointSampler
+    cfg = R2LConfig()                              # canonical f32
+    params = init_r2l(key, cfg)
+    sampler = PointSampler(H=4, W=4, focal=5.0, n_sample=16,
+                           near=2.0, far=6.0)
+    _, kind, _, _ = _prepare_r2l(params, cfg, sampler, 10, False,
+                                 use_pallas=True, quantize="",
+                                 pallas_tile=800)
+    assert kind == "jnp"
+    assert "VMEM" in capsys.readouterr().err
