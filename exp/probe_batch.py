@@ -72,8 +72,8 @@ def main():
          "fps": round(1000.0 / ms, 2), "compile_s": round(cs, 1)})
 
     # B: one kernel call over all K frames' points
-    fp, kind, dim_pts = _prepare_r2l(params, cfg, sampler, L, False, True,
-                                     "int8")
+    fp, kind, dim_pts, _ = _prepare_r2l(params, cfg, sampler, L, False,
+                                        True, "int8")
     assert kind == "int8"
 
     for tile in (800, 1024, 1600, 2000):

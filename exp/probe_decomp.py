@@ -57,7 +57,8 @@ def main():
     params = init_r2l(jax.random.key(0), cfg)
     sampler = PointSampler(H=H, W=W, focal=FOCAL, n_sample=16,
                            near=2.0, far=6.0)
-    fp, _, _ = _prepare_r2l(params, cfg, sampler, 10, False, True, "int8")
+    fp, _, _, _ = _prepare_r2l(params, cfg, sampler, 10, False, True,
+                               "int8")
     poses = jnp.asarray(np.stack(
         [pose_spherical(t, -30.0, 4.0)[:3, :4]
          for t in np.linspace(-180, 180, K, endpoint=False)]))

@@ -163,8 +163,8 @@ def main():
     poses = jnp.asarray(np.stack(
         [pose_spherical(t, -30.0, 4.0)[:3, :4]
          for t in np.linspace(-180, 180, K, endpoint=False)]))
-    fp, kind, dim_pts = _prepare_r2l(params, cfg, sampler, L, False, True,
-                                     "int8")
+    fp, kind, dim_pts, _ = _prepare_r2l(params, cfg, sampler, L, False,
+                                        True, "int8")
 
     # accuracy reference: production kernel on one frame
     pts0 = sampler.sample_test(poses[0])

@@ -212,6 +212,12 @@ def build_r2l(args, logger):
             params, meta = ckpt.load_params(path, params)
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
+            else:
+                # Non-resume loads (render_only/benchmark/finetune-fresh)
+                # never read the opt_state blob — release the raw-load
+                # memo now instead of pinning ~3x param bytes for the
+                # whole run (resume drops it after _restore_opt_state).
+                ckpt.drop_cached_checkpoint()
         logger.print(f"Loaded pretrained ckpt {path} (step {start_step})")
     from .flops import count_params, flops_per_pixel_from_params
     logger.print(f"R2L model: {count_params(params)/1e6:.2f}M params, "
@@ -269,6 +275,10 @@ def build_teacher(args, logger, key=None):
             pf = serialization.from_state_dict(pf, raw.get("fine") or {})
             if args.resume:
                 start_step = int(meta.get("global_step", 0))
+            else:
+                # Datagen/render runs hold the teacher for hours; don't
+                # pin the raw blob (see build_r2l's matching drop).
+                ckpt.drop_cached_checkpoint()
         logger.print(f"Loaded teacher ckpt {path} (step {start_step})")
     # Complexity print, reference `main.py:541-552` (nerf branch:
     # per-point FLOPs x (N_samples + N_samples + N_importance)).
@@ -322,6 +332,18 @@ def _load_lpips(args, logger):
     return load_torch_lpips(sd, net=args.lpips_net)
 
 
+def _inference_mesh(args, logger, label: str):
+    """Opt-in --mesh for the inference paths (render_only/benchmark):
+    returns a device mesh to shard each frame's rays over, or None."""
+    mesh_axes = parse_mesh_spec(args.mesh)
+    if not mesh_axes:
+        return None
+    from .parallel import make_mesh
+    mesh = make_mesh(mesh_axes)
+    logger.print(f"{label} mesh: {dict(mesh.shape)}")
+    return mesh
+
+
 def run_render_only(args, ns, logger) -> EvalResult:
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
     savedir = os.path.join(
@@ -351,12 +373,7 @@ def run_render_only(args, ns, logger) -> EvalResult:
     # (each device renders a ray tile — multi-chip inference; the
     # reference deliberately skips DataParallel for render_only,
     # `main.py:472-479`, so this stays opt-in).
-    render_mesh = None
-    mesh_axes = parse_mesh_spec(args.mesh)
-    if mesh_axes:
-        from .parallel import make_mesh
-        render_mesh = make_mesh(mesh_axes)
-        logger.print(f"render mesh: {dict(render_mesh.shape)}")
+    render_mesh = _inference_mesh(args, logger, "render")
 
     if args.model_name in ("R2L", "nerf_v3.2"):
         cfg, params, _ = build_r2l(args, logger)
@@ -456,12 +473,7 @@ def run_benchmark(args, ns, logger) -> float:
     """
     from .evaluate import make_nerf_bench_fn, make_r2l_bench_fn
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
-    bench_mesh = None
-    mesh_axes = parse_mesh_spec(args.mesh)
-    if mesh_axes:
-        from .parallel import make_mesh
-        bench_mesh = make_mesh(mesh_axes)
-        logger.print(f"bench mesh: {dict(bench_mesh.shape)}")
+    bench_mesh = _inference_mesh(args, logger, "bench")
     if args.model_name == "nerf":
         # Benchmark the model the flag asked for: the teacher's fused
         # volumetric frame path (reference --benchmark times whichever
@@ -894,7 +906,15 @@ def _save(logger, name: str, state: TrainState, step: int,
     written when hard mining is actually active."""
     tree = {"params": state.params, "opt_state": state.opt_state}
     if save_pool:
-        tree["pool"] = {"rays": state.pool.rays, "size": state.pool.size,
+        rays = state.pool.rays
+        if isinstance(rays, jax.Array) and not rays.is_fully_addressable:
+            # Multihost: the pjit'd step leaves pool.rays sharded over
+            # the 'data' axis across processes; np.asarray on such an
+            # array raises. Gather the global value (a collective —
+            # every process runs _save, rank-aware logger dirs).
+            from jax.experimental import multihost_utils
+            rays = multihost_utils.process_allgather(rays, tiled=True)
+        tree["pool"] = {"rays": rays, "size": state.pool.size,
                         "ptr": state.pool.ptr}
     ckpt.save_checkpoint(
         os.path.join(logger.weights_dir, name), tree,

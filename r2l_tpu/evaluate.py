@@ -85,32 +85,11 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
     def frame(p, c2w):
         pts = (sampler.sample_test_plucker(c2w) if plucker
                else sampler.sample_test(c2w))
-        n = pts.shape[0]
         if mesh is None or n_dev <= 1:
             rgb = net(p, pts)
         else:
-            from jax.sharding import NamedSharding, PartitionSpec
-            n_pad = -(-n // n_dev) * n_dev
-            if n_pad != n:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((n_pad - n, pts.shape[1]),
-                                    pts.dtype)])
-            if kind == "jnp":
-                # GSPMD: constrain the ray axis; XLA partitions the
-                # embed + matmul chain (params replicated).
-                pts = jax.lax.with_sharding_constraint(
-                    pts, NamedSharding(mesh, PartitionSpec("data")))
-                rgb = net(p, pts)
-            else:
-                # Pallas runs per device: shard_map over the ray axis,
-                # the fused kernel on each local [n/n_dev] shard.
-                from jax import shard_map
-                rgb = shard_map(
-                    net, mesh=mesh,
-                    in_specs=(PartitionSpec(), PartitionSpec("data")),
-                    out_specs=PartitionSpec("data"),
-                    check_vma=False)(p, pts)
-            rgb = rgb[:n]
+            rgb = _shard_rays(mesh, kind == "jnp", net, consts=(p,),
+                              arrays=(pts,), pads=(0.0,))
         # learn_depth models emit 4 channels; frames keep RGB
         # (reference `main.py:227-231`).
         return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
@@ -118,26 +97,82 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
     return jax.jit(frame)
 
 
+def _shard_rays(mesh, gspmd: bool, fn, consts: tuple, arrays: tuple,
+                pads: tuple):
+    """Run ``fn(*consts, *arrays)`` with the leading RAY axis of every
+    array in ``arrays`` sharded over the mesh 'data' axis (the shared
+    pad -> shard -> slice-back pattern of the frame renderers).
+
+    Pads rays to a device-count multiple (``pads`` gives each array's
+    fill value — e.g. 1.0 for direction vectors so padded rays stay
+    normalizable), then dispatches either via a GSPMD sharding
+    constraint (``gspmd=True`` — XLA partitions the math; params
+    replicated) or via ``shard_map`` (Pallas kernels run per device on
+    their local shard). Outputs (an array or tuple of arrays, all with
+    a leading ray axis) are sliced back to the true ray count.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    n_dev = int(dict(mesh.shape).get("data", 1))
+    n = arrays[0].shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        arrays = tuple(
+            jnp.concatenate([a, jnp.full((n_pad - n,) + a.shape[1:],
+                                         v, a.dtype)])
+            for a, v in zip(arrays, pads))
+    if gspmd:
+        shd = NamedSharding(mesh, PartitionSpec("data"))
+        arrays = tuple(jax.lax.with_sharding_constraint(a, shd)
+                       for a in arrays)
+        out = fn(*consts, *arrays)
+    else:
+        from jax import shard_map
+        P_ = PartitionSpec
+        out_struct = jax.eval_shape(fn, *consts, *arrays)
+        out = shard_map(
+            fn, mesh=mesh,
+            in_specs=tuple(P_() for _ in consts)
+            + tuple(P_("data") for _ in arrays),
+            out_specs=jax.tree.map(lambda _: P_("data"), out_struct),
+            check_vma=False)(*consts, *arrays)
+    return jax.tree.map(lambda a: a[:n], out)
+
+
 # Scoped VMEM is a hard 16 MiB; the estimate below doesn't model
 # Mosaic's stack/scratch (~1.3 MiB measured at canonical size: demand
 # 16.20 MiB at tile 640 vs the 15.77 modeled), so budget 14 MiB. At
-# canonical bf16 this lands on tile 512 — the config r2 measured working
-# (68.5 FPS) before the default tile moved to 800 for int8.
+# canonical bf16 this lands on tile 384 — one notch below the r2-
+# measured-working tile 512 (68.5 FPS), whose modeled demand + the
+# 1.3 MiB overhead sits within 0.1 MiB of the hard limit; the margin
+# buys Mosaic-version headroom at a few extra grid steps on the
+# non-headline bf16 path (int8 is the deployed fast path).
 _VMEM_BUDGET = 14 << 20
 
 
-def _pe_kernel_tile_fit(cfg: R2LConfig, dim_pts: int,
-                        requested: int) -> int:
-    """VMEM-fitting ray tile for the bf16/f32 PE-fused kernel, or 0 when
-    the WEIGHTS alone cannot fit (canonical f32 is 22.6 MB > the 16 MB
+def _pe_kernel_tile_fit(cfg: R2LConfig, dim_pts: int, requested: int,
+                        quantized: bool = False) -> int:
+    """VMEM-fitting ray tile for the PE-fused kernels, or 0 when the
+    WEIGHTS alone cannot fit (canonical f32 is 22.6 MB > the 16 MB
     scoped limit — found by a canonical-scale soak: the default
     --pallas_tile 800 with bf16 canonical weights demanded 17.09 MB and
-    Mosaic stack-OOMed at the end-of-training eval)."""
+    Mosaic stack-OOMed at the end-of-training eval).
+
+    ``quantized``: the int8 kernel (``fused_r2l_apply_int8_pe``) — 1-byte
+    weights plus the f32 dequant/requant scale rows (m/b/inv per layer).
+    Canonical int8 demands ~12 MiB at tile 1024 (PERF.md: ~4 MB
+    headroom), so canonical passes unclamped; a wider model (e.g. W512:
+    22.5 MB of int8 body weights) returns 0 here instead of stack-OOMing
+    at the first eval."""
     W, in_pad = cfg.netwidth, -(-cfg.input_dim // 128) * 128
     nl = cfg.num_blocks * cfg.n_learnable
-    wsize = 2 if cfg.compute_dtype == jnp.bfloat16 else 4
+    if quantized:
+        wsize = 1
+        scale_rows = (in_pad + 2 * W + 3 * nl * W + W + 2 * 128) * 4
+    else:
+        wsize = 2 if cfg.compute_dtype == jnp.bfloat16 else 4
+        scale_rows = 0
     wbytes = (in_pad * W + nl * W * W + W * 128) * wsize \
-        + (W * (nl + 1) + 128) * 4                     # f32 biases
+        + (W * (nl + 1) + 128) * 4 + scale_rows        # f32 biases
     # per-ray activation bytes: xq [in_pad] wsize, double-buffered input
     # [dim_pts] f32 + output [128] f32, h + matmul acc [W] f32 each
     per_ray = in_pad * wsize + dim_pts * 4 * 2 + 128 * 4 * 2 + W * 4 * 2
@@ -182,6 +217,24 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
               "forward instead.", file=sys.stderr)
         quantize = ""
     if quantize == "int8" and not plucker:
+        tile8 = _pe_kernel_tile_fit(cfg, dim_pts, pallas_tile,
+                                    quantized=True)
+        if tile8 == 0:
+            # even 1-byte weights exceed scoped VMEM (wider-than-
+            # canonical models): fall through to the bf16/f32 PE branch,
+            # which runs its own fit check (and may itself fall back).
+            import sys
+            print("WARNING: model weights do not fit the int8 fused "
+                  "kernel's VMEM budget — trying the "
+                  + ("PE-fused kernel." if use_pallas
+                     else "plain XLA forward."), file=sys.stderr)
+            quantize = ""
+    if quantize == "int8" and not plucker:
+        if tile8 < pallas_tile:
+            import sys
+            print(f"NOTE: --pallas_tile {pallas_tile} exceeds the int8 "
+                  f"fused kernel's VMEM budget at this model size — "
+                  f"using tile {tile8}.", file=sys.stderr)
         # Static-scale int8 (v5e 394 TOPS MXU rate): calibrate per-layer
         # per-channel activation ranges on sample_test rays from several
         # poses (single-pose scales do not generalize — the identity-PE
@@ -212,7 +265,7 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
         prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
                                          calib_pts=calib,
                                          fold_requant=True)
-        return prepared, "int8", dim_pts, pallas_tile
+        return prepared, "int8", dim_pts, tile8
     if use_pallas:
         # PE fused into the kernel (freq-major layout): the positional
         # encoding runs on the VPU overlapped with the matmul chain and
@@ -388,30 +441,14 @@ def _nerf_frame_jit(ncfg, ncfg_fine, vcfg_t: VolRenderConfig,
                          ncfg_fine=ncfg_fine)
             return out["rgb"], out["disp"]
 
-        n = rays_o.shape[0]
         if mesh is None or n_dev <= 1:
             rgb, disp = run(pc, pf, rays_o, rays_d)
         else:
-            from jax.sharding import NamedSharding, PartitionSpec
-            n_pad = -(-n // n_dev) * n_dev
-            if n_pad != n:
-                pad = jnp.zeros((n_pad - n, 3), rays_o.dtype)
-                rays_o = jnp.concatenate([rays_o, pad])
-                rays_d = jnp.concatenate([rays_d, jnp.ones_like(pad)])
-            if not fused:
-                shd = NamedSharding(mesh, PartitionSpec("data"))
-                rays_o = jax.lax.with_sharding_constraint(rays_o, shd)
-                rays_d = jax.lax.with_sharding_constraint(rays_d, shd)
-                rgb, disp = run(pc, pf, rays_o, rays_d)
-            else:
-                from jax import shard_map
-                P_ = PartitionSpec
-                rgb, disp = shard_map(
-                    run, mesh=mesh,
-                    in_specs=(P_(), P_(), P_("data"), P_("data")),
-                    out_specs=(P_("data"), P_("data")),
-                    check_vma=False)(pc, pf, rays_o, rays_d)
-            rgb, disp = rgb[:n], disp[:n]
+            # pads: 1.0 for directions so padded rays stay normalizable
+            rgb, disp = _shard_rays(mesh, not fused, run,
+                                    consts=(pc, pf),
+                                    arrays=(rays_o, rays_d),
+                                    pads=(0.0, 1.0))
         rgb = rgb.reshape(sampler.H, sampler.W, 3)
         if with_disp:
             return rgb, disp.reshape(sampler.H, sampler.W)

@@ -67,3 +67,28 @@ batch = jax.make_array_from_process_local_data(
 state, ms = step(state, batch, jax.random.key(1))
 print(f"MULTIHOST_OK pid={pid} loss={float(ms['loss']):.8f} "
       f"psnr={float(ms['psnr']):.6f}", flush=True)
+
+# --- hard-pool checkpoint across processes --------------------------------
+# The pjit'd step leaves pool.rays sharded over 'data' (spanning both
+# processes -> NOT fully addressable); app._save must allgather it
+# before np.asarray instead of raising. Both processes save and must
+# see the same global pool.
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
+from r2l_tpu import app as app_mod  # noqa: E402
+from r2l_tpu import checkpoint as ckpt_mod  # noqa: E402
+
+dcfg2 = DistillConfig(batch_size=32, perturb=True, n_hard_in=8,
+                      n_hard_out=8, hard_mul=2.0)
+state2, tx2 = init_train_state(jax.random.key(0), params, dcfg2)
+state2 = jax.tree.map(np.asarray, state2)
+step2 = make_distill_step(cfg, dcfg2, sampler, tx2, mesh=mesh)
+state2, _ = step2(state2, batch, jax.random.key(1))
+shim = SimpleNamespace(weights_dir=tempfile.mkdtemp(prefix=f"mhpool{pid}_"))
+app_mod._save(shim, "ck.msgpack", state2, 1, 1.0, 1, save_pool=True)
+blob, _ = ckpt_mod.load_checkpoint(
+    os.path.join(shim.weights_dir, "ck.msgpack"))
+pr = np.asarray(blob["pool"]["rays"])
+print(f"POOL_SAVED pid={pid} shape={pr.shape} sum={pr.sum():.6f}",
+      flush=True)

@@ -96,3 +96,13 @@ def test_two_process_multihost_distill_step(tmp_path):
     # ...and it matches the single-process step on the same data/keys.
     ref = _single_process_loss()
     np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
+    # hard-pool save: _save must allgather the cross-process-sharded
+    # pool.rays (not raise), and both processes see the same global pool
+    pool_lines = []
+    for i, out in enumerate(outs):
+        lns = [ln for ln in out.splitlines() if ln.startswith("POOL_SAVED")]
+        assert lns, f"worker {i} produced no POOL_SAVED line:\n{out}"
+        pool_lines.append(lns[0])
+    assert "shape=(64, 9)" in pool_lines[0], pool_lines
+    assert (pool_lines[0].split("sum=")[1]
+            == pool_lines[1].split("sum=")[1]), pool_lines
