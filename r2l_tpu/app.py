@@ -61,9 +61,9 @@ def load_dataset(args, logger):
         ns.i_train, ns.i_val, ns.i_test = data.i_split
         ns.near, ns.far = 2.0, 6.0
         n_pose = args.n_pose_video if args.n_pose_video else 40
-        ns.video_poses = get_novel_poses(
-            n_pose if isinstance(n_pose, int) else [int(x) for x in n_pose]
-        )[:, :3, :4]
+        # list items may be ints OR 'mode:value' strings — handled
+        # inside get_novel_poses (reference `load_blender.py:335-352`)
+        ns.video_poses = get_novel_poses(n_pose)[:, :3, :4]
     elif args.dataset_type == "llff":
         from .data.llff import load_llff_data
         data = load_llff_data(args.datadir, factor=args.factor,
@@ -260,7 +260,16 @@ def build_teacher(args, logger, key=None):
             blob = ckpt.load_torch_tar(path)
             pc = ckpt.torch_nerf_to_params(
                 blob["network_fn_state_dict"], ncfg)
-            if "network_fine_state_dict" in blob and args.N_importance > 0:
+            if args.N_importance > 0:
+                # A coarse-only .tar with a hierarchical config would
+                # silently run the fine pass through RANDOM weights —
+                # the reference KeyErrors here (`main.py:497-501`).
+                if "network_fine_state_dict" not in blob:
+                    raise KeyError(
+                        f"{path} has no network_fine_state_dict but "
+                        f"--N_importance {args.N_importance} needs a fine "
+                        "network — use the matching hierarchical teacher "
+                        "checkpoint or set --N_importance 0.")
                 pf = ckpt.torch_nerf_to_params(
                     blob["network_fine_state_dict"], ncfg_fine)
             if args.resume:
@@ -330,6 +339,32 @@ def _load_lpips(args, logger):
     logger.print(f"loaded LPIPS weights from {args.lpips_weights} "
                  f"(net={args.lpips_net})")
     return load_torch_lpips(sd, net=args.lpips_net)
+
+
+def _align_hard_counts(batch_size: int, n_hard_in: int, n_hard_out: int,
+                       n_dev: int, log=print) -> tuple[int, int, int]:
+    """Make the FRESH part of the batch (batch_size - n_hard_out) shard
+    evenly over ``n_dev`` devices while preserving the hard-mining
+    invariants: n_in <= n_out (each inserted hard ray replaces a
+    distinct sampled slot — parse_hard_ratio's clamp, reference
+    `main.py:1336-1337`), and no pool draw without pool inserts (an
+    empty pool's fallback would double-weight the same fresh rays every
+    step). Prefers SHRINKING the pool draw (growing it can push a valid
+    --hard_ratio 0.5 past the out-ratio <= 0.5 bound); when the draw
+    cannot absorb the remainder, shrinks the batch itself."""
+    fresh = batch_size - n_hard_out
+    r = fresh % n_dev
+    if r:
+        delta = n_dev - r
+        if n_hard_out >= delta:
+            n_hard_out -= delta
+            n_hard_in = min(n_hard_in, n_hard_out)
+        else:
+            batch_size -= r
+            log(f"WARNING: batch size not divisible by the {n_dev}-device"
+                f" mesh data axis — shrinking the batch to {batch_size} "
+                f"rays/step.")
+    return batch_size, n_hard_in, n_hard_out
 
 
 def _inference_mesh(args, logger, label: str):
@@ -565,15 +600,8 @@ def run_distill(args, ns, logger):
     # host must match a true single-device run with identical flags).
     will_mesh = bool(parse_mesh_spec(args.mesh)) or _auto_mesh()
     n_dev = len(jax.devices()) if will_mesh else 1
-    fresh = batch_size - n_hard_out
-    if fresh % n_dev:
-        # Align by SHRINKING the pool draw (growing it can push a valid
-        # --hard_ratio 0.5 past the out-ratio <= 0.5 bound).
-        delta = n_dev - fresh % n_dev
-        if n_hard_out >= delta:
-            n_hard_out -= delta
-        else:
-            n_hard_out += fresh % n_dev
+    batch_size, n_hard_in, n_hard_out = _align_hard_counts(
+        batch_size, n_hard_in, n_hard_out, n_dev, log=logger.print)
     dcfg = DistillConfig(
         batch_size=batch_size, lrate=args.lrate, lrate_decay=args.lrate_decay,
         warmup_lr=args.warmup_lr or None, lw_rgb=args.lw_rgb,
@@ -1019,7 +1047,12 @@ def run_teacher_train(args, ns, logger):
             np.asarray(ns.poses[ns.i_train]), ns.H, ns.W, ns.focal,
             ndc=ns.ndc)
         rng = np.random.default_rng(args.seed)
-        ray_pool = jnp.asarray(records[rng.permutation(records.shape[0])])
+        # The host copy stays resident for epoch reshuffles: shuffling
+        # host-side then re-uploading avoids a D2H round trip per epoch
+        # (and np.asarray on a cross-process-sharded pool would raise
+        # under --multihost).
+        ray_pool_host = records[rng.permutation(records.shape[0])]
+        ray_pool = jnp.asarray(ray_pool_host)
         if mesh is not None:
             from .parallel import batch_sharding
             ray_pool = jax.device_put(ray_pool, batch_sharding(mesh))
@@ -1092,7 +1125,9 @@ def run_teacher_train(args, ns, logger):
                 # (reference `main.py:1204-1209`).
                 logger.print("Shuffle data after an epoch!")
                 perm = shuffle_rng.permutation(ray_pool.shape[0])
-                ray_pool = jnp.asarray(np.asarray(ray_pool)[perm])
+                # shuffle the resident HOST copy (no D2H; multihost-safe)
+                ray_pool_host = ray_pool_host[perm]
+                ray_pool = jnp.asarray(ray_pool_host)
                 if mesh is not None:
                     # keep the pool sharded over 'data' (device_put at
                     # line ~625); a bare jnp.asarray would land it whole
@@ -1129,10 +1164,13 @@ def run_teacher_train(args, ns, logger):
                 or _fires(i, args.i_video) or i == args.N_iters):
             # Same collective-vs-compile drain as run_distill (see there).
             jax.block_until_ready(ms)
-        if _fires(i, args.i_img) and i < args.N_iters:
+        if (_fires(i, args.i_img) and i < args.N_iters
+                and not _fires(i, args.i_testset)):
             # Periodic one-image check render (--i_img; the flag is parsed
             # but dead in the reference — here it renders the first test
             # pose, the nerf-pytorch behavior the flag descends from).
+            # Skipped when the full i_testset eval fires the same iter
+            # (it renders this pose anyway — run_distill does the same).
             res = render_path(_eval_frame_fn(), test_poses[:1],
                               gt_images=test_gt[:1], compute_flip=False,
                               savedir=logger.gen_img_dir)

@@ -113,16 +113,28 @@ def strip_module_prefix(state_dict: dict) -> dict:
             for k, v in state_dict.items()}
 
 
+def _torch_body_is_mlp(sd: dict) -> bool:
+    """True when the body uses the plain-MLP Sequential naming
+    ``body.<even>.weight`` (reference `model/nerf_raybased.py:525-528`,
+    trial.body_arch='mlp') rather than the ResMLP nesting
+    ``body.<i>.body.<2j>.weight``."""
+    body_keys = [k for k in sd
+                 if k.startswith("body.") and k.endswith(".weight")]
+    return bool(body_keys) and all(len(k.split(".")) == 3
+                                   for k in body_keys)
+
+
 def torch_r2l_to_params(state_dict: dict, cfg: R2LConfig) -> dict:
     """Reference ``NeRF_v3_2`` state_dict -> r2l_tpu param pytree.
 
     Reference module naming: ``head.0.{weight,bias}``,
     ``body.<i>.body.<2j>.{weight,bias}`` (ResMLP: Linear at even indices,
-    activations between), ``tail.0.{weight,bias}`` (or ``tail.{weight,bias}``
-    with --linear_tail). torch Linear weights are [out, in] -> transposed.
+    activations between) or ``body.<2k>.{weight,bias}`` (plain-MLP body,
+    `model/nerf_raybased.py:525-528`), ``tail.0.{weight,bias}`` (or
+    ``tail.{weight,bias}`` with --linear_tail). torch Linear weights are
+    [out, in] -> transposed.
     """
     sd = strip_module_prefix(state_dict)
-    nb, nl = cfg.num_blocks, cfg.n_learnable
 
     def w(name):
         return _to_np(sd[name + ".weight"]).T.astype(np.float32)
@@ -131,13 +143,20 @@ def torch_r2l_to_params(state_dict: dict, cfg: R2LConfig) -> dict:
         return _to_np(sd[name + ".bias"]).astype(np.float32)
 
     params: dict = {"head": {"w": w("head.0"), "b": b("head.0")}}
-    ws = np.stack([
-        np.stack([w(f"body.{i}.body.{2 * j}") for j in range(nl)])
-        for i in range(nb)])
-    bs = np.stack([
-        np.stack([b(f"body.{i}.body.{2 * j}") for j in range(nl)])
-        for i in range(nb)])
-    params["body"] = {"w": ws, "b": bs}
+    if cfg.body_arch == "mlp" or _torch_body_is_mlp(sd):
+        ids = sorted(int(k.split(".")[1]) for k in sd
+                     if k.startswith("body.") and k.endswith(".weight"))
+        params["body"] = [{"w": w(f"body.{i}"), "b": b(f"body.{i}")}
+                          for i in ids]
+    else:
+        nb, nl = cfg.num_blocks, cfg.n_learnable
+        ws = np.stack([
+            np.stack([w(f"body.{i}.body.{2 * j}") for j in range(nl)])
+            for i in range(nb)])
+        bs = np.stack([
+            np.stack([b(f"body.{i}.body.{2 * j}") for j in range(nl)])
+            for i in range(nb)])
+        params["body"] = {"w": ws, "b": bs}
     tail_name = "tail" if "tail.weight" in sd else "tail.0"
     params["tail"] = {"w": w(tail_name), "b": b(tail_name)}
     return params
@@ -150,11 +169,17 @@ def params_to_torch_r2l(params: dict, cfg: R2LConfig) -> dict:
         "head.0.weight": host["head"]["w"].T,
         "head.0.bias": host["head"]["b"],
     }
-    nb, nl = cfg.num_blocks, cfg.n_learnable
-    for i in range(nb):
-        for j in range(nl):
-            sd[f"body.{i}.body.{2 * j}.weight"] = host["body"]["w"][i, j].T
-            sd[f"body.{i}.body.{2 * j}.bias"] = host["body"]["b"][i, j]
+    if isinstance(host["body"], (list, tuple)):
+        # plain-MLP body: Sequential(Linear, act, ...) -> even indices
+        for k, lin in enumerate(host["body"]):
+            sd[f"body.{2 * k}.weight"] = lin["w"].T
+            sd[f"body.{2 * k}.bias"] = lin["b"]
+    else:
+        nb, nl = cfg.num_blocks, cfg.n_learnable
+        for i in range(nb):
+            for j in range(nl):
+                sd[f"body.{i}.body.{2 * j}.weight"] = host["body"]["w"][i, j].T
+                sd[f"body.{i}.body.{2 * j}.bias"] = host["body"]["b"][i, j]
     tail_name = "tail" if cfg.linear_tail else "tail.0"
     sd[tail_name + ".weight"] = host["tail"]["w"].T
     sd[tail_name + ".bias"] = host["tail"]["b"]
@@ -203,23 +228,39 @@ def params_to_torch_nerf(params: dict, cfg: NeRFConfig) -> dict:
 
 
 def infer_r2l_config_from_state_dict(state_dict: dict, **overrides) -> R2LConfig:
-    """Derive architecture hyper-params from a torch state_dict's shapes."""
+    """Derive architecture hyper-params from a torch state_dict's shapes
+    (both body archs: ResMLP nesting and the plain-MLP Sequential)."""
     sd = strip_module_prefix(state_dict)
     input_dim = int(sd["head.0.weight"].shape[1])
     W = int(sd["head.0.weight"].shape[0])
-    block_ids = sorted({int(k.split(".")[1]) for k in sd
-                        if k.startswith("body.")})
-    nb = len(block_ids)
-    layer_ids = sorted({int(k.split(".")[3]) for k in sd
-                        if k.startswith("body.0.body.") and k.endswith("weight")})
-    nl = len(layer_ids)
     linear_tail = "tail.weight" in sd
     tail_w = sd["tail.weight" if linear_tail else "tail.0.weight"]
-    kw = dict(input_dim=input_dim, netwidth=W, n_block=nb, n_learnable=nl,
-              # head + tail + nl learnables per block (nl != 2 exists:
-              # --trial.n_learnable; 2+2*nb would misreport those)
-              netdepth=2 + nl * nb, output_dim=int(tail_w.shape[0]),
-              linear_tail=linear_tail)
+    if _torch_body_is_mlp(sd):
+        ids = sorted(int(k.split(".")[1]) for k in sd
+                     if k.startswith("body.") and k.endswith(".weight"))
+        outs = [int(sd[f"body.{i}.weight"].shape[0]) for i in ids]
+        D = len(ids) + 2             # head + body linears + tail
+        kw = dict(input_dim=input_dim, netwidth=W, body_arch="mlp",
+                  netdepth=D, output_dim=int(tail_w.shape[0]),
+                  linear_tail=linear_tail)
+        if any(o != W for o in outs):
+            # non-uniform body: per-layer widths Ws[0..D-2]
+            # (--layerwise_netwidths semantics, `:489-493`)
+            kw["layerwise_widths"] = tuple([W] + outs)
+    else:
+        block_ids = sorted({int(k.split(".")[1]) for k in sd
+                            if k.startswith("body.")})
+        nb = len(block_ids)
+        layer_ids = sorted({int(k.split(".")[3]) for k in sd
+                            if k.startswith("body.0.body.")
+                            and k.endswith("weight")})
+        nl = len(layer_ids)
+        kw = dict(input_dim=input_dim, netwidth=W, n_block=nb,
+                  n_learnable=nl,
+                  # head + tail + nl learnables per block (nl != 2
+                  # exists: --trial.n_learnable; 2+2*nb would misreport)
+                  netdepth=2 + nl * nb, output_dim=int(tail_w.shape[0]),
+                  linear_tail=linear_tail)
     kw.update(overrides)
     return R2LConfig(**kw)
 
@@ -235,13 +276,27 @@ def infer_r2l_config_from_params(params: dict, **overrides) -> R2LConfig:
     ``app.build_r2l``.
     """
     head_w = np.asarray(params["head"]["w"])
-    body_w = np.asarray(params["body"]["w"])
     tail_w = np.asarray(params["tail"]["w"])
-    nb, nl = int(body_w.shape[0]), int(body_w.shape[1])
-    kw = dict(input_dim=int(head_w.shape[0]),
-              netwidth=int(head_w.shape[1]),
-              n_block=nb, n_learnable=nl, netdepth=2 + nb * nl,
-              output_dim=int(tail_w.shape[1]))
+    W = int(head_w.shape[1])
+    body = params["body"]
+    if isinstance(body, (list, tuple)) or (
+            isinstance(body, dict) and "w" not in body):
+        # plain-MLP body (a list of {w, b}; msgpack restores dicts with
+        # stringified indices, hence the second form)
+        lins = (list(body) if isinstance(body, (list, tuple))
+                else [body[k] for k in sorted(body, key=int)])
+        outs = [int(np.asarray(lin["w"]).shape[1]) for lin in lins]
+        kw = dict(input_dim=int(head_w.shape[0]), netwidth=W,
+                  body_arch="mlp", netdepth=len(lins) + 2,
+                  output_dim=int(tail_w.shape[1]))
+        if any(o != W for o in outs):
+            kw["layerwise_widths"] = tuple([W] + outs)
+    else:
+        body_w = np.asarray(body["w"])
+        nb, nl = int(body_w.shape[0]), int(body_w.shape[1])
+        kw = dict(input_dim=int(head_w.shape[0]), netwidth=W,
+                  n_block=nb, n_learnable=nl, netdepth=2 + nb * nl,
+                  output_dim=int(tail_w.shape[1]))
     kw.update(overrides)
     return R2LConfig(**kw)
 

@@ -218,8 +218,7 @@ def generate_pseudo_data(params_coarse: dict, params_fine: dict | None,
             rd = jax.device_put(rd_host, batch_shd)
         else:
             ro, rd = jnp.asarray(ro_host), jnp.asarray(rd_host)
-        rgb, depth = render_batch(ro, rd,
-                                  jax.random.key(gcfg.seed * 100003 + done))
+        rgb, depth = render_batch(ro, rd, _pose_key(gcfg.seed, done))
         # Record columns reuse the HOST ray arrays (no D2H round trip).
         cols = [ro_host, rd_host, np.asarray(rgb)]
         if ld == "surface":
@@ -488,8 +487,9 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
     from .rays import get_novel_poses
 
     os.makedirs(datadir, exist_ok=True)
-    poses = get_novel_poses(n_pose if isinstance(n_pose, int)
-                            else [int(x) for x in n_pose])
+    # list items may be ints OR 'mode:value' strings — handled inside
+    # get_novel_poses (reference `load_blender.py:335-352`)
+    poses = get_novel_poses(n_pose)
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
                                       gcfg=gcfg)

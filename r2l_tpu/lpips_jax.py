@@ -18,6 +18,7 @@ available natively — and the eval path warns loudly when LPIPS is skipped.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -226,6 +227,12 @@ def lpips(params: dict, img0: Array, img1: Array,
           rescale: str = "standard") -> Array:
     """LPIPS distance between [N, H, W, 3] (or [H, W, 3]) sRGB in [0,1].
 
+    JITTED (one dispatch per call): the backbone is dozens of eager
+    conv/normalize ops which would each pay this image's ~30 ms tunnel
+    RTT per frame at eval time — the same pathology the jitted SSIM/FLIP
+    paths avoid (metrics._ssim_jit, flip._flip_impl). ``net``/``rescale``
+    are static; jax.jit caches per (net, rescale, shape).
+
     ``rescale``:
       * ``'standard'`` (default): [0,1] -> [-1,1] via 2x-1, the original
         LPIPS input convention (richzhang/PerceptualSimilarity).
@@ -242,6 +249,14 @@ def lpips(params: dict, img0: Array, img1: Array,
     if img1.ndim == 3:
         img1 = img1[None]
     assert img0.shape == img1.shape, (img0.shape, img1.shape)
+    arrs = {"convs": params["convs"], "lins": params["lins"]}
+    return _lpips_jit(arrs, img0, img1,
+                      net=params.get("net", "alex"), rescale=rescale)
+
+
+@functools.partial(jax.jit, static_argnames=("net", "rescale"))
+def _lpips_jit(arrs: dict, img0: Array, img1: Array, *,
+               net: str, rescale: str) -> Array:
     if rescale == "standard":
         x0, x1 = 2.0 * img0 - 1.0, 2.0 * img1 - 1.0
     elif rescale == "minmax":
@@ -252,13 +267,13 @@ def lpips(params: dict, img0: Array, img1: Array,
         raise ValueError(f"unknown rescale {rescale!r}")
     x0 = (x0 - _SHIFT) / _SCALE
     x1 = (x1 - _SHIFT) / _SCALE
-    features = _FEATURES[params.get("net", "alex")]
-    f0s = features(params["convs"], x0)
-    f1s = features(params["convs"], x1)
+    features = _FEATURES[net]
+    f0s = features(arrs["convs"], x0)
+    f1s = features(arrs["convs"], x1)
     total = 0.0
     for i, (f0, f1) in enumerate(zip(f0s, f1s)):
         d = (_unit_normalize(f0) - _unit_normalize(f1)) ** 2
-        w = params["lins"][i]["w"]  # [1, 1, C, 1]
+        w = arrs["lins"][i]["w"]  # [1, 1, C, 1]
         val = jax.lax.conv_general_dilated(
             d, jnp.maximum(w, 0.0), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -187,8 +187,11 @@ def get_novel_poses(n_pose, phi: float = -30.0, radius: float = 4.0) -> np.ndarr
 
     ``n_pose`` int -> a theta ring at fixed (phi, radius);
     ``n_pose`` [n_theta, n_phi, n_radius] -> the full grid: theta ring in
-    [-180,180), phi interior of [-90,0], r interior of [2,6] — matching
-    reference `dataset/load_blender.py:327-356`.
+    [-180,180), phi interior of [-90,0], r interior of [2,6];
+    ``'mode:value'`` items: ``sample:N`` -> the even-spaced N values for
+    that axis, any other mode -> the single FIXED float value — matching
+    reference `dataset/load_blender.py:327-356` (which additionally
+    requires all-or-none 'mode:value' items; per-item mixing works here).
     """
     if isinstance(n_pose, int):
         thetas = np.linspace(-180.0, 180.0, n_pose + 1)[:-1]
@@ -196,9 +199,21 @@ def get_novel_poses(n_pose, phi: float = -30.0, radius: float = 4.0) -> np.ndarr
     # Grid: theta ring endpoints-exclusive; phi/radius INTERIOR points of
     # [-90, 0] and [near=2, far=6] (reference `load_blender.py:337-339`
     # uses linspace(lo, hi, n+2)[1:-1]).
-    n_theta, n_phi, n_radius = [int(x) for x in n_pose]
-    thetas = np.linspace(-180.0, 180.0, n_theta + 1)[:-1]
-    phis = np.linspace(-90.0, 0.0, n_phi + 2)[1:-1]
-    radii = np.linspace(2.0, 6.0, n_radius + 2)[1:-1]
+
+    def _axis(item, lo: float, hi: float, interior: bool):
+        if isinstance(item, str) and ":" in item:
+            mode, value = item.split(":", 1)
+            if mode != "sample":
+                return [float(value)]
+            n = int(value)
+        else:
+            n = int(item)
+        if interior:
+            return np.linspace(lo, hi, n + 2)[1:-1]
+        return np.linspace(lo, hi, n + 1)[:-1]
+
+    thetas = _axis(n_pose[0], -180.0, 180.0, False)
+    phis = _axis(n_pose[1], -90.0, 0.0, True)
+    radii = _axis(n_pose[2], 2.0, 6.0, True)
     poses = [pose_spherical(t, p, r) for r in radii for p in phis for t in thetas]
     return np.stack(poses)

@@ -549,7 +549,8 @@ def make_teacher_step_batched(ncfg: NeRFConfig, vcfg: VolRenderConfig,
         # (`main.py:1377-1378`: psnr = mse2psnr(loss_rgb), the coarse
         # img_loss0 is added to the optimized loss but excluded here).
         return new_state, {"loss": loss,
-                           "psnr": -10.0 * jnp.log10(loss_rgb)}
+                           "psnr": -10.0 * jnp.log10(
+                               jnp.maximum(loss_rgb, 1e-12))}
 
     return _maybe_scan(step, scan_steps, "teacher_batched",
                        stride=tcfg.n_rand)
@@ -628,6 +629,7 @@ def make_teacher_step(ncfg: NeRFConfig, vcfg: VolRenderConfig,
                                  state.step + 1)
         # PSNR from fine-pass RGB MSE only (reference `main.py:1377-1378`).
         return new_state, {"loss": loss,
-                           "psnr": -10.0 * jnp.log10(loss_rgb)}
+                           "psnr": -10.0 * jnp.log10(
+                               jnp.maximum(loss_rgb, 1e-12))}
 
     return _maybe_scan(step, scan_steps, "teacher_images")

@@ -701,3 +701,23 @@ def test_cli_mesh_flag_distill(tiny_scene, tmp_path):
     found = any(f == "ckpt_best.msgpack"
                 for _, _, files in os.walk(exps) for f in files)
     assert found, "mesh-flag distill did not checkpoint"
+
+
+def test_align_hard_counts_invariants():
+    """Mesh alignment must preserve n_in <= n_out (distinct replacement
+    slots) and never induce a pool draw without pool inserts; when the
+    draw can't absorb the remainder it shrinks the batch instead."""
+    from r2l_tpu.app import _align_hard_counts
+
+    # aligned: untouched
+    assert _align_hard_counts(8192, 512, 1024, 8) == (8192, 512, 1024)
+    # shrink the draw, re-clamp n_in (old code left n_in > n_out,
+    # which makes update_pool write duplicate slots)
+    b, ni, no = _align_hard_counts(1002, 200, 200, 8)
+    assert (b, no) == (1002, 194) and ni <= no and (b - no) % 8 == 0
+    # no hard mining: shrink the batch, never draw from an empty pool
+    b, ni, no = _align_hard_counts(1002, 0, 0, 8, log=lambda *a: None)
+    assert (b, ni, no) == (1000, 0, 0) and b % 8 == 0
+    # tiny draw that can't absorb the remainder: batch shrinks too
+    b, ni, no = _align_hard_counts(1002, 1, 1, 8, log=lambda *a: None)
+    assert (ni, no) == (1, 1) and (b - no) % 8 == 0 and b == 1001

@@ -193,3 +193,60 @@ def test_nerf_torch_conversion(key):
     np.testing.assert_allclose(np.asarray(apply_nerf(back, cfg, x)),
                                np.asarray(apply_nerf(params, cfg, x)),
                                rtol=1e-6)
+
+
+def test_r2l_mlp_body_torch_roundtrip_and_parity(key):
+    """Plain-MLP-body (trial.body_arch=mlp) torch checkpoints convert
+    both ways (Sequential ``body.<even>`` naming, reference
+    `model/nerf_raybased.py:525-528`) and match a real torch forward —
+    previously infer crashed in np.stack([]) on this naming."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                    body_arch="mlp", precision="highest")
+    params = init_r2l(key, cfg)
+    sd_np = ckpt.params_to_torch_r2l(params, cfg)
+    assert "body.0.weight" in sd_np and "body.6.weight" in sd_np
+
+    # config inference picks up the mlp arch from the flat naming
+    inferred = ckpt.infer_r2l_config_from_state_dict(sd_np)
+    assert inferred.body_arch == "mlp"
+    assert inferred.netdepth == 6 and inferred.netwidth == 32
+
+    back = ckpt.torch_r2l_to_params(sd_np, inferred)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # torch forward of the reference mlp-body architecture
+    class Net(nn.Module):
+        def __init__(self, din, w, d):
+            super().__init__()
+            self.head = nn.Sequential(nn.Linear(din, w), nn.ReLU())
+            body = []
+            for _ in range(1, d - 1):
+                body += [nn.Linear(w, w), nn.ReLU()]
+            self.body = nn.Sequential(*body)
+            self.tail = nn.Sequential(nn.Linear(w, 3), nn.Sigmoid())
+
+        def forward(self, x):
+            x = self.head(x)
+            return self.tail(self.body(x) + x)
+
+    net = Net(24, 32, 6)
+    net.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd_np.items()})
+    x = np.random.default_rng(1).normal(size=(16, 24)).astype(np.float32)
+    with torch.no_grad():
+        yt = net(torch.from_numpy(x)).numpy()
+    yj = np.asarray(apply_r2l(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, rtol=1e-4, atol=1e-5)
+
+
+def test_infer_r2l_config_from_params_mlp_body(key):
+    cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=6,
+                    body_arch="mlp")
+    params = init_r2l(key, cfg)
+    inferred = ckpt.infer_r2l_config_from_params(params)
+    assert inferred.body_arch == "mlp"
+    assert inferred.netdepth == 6 and inferred.netwidth == 32

@@ -114,3 +114,18 @@ def test_get_rays_np_matches_jax():
     ro_j, rd_j = get_rays(8, 8, 5.0, jnp.asarray(c2w), trans_origin="fixed")
     ro_n, rd_n = get_rays_np(8, 8, 5.0, c2w, trans_origin="fixed")
     np.testing.assert_allclose(ro_n, np.asarray(ro_j), atol=1e-4)
+
+
+def test_get_novel_poses_mode_value_items():
+    """'mode:value' axis items (reference `load_blender.py:335-352`):
+    sample:N -> even-spaced N values, other modes -> the fixed value.
+    Previously these CLI-sanctioned forms crashed in the int() consumers."""
+    import numpy as np
+    # all-fixed phi/radius with a sampled theta ring == the int form
+    ring = rays.get_novel_poses(["sample:4", "fix:-30", "fix:4"])
+    np.testing.assert_allclose(ring, rays.get_novel_poses(4), atol=1e-12)
+    # fixed theta: one pose per phi/radius grid point
+    assert rays.get_novel_poses(["fix:90", "sample:2", "sample:3"]
+                                ).shape == (6, 4, 4)
+    # mixing plain ints with mode:value items also works
+    assert rays.get_novel_poses([4, "fix:-30", 1]).shape == (4, 4, 4)
