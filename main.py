@@ -20,10 +20,13 @@ import os
 # silent SIGABRT (xla/.../rendezvous.cc). 300 s gives legitimate
 # stragglers room while still bounding a real deadlock. No effect on TPU.
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=300"
-        " --xla_cpu_collective_timeout_seconds=300").strip()
+# guard each flag separately: appending both when only one is user-set
+# would override the user's explicit value (last flag wins)
+for _f in ("xla_cpu_collective_call_terminate_timeout_seconds",
+           "xla_cpu_collective_timeout_seconds"):
+    if _f not in _flags:
+        _flags = (_flags + f" --{_f}=300").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 from r2l_tpu.app import train
 from r2l_tpu.configs import parse_args

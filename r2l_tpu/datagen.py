@@ -334,7 +334,7 @@ def _pose_key(seed: int, i: int):
 
 def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
                      gcfg: DataGenConfig, datadir: str,
-                     radius: float = 4.0) -> int:
+                     radius: float = 4.0, ncfg_fine=None) -> int:
     """``rand_tworays`` mode: per pixel, also record a random neighbor's
     direction+rgb -> 15-float records [o, d, d2, rgb, rgb2]
     (reference `create_data.py:874-966`, for the nerf_v4 student)."""
@@ -342,7 +342,7 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
     H, W = gcfg.H, gcfg.W
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                                      gcfg=gcfg)
+                                      ncfg_fine=ncfg_fine, gcfg=gcfg)
 
     total, buf = 0, []
     for i in range(gcfg.n_pose):
@@ -367,7 +367,7 @@ def generate_tworays(params_coarse, params_fine, ncfg, vcfg,
 
 def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
                      gcfg: DataGenConfig, datadir: str,
-                     radius: float = 4.0) -> int:
+                     radius: float = 4.0, ncfg_fine=None) -> int:
     """``3x3rays`` mode: interior pixels with their full 3x3 neighborhood
     -> 57-float records [o(3), d3x3(27), rgb3x3(27)]
     (reference `create_data.py:1020-1115`, for the nerf_v3.4 student)."""
@@ -375,7 +375,7 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
     H, W = gcfg.H, gcfg.W
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                                      gcfg=gcfg)
+                                      ncfg_fine=ncfg_fine, gcfg=gcfg)
 
     offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
                (1, -1), (1, 0), (1, 1)]
@@ -403,7 +403,7 @@ def generate_3x3rays(params_coarse, params_fine, ncfg, vcfg,
 
 def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
                          gcfg: DataGenConfig, datadir: str,
-                         radius: float = 4.0) -> int:
+                         radius: float = 4.0, ncfg_fine=None) -> int:
     """``rand_images`` mode: one [H, W, 9] (o,d,rgb) array per random pose
     (reference `create_data.py:968-1018`, for the nerf_v6 student) —
     consolidated into .npz batches of ``save_every`` frames."""
@@ -413,7 +413,7 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
     H, W = gcfg.H, gcfg.W
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                                      gcfg=gcfg)
+                                      ncfg_fine=ncfg_fine, gcfg=gcfg)
 
     os.makedirs(datadir, exist_ok=True)
     frames = []
@@ -435,7 +435,8 @@ def generate_rand_images(params_coarse, params_fine, ncfg, vcfg,
 
 def generate_patches(params_coarse, params_fine, ncfg, vcfg,
                      gcfg: DataGenConfig, datadir: str,
-                     patch_size: int = 16, radius: float = 4.0) -> int:
+                     patch_size: int = 16, radius: float = 4.0,
+                     ncfg_fine=None) -> int:
     """``16x16patches`` mode: per random pose, the shared origin plus
     [patch, patch, 6] (d, rgb) tiles (reference `create_data.py:1117-1186`)
     — one .npz per pose batch instead of a folder of tiny files."""
@@ -446,7 +447,7 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
     ph, pw = H // patch_size, W // patch_size
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                                      gcfg=gcfg)
+                                      ncfg_fine=ncfg_fine, gcfg=gcfg)
 
     os.makedirs(datadir, exist_ok=True)
     origins, patches = [], []
@@ -477,7 +478,7 @@ def generate_patches(params_coarse, params_fine, ncfg, vcfg,
 def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
                            ncfg: NeRFConfig, vcfg: VolRenderConfig,
                            gcfg: DataGenConfig, datadir: str,
-                           n_pose=10) -> int:
+                           n_pose=10, ncfg_fine=None) -> int:
     """``spiral_evenly_spaced`` mode: render an even pose grid with the
     teacher, save pseudo images + poses (reference `create_data.py:749-775`
     + `load_blender.py:185-215` ``save_blender_data``, consolidated to one
@@ -492,7 +493,7 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
     poses = get_novel_poses(n_pose)
 
     render_frame = _make_rgb_renderer(params_coarse, params_fine, ncfg, vcfg,
-                                      gcfg=gcfg)
+                                      ncfg_fine=ncfg_fine, gcfg=gcfg)
 
     imgs = []
     for c2w in poses:

@@ -118,3 +118,22 @@ def test_generate_pseudo_data_surface_records(key):
         spread = t.max(axis=1) - t.min(axis=1)
         assert (spread < 1e-3).all()
     assert n == 16
+
+
+def test_nonrand_modes_use_fine_config(key, tmp_path):
+    """A hierarchical teacher whose FINE net has different dims must
+    render through ncfg_fine in every datagen mode (previously only
+    'rand' forwarded it — the other modes applied the fine params with
+    the coarse config and shape-crashed)."""
+    ncfg = NeRFConfig(D=2, W=16, skips=(), use_viewdirs=False,
+                      input_ch=63, input_ch_views=0)
+    ncfg_fine = NeRFConfig(D=2, W=24, skips=(), use_viewdirs=False,
+                           input_ch=63, input_ch_views=0)
+    k1, k2 = jax.random.split(key)
+    pc, pf = init_nerf(k1, ncfg), init_nerf(k2, ncfg_fine)
+    vcfg = VolRenderConfig(n_coarse=4, n_fine=2, perturb=False,
+                           use_viewdirs=False, white_bkgd=True,
+                           ray_chunk=256)
+    n = generate_rand_images(pc, pf, ncfg, vcfg, _gcfg(), str(tmp_path),
+                             ncfg_fine=ncfg_fine)
+    assert n == 2

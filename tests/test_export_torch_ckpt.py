@@ -85,3 +85,24 @@ def test_r2l_linear_tail_export_uses_reference_keys(key, tmp_path):
     cfg2 = ckpt.infer_r2l_config_from_state_dict(sd)
     assert cfg2.linear_tail
     _tree_equal(ckpt.torch_r2l_to_params(sd, cfg2), params)
+
+
+def test_r2l_mlp_body_msgpack_to_tar_roundtrip(key, tmp_path):
+    """mlp-body student checkpoints export too (the body restores from
+    msgpack as a stringified-index dict; the old hand-rolled normalizer
+    KeyError'd on it)."""
+    pytest.importorskip("torch")
+    cfg = R2LConfig(input_dim=4 * 3 * 21, netwidth=32, netdepth=6,
+                    body_arch="mlp")
+    params = init_r2l(key, cfg)
+    native = str(tmp_path / "ckpt.msgpack")
+    ckpt.save_checkpoint(native, {"params": params},
+                         meta={"global_step": 3})
+    tar = str(tmp_path / "out.tar")
+    assert export_main(["--ckpt", native, "--out", tar]) == 0
+
+    blob = ckpt.load_torch_tar(tar)
+    sd = blob["network_fn_state_dict"]
+    cfg2 = ckpt.infer_r2l_config_from_state_dict(sd)
+    assert cfg2.body_arch == "mlp" and cfg2.netdepth == 6
+    _tree_equal(ckpt.torch_r2l_to_params(sd, cfg2), params)

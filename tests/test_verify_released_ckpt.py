@@ -117,3 +117,19 @@ def test_verify_native_msgpack_input(synthetic_release, tmp_path, capsys):
     rc = verify_main(["--ckpt", native, "--datadir", scene,
                       "--paths", "xla", "--expect_psnr", "45.0"])
     assert rc == 0
+
+
+def test_empty_paths_and_all_skipped_fail_loudly(synthetic_release):
+    """An empty --paths list or a selection where every kernel path is
+    unsupported must error, not report an unconditional PASS."""
+    tar, scene = synthetic_release
+    with pytest.raises(SystemExit, match="no inference path"):
+        verify_main(["--ckpt", tar, "--datadir", scene, "--paths", " , ",
+                  "--platform", "cpu"])
+    # non-relu act: the fused kernels are unsupported -> the pallas path
+    # is SKIPPED (not silently rendered through XLA under a kernel
+    # label), and with --expect_psnr set that cannot count as a PASS.
+    with pytest.raises(SystemExit, match="all skipped"):
+        verify_main(["--ckpt", tar, "--datadir", scene, "--paths", "pallas",
+                  "--act", "lrelu", "--expect_psnr", "30.0",
+                  "--platform", "cpu"])

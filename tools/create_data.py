@@ -142,21 +142,25 @@ def main() -> None:
         logger.print(f"generated {total} pseudo rays in {datadir_kd}")
     elif args.create_data == "spiral_evenly_spaced":
         n = generate_pseudo_images(pc, pf or None, ncfg, vcfg, gcfg,
-                                   datadir_kd, n_pose=n_pose)
+                                   datadir_kd, n_pose=n_pose,
+                                   ncfg_fine=ncfg_fine)
         logger.print(f"generated {n} pseudo images in {datadir_kd}")
     elif args.create_data == "rand_tworays":
-        n = generate_tworays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        n = generate_tworays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd,
+                             ncfg_fine=ncfg_fine)
         logger.print(f"generated {n} two-ray records in {datadir_kd}")
     elif args.create_data == "3x3rays":
-        n = generate_3x3rays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        n = generate_3x3rays(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd,
+                             ncfg_fine=ncfg_fine)
         logger.print(f"generated {n} 3x3 records in {datadir_kd}")
     elif args.create_data == "rand_images":
         n = generate_rand_images(pc, pf or None, ncfg, vcfg, gcfg,
-                                 datadir_kd)
+                                 datadir_kd, ncfg_fine=ncfg_fine)
         logger.print(f"generated {n} pseudo image records in {datadir_kd}")
     elif args.create_data in ("16x16patches", "16x16patches_v2",
                               "16x16patches_v3"):
-        n = generate_patches(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd)
+        n = generate_patches(pc, pf or None, ncfg, vcfg, gcfg, datadir_kd,
+                             ncfg_fine=ncfg_fine)
         logger.print(f"generated {n} patch frames in {datadir_kd}")
     else:
         raise SystemExit(f"unsupported --create_data {args.create_data!r} "

@@ -57,60 +57,52 @@ def main(argv=None) -> int:
         return {k: torch.from_numpy(np.array(v, np.float32, copy=True))
                 for k, v in sd.items()}
 
+    # Restore msgpack trees against freshly initialized param targets
+    # (from_state_dict rebuilds list structure from the stringified
+    # index dicts) — the same path verify_released_ckpt.py uses, and it
+    # covers every body architecture the init fns support.
+    import jax
+    from flax import serialization
+
     if args.model_name == "nerf":
         # teacher layout: {"coarse": ..., "fine": ..., ["opt_state"]}
-        from r2l_tpu.models.nerf import NeRFConfig
+        from r2l_tpu.models.nerf import NeRFConfig, init_nerf
 
         def cfg_of(tree):
             nl = sorted(int(k) for k in tree["pts_linears"])
             vd = "alpha_linear" in tree
             return NeRFConfig(D=len(nl), W=int(np.asarray(
                 tree["pts_linears"]["0"]["w"]).shape[1]),
-                use_viewdirs=vd)
+                use_viewdirs=vd,
+                input_ch=int(np.asarray(
+                    tree["pts_linears"]["0"]["w"]).shape[0]))
 
-        def restore(tree):
-            # msgpack dicts use "0","1"... for list indices
-            lins = [
-                {"w": np.asarray(tree["pts_linears"][str(i)]["w"]),
-                 "b": np.asarray(tree["pts_linears"][str(i)]["b"])}
-                for i in range(len(tree["pts_linears"]))]
-            out = {"pts_linears": lins}
-            for name in ("views_linears",):
-                if name in tree and tree[name]:
-                    out[name] = [
-                        {"w": np.asarray(tree[name]["0"]["w"]),
-                         "b": np.asarray(tree[name]["0"]["b"])}]
-            for name in ("feature_linear", "alpha_linear", "rgb_linear",
-                         "output_linear"):
-                if name in tree:
-                    out[name] = {"w": np.asarray(tree[name]["w"]),
-                                 "b": np.asarray(tree[name]["b"])}
-            return out
+        def restore_nerf(tree):
+            cfg = cfg_of(tree)
+            target = init_nerf(jax.random.key(0), cfg)
+            return serialization.from_state_dict(target, tree), cfg
 
-        coarse = restore(raw["coarse"])
+        coarse, ccfg = restore_nerf(raw["coarse"])
         blob["network_fn_state_dict"] = to_t(
-            ckpt.params_to_torch_nerf(coarse, cfg_of(raw["coarse"])))
+            ckpt.params_to_torch_nerf(coarse, ccfg))
         if raw.get("fine"):
-            fine = restore(raw["fine"])
+            fine, fcfg = restore_nerf(raw["fine"])
             blob["network_fine_state_dict"] = to_t(
-                ckpt.params_to_torch_nerf(fine, cfg_of(raw["fine"])))
-        n_par = sum(int(np.asarray(v).size)
-                    for v in blob["network_fn_state_dict"].values())
+                ckpt.params_to_torch_nerf(fine, fcfg))
     else:
+        from r2l_tpu.models.r2l import init_r2l
         params = raw["params"] if isinstance(raw, dict) and "params" in raw \
             else raw
         cfg = ckpt.infer_r2l_config_from_params(
             params, linear_tail=args.linear_tail)
-        np_params = {"head": {k: np.asarray(v)
-                              for k, v in params["head"].items()},
-                     "body": {k: np.asarray(v)
-                              for k, v in params["body"].items()},
-                     "tail": {k: np.asarray(v)
-                              for k, v in params["tail"].items()}}
+        target = init_r2l(jax.random.key(0), cfg)
+        restored = serialization.from_state_dict(target, params)
         blob["network_fn_state_dict"] = to_t(
-            ckpt.params_to_torch_r2l(np_params, cfg))
-        n_par = sum(int(np.asarray(v).size)
-                    for v in blob["network_fn_state_dict"].values())
+            ckpt.params_to_torch_r2l(restored, cfg))
+    n_par = sum(int(np.asarray(v).size)
+                for key in ("network_fn_state_dict",
+                            "network_fine_state_dict")
+                for v in blob.get(key, {}).values())
 
     blob["note"] = ("exported from a native r2l_tpu checkpoint; "
                     "optimizer state / pickled module omitted "

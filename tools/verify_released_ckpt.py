@@ -150,10 +150,15 @@ def main(argv=None) -> int:
                  if jax.default_backend() == "tpu" else ["xla"])
     else:
         paths = [s.strip() for s in args.paths.split(",") if s.strip()]
+    if not paths:
+        raise SystemExit(f"--paths {args.paths!r} selects no inference "
+                         "path — nothing would be verified")
 
     # --- render every path ------------------------------------------------
     import dataclasses
     import jax.numpy as jnp
+
+    from r2l_tpu.kernels.r2l_pallas import fused_kernel_supported
     results = {}
     for path in paths:
         if path == "xla":
@@ -168,6 +173,17 @@ def main(argv=None) -> int:
             use_pallas, quantize = True, "int8"
         else:
             raise SystemExit(f"unknown path {path!r}")
+        if path != "xla" and not fused_kernel_supported(pcfg):
+            # _prepare_r2l would silently render the plain XLA forward;
+            # reporting that under a kernel label would be a false
+            # kernel-parity PASS.
+            print(f"[{path:7s}] SKIPPED — the fused kernels do not "
+                  f"support this architecture (body_arch="
+                  f"{pcfg.body_arch!r}, act {pcfg.act!r}/"
+                  f"{pcfg.inact!r}); it would render the plain XLA "
+                  "path (same numbers as [xla])")
+            results[path] = {"skipped": "fused kernel unsupported"}
+            continue
         frame_fn = make_r2l_frame_fn(params, pcfg, sampler,
                                      embed_L=args.multires,
                                      use_pallas=use_pallas,
@@ -183,7 +199,12 @@ def main(argv=None) -> int:
     # --- verdict ------------------------------------------------------------
     ok = True
     if args.expect_psnr is not None:
+        if not any("psnr" in r for r in results.values()):
+            raise SystemExit("no selected path produced a PSNR to check "
+                             "against --expect_psnr (all skipped)")
         for path, r in results.items():
+            if "psnr" not in r:
+                continue
             delta = r["psnr"] - args.expect_psnr
             # int8 is a lossy speed path: it must reach the bf16 target
             # minus its documented quality cost, not the 0.05 dB bar.
