@@ -657,7 +657,8 @@ def run_distill(args, ns, logger):
         record_dim = 9
         logger.print(f"image dataset: {dataset.n_real} real + "
                      f"{dataset.n_pseudo} pseudo frames, "
-                     f"{batch_size} pixels/step")
+                     f"{batch_size} pixels/step "
+                     f"(select={args.select_pixel_mode})")
     else:
         def make_loader(seed, step0=0):
             ds = RayShardDataset(datadir, pseudo_ratio=args.pseudo_ratio,

@@ -186,6 +186,16 @@ def test_teacher_i_video_writes_rgb_and_disp(tiny_scene, tmp_path):
     assert any("_disp." not in f for f in vids), vids
 
 
+def _read_log(exps: str) -> str:
+    """Concatenated log*.txt contents under an experiments dir."""
+    text = ""
+    for root, _, files in os.walk(exps):
+        for f in files:
+            if f.startswith("log") and f.endswith(".txt"):
+                text += open(os.path.join(root, f)).read()
+    return text
+
+
 def test_benchmark_mode(tiny_scene, tmp_path):
     exps = str(tmp_path / "Exp3")
     train(parse_args(COMMON + [
@@ -194,6 +204,10 @@ def test_benchmark_mode(tiny_scene, tmp_path):
         "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
         "--benchmark", "--use_pallas", "False",
         "--experiment_name", "b", "--experiments_dir", exps]))
+    # the benchmark must actually have RUN and logged its timing line
+    # (a silent early-return would exit train() cleanly)
+    text = _read_log(exps)
+    assert "benchmark:" in text and "ms/frame" in text
 
 
 def test_benchmark_mode_nerf(tiny_scene, tmp_path):
@@ -406,6 +420,8 @@ def test_images_mode_rand_patch(tiny_scene, tmp_path):
         "--N_rand", "64", "--N_iters", "3", "--i_testset", "3",
         "--i_weights", "3",
         "--experiment_name", "dp", "--experiments_dir", exps]))
+    # the mode must have engaged (not silently fallen back to rand_pixel)
+    assert "select=rand_patch" in _read_log(exps)
 
 
 def test_images_mode_llff_proportional_mixing(tmp_path):

@@ -19,6 +19,14 @@ def _teacher(key):
     return ncfg, init_nerf(key, ncfg), vcfg
 
 
+def _sorted_rows(a: np.ndarray, key_cols: int | None = None) -> np.ndarray:
+    """Rows sorted by the first ``key_cols`` columns (default: all).
+    Comparisons across runs must key on the bit-identical RAY columns —
+    sorting by rgb too would order nearly-equal rows differently."""
+    k = a if key_cols is None else a[:, :key_cols]
+    return a[np.lexsort(k.T)]
+
+
 def test_batched_generation_matches_single(key, tmp_path):
     """poses_per_batch must not change the generated records.
 
@@ -38,11 +46,15 @@ def test_batched_generation_matches_single(key, tmp_path):
     b = np.load(tmp_path / "b" / os.listdir(tmp_path / "b")[0])
     # Same rng stream for poses; shuffle order may differ -> compare sets
     # via sorted rows.
-    np.testing.assert_allclose(
-        a[np.lexsort(a.T)], b[np.lexsort(b.T)], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(_sorted_rows(a, 6), _sorted_rows(b, 6),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_mesh_sharded_generation(key, tmp_path):
+    """Mesh-sharded datagen must produce the SAME records as the
+    unsharded run (GSPMD shards the ray axis; pad/slice bugs that
+    duplicate a device tile or drop the tail would corrupt every
+    mesh-generated shard while staying finite)."""
     ncfg, pc, vcfg = _teacher(key)
     mesh = make_mesh()  # 8 virtual CPU devices on 'data'
     gcfg = DataGenConfig(n_pose=2, H=8, W=8, focal=10.0, save_every=2,
@@ -50,44 +62,65 @@ def test_mesh_sharded_generation(key, tmp_path):
     n = generate_pseudo_data(pc, None, ncfg, vcfg, gcfg,
                              str(tmp_path / "m"), mesh=mesh)
     assert n == 2 * 64
-    f = os.listdir(tmp_path / "m")[0]
-    rec = np.load(tmp_path / "m" / f)
-    assert rec.shape[1] == 9 and np.isfinite(rec).all()
+    rec = np.load(tmp_path / "m" / os.listdir(tmp_path / "m")[0])
+    assert rec.shape[1] == 9
+    n0 = generate_pseudo_data(pc, None, ncfg, vcfg, gcfg,
+                              str(tmp_path / "s"), mesh=None)
+    ref = np.load(tmp_path / "s" / os.listdir(tmp_path / "s")[0])
+    assert n0 == n
+    np.testing.assert_allclose(_sorted_rows(rec, 6), _sorted_rows(ref, 6),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_perturbed_generation_varies(key, tmp_path):
-    """With vcfg.perturb the per-pose key drives stratified z: records
-    differ across seeds but stay finite/valid (the reference renders
-    pseudo data through the perturb=1 train kwargs)."""
+    """With vcfg.perturb the per-pose key drives stratified z (the
+    reference renders pseudo data through the perturb=1 train kwargs):
+    the SAME pose stream with perturb on vs off must give different rgb
+    — a regression to key=None would silently drop the jitter while
+    staying finite and in-range."""
     ncfg, pc, _ = _teacher(key)
-    vcfg = VolRenderConfig(n_coarse=4, n_fine=2, perturb=True,
-                           use_viewdirs=False, white_bkgd=True,
-                           ray_chunk=512)
-    g1 = DataGenConfig(n_pose=1, H=8, W=8, focal=10.0, save_every=1,
-                       shard_size=1 << 12, seed=3, use_rand_focal=False)
-    g2 = DataGenConfig(n_pose=1, H=8, W=8, focal=10.0, save_every=1,
-                       shard_size=1 << 12, seed=4, use_rand_focal=False)
-    generate_pseudo_data(pc, None, ncfg, vcfg, g1, str(tmp_path / "a"))
-    generate_pseudo_data(pc, None, ncfg, vcfg, g2, str(tmp_path / "b"))
+    base = dict(n_coarse=4, n_fine=2, use_viewdirs=False,
+                white_bkgd=True, ray_chunk=512)
+    g = DataGenConfig(n_pose=1, H=8, W=8, focal=10.0, save_every=1,
+                      shard_size=1 << 12, seed=3, use_rand_focal=False)
+    generate_pseudo_data(pc, None, ncfg,
+                         VolRenderConfig(perturb=True, **base),
+                         g, str(tmp_path / "a"))
+    generate_pseudo_data(pc, None, ncfg,
+                         VolRenderConfig(perturb=False, **base),
+                         g, str(tmp_path / "b"))
     a = np.load(tmp_path / "a" / os.listdir(tmp_path / "a")[0])
     b = np.load(tmp_path / "b" / os.listdir(tmp_path / "b")[0])
     assert np.isfinite(a).all() and np.isfinite(b).all()
-    # same pose stream (different seeds give different poses anyway) —
-    # the essential check is that the perturbed path runs and produces
-    # rgb in [0, 1].
     assert a[:, 6:9].min() >= 0.0 and a[:, 6:9].max() <= 1.0
+    # same seed -> identical pose/rays; rgb must differ when perturbed
+    a_s, b_s = _sorted_rows(a, 6), _sorted_rows(b, 6)
+    np.testing.assert_allclose(a_s[:, :6], b_s[:, :6], rtol=1e-6)
+    assert np.abs(a_s[:, 6:9] - b_s[:, 6:9]).max() > 1e-6, \
+        "perturb=True produced the unperturbed rgb — key not threaded"
 
 
 def test_tworays_mode_with_perturb(key, tmp_path):
-    """Key threading reaches the sibling modes too."""
+    """Key threading reaches the sibling modes too: perturb on vs off
+    must change the rendered rgb for the same seed/pose stream."""
     from r2l_tpu.datagen import generate_tworays
     ncfg, pc, _ = _teacher(key)
-    vcfg = VolRenderConfig(n_coarse=4, n_fine=0, perturb=True,
-                           use_viewdirs=False, white_bkgd=True,
-                           ray_chunk=512)
+    base = dict(n_coarse=4, n_fine=0, use_viewdirs=False,
+                white_bkgd=True, ray_chunk=512)
     gcfg = DataGenConfig(n_pose=1, H=8, W=8, focal=10.0, save_every=1,
                          shard_size=1 << 12)
-    n = generate_tworays(pc, None, ncfg, vcfg, gcfg, str(tmp_path / "t"))
+    n = generate_tworays(pc, None, ncfg,
+                         VolRenderConfig(perturb=True, **base),
+                         gcfg, str(tmp_path / "t"))
     assert n == 64
     a = np.load(tmp_path / "t" / os.listdir(tmp_path / "t")[0])
     assert a.shape[1] == 15 and np.isfinite(a).all()
+    generate_tworays(pc, None, ncfg,
+                     VolRenderConfig(perturb=False, **base),
+                     gcfg, str(tmp_path / "u"))
+    b = np.load(tmp_path / "u" / os.listdir(tmp_path / "u")[0])
+    # identical rays (cols 0:9 are o, d, d2); rgb cols 9:15 must differ
+    a_s, b_s = _sorted_rows(a, 9), _sorted_rows(b, 9)
+    np.testing.assert_allclose(a_s[:, :9], b_s[:, :9], rtol=1e-6)
+    assert np.abs(a_s[:, 9:] - b_s[:, 9:]).max() > 1e-6, \
+        "perturb=True produced the unperturbed rgb — key not threaded"

@@ -81,3 +81,13 @@ def test_ssim_is_jitted_single_dispatch(rng):
     np.testing.assert_allclose(
         float(M._ssim_jit(img, img, 11, 1.5)), float(M.ssim(img, img)),
         rtol=1e-7)
+    # ...and ssim() actually ROUTES through it (an eager _ssim_impl
+    # call would match numerically while paying ~10 dispatches/frame)
+    calls = []
+    orig = M._ssim_jit
+    M._ssim_jit = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        M.ssim(img, img)
+    finally:
+        M._ssim_jit = orig
+    assert calls, "ssim() no longer routes through _ssim_jit"

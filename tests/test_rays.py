@@ -62,9 +62,12 @@ def test_plucker_moment_orthogonal():
     p = rays.plucker(o, d)
     assert p.shape == (1, 6)
     m = np.asarray(p[0, 3:])
-    # moment = o x d is orthogonal to both o and d
-    assert abs(np.dot(m, np.asarray(o[0]))) < 1e-6
-    assert abs(np.dot(m, np.asarray(d[0]))) < 1e-6
+    # moment = o x d EXACTLY (reference `nerf_raybased.py:174`:
+    # torch.cross(rays_o, rays_d)) — orthogonality alone would also
+    # accept the sign-flipped d x o, which breaks checkpoint parity
+    np.testing.assert_allclose(m, np.cross(np.asarray(o[0]),
+                                           np.asarray(d[0])), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p[0, :3]), np.asarray(d[0]))
 
 
 def test_pose_spherical_is_rigid():

@@ -166,6 +166,22 @@ def test_teacher_batched_step_shards_over_mesh(key):
     assert np.isfinite(float(m["loss"]))
     assert state.params_coarse["pts_linears"][0]["w"] \
         .sharding.is_fully_replicated
+    # ...and the mesh step computes the SAME update as the unsharded
+    # step (per-shard loss reduction or a wrong pool-offset shard would
+    # stay finite but train wrong — mirror the distill value check).
+    pc0 = init_nerf(key, ncfg)   # pc was donated by the mesh steps
+    state0, tx0 = init_teacher_state(pc0, {}, tcfg)
+    step0 = make_teacher_step_batched(ncfg, vcfg, tcfg, tx0, mesh=None)
+    pool0 = jnp.asarray(np.asarray(pool))
+    for i in range(2):
+        state0, m0 = step0(state0, pool0, jnp.asarray(i * 64, jnp.int32),
+                           jax.random.key(i))
+    np.testing.assert_allclose(float(m["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state.params_coarse),
+                    jax.tree.leaves(state0.params_coarse)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_scanned_distill_step_on_mesh(key):
