@@ -106,7 +106,7 @@ def build_torch_r2l(params: dict, cfg: R2LConfig):
         m = torch.nn.Linear(w.shape[0], w.shape[1])
         with torch.no_grad():
             m.weight.copy_(torch.from_numpy(np.ascontiguousarray(w.T)))
-            m.bias.copy_(torch.from_numpy(b))
+            m.bias.copy_(torch.from_numpy(np.array(b, copy=True)))
         return m
 
     def act(name):

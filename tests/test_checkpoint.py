@@ -57,7 +57,7 @@ def test_torch_forward_parity(key):
 
     cfg = R2LConfig(input_dim=24, netwidth=32, netdepth=10)
     params = init_r2l(key, cfg)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in ckpt.params_to_torch_r2l(params, cfg).items()}
 
     # Independent torch construction of the same architecture (from the
