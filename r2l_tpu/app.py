@@ -39,7 +39,7 @@ from .render import VolRenderConfig
 from .sampler import PointSampler
 from .train import (DistillConfig, TeacherTrainConfig, TrainState,
                     init_teacher_state, init_train_state, make_distill_step,
-                    make_teacher_step)
+                    make_lr_schedule, make_teacher_step)
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +358,12 @@ def _align_hard_counts(batch_size: int, n_hard_in: int, n_hard_out: int,
         delta = n_dev - r
         if n_hard_out >= delta:
             n_hard_out -= delta
-            n_hard_in = min(n_hard_in, n_hard_out)
+            n_hard_in_new = min(n_hard_in, n_hard_out)
+            log(f"WARNING: hard-pool draw not divisible by the {n_dev}-"
+                f"device mesh data axis — shrinking --hard_ratio counts "
+                f"to (in {n_hard_in_new}, out {n_hard_out}) so the fresh "
+                "part of the batch shards evenly.")
+            n_hard_in = n_hard_in_new
         else:
             batch_size -= r
             log(f"WARNING: batch size not divisible by the {n_dev}-device"
@@ -387,21 +392,59 @@ def run_render_only(args, ns, logger) -> EvalResult:
     os.makedirs(savedir, exist_ok=True)
 
     if args.model_name in ("R2L", "nerf_v3.2") and args.given_render_path_rays:
-        # DONeRF precomputed-ray path (reference `main.py:207-270`).
-        from .evaluate import load_given_render_path_rays, render_path_given_rays
+        # DONeRF precomputed-ray path (reference `main.py:207-270`) —
+        # routed through the SAME fast path (Pallas/int8/--mesh) and full
+        # metric set as the pose-driven renderer.
+        from .evaluate import (load_given_render_path_rays,
+                               render_path_given_rays)
         cfg, params, _ = build_r2l(args, logger)
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.n_sample_per_ray,
                                near=ns.near, far=ns.far)
         ro, rd, gt = load_given_render_path_rays(args.given_render_path_rays)
+        gr_mesh = _inference_mesh(args, logger, "given-rays")
         res = render_path_given_rays(params, cfg, sampler, ro, rd, H, W,
                                      gt_images=gt, savedir=savedir,
                                      embed_L=args.multires,
-                                     plucker=args.plucker, logger=logger)
+                                     plucker=args.plucker,
+                                     use_pallas=args.use_pallas,
+                                     pallas_tile=args.pallas_tile,
+                                     quantize=args.quantize, mesh=gr_mesh,
+                                     lpips_params=_load_lpips(args, logger),
+                                     lpips_rescale=args.lpips_rescale,
+                                     flip_rescale=args.flip_rescale,
+                                     logger=logger)
+        ms_label = (f"{res.ms_per_frame:.1f} ms/frame (per-dispatch)"
+                    if res.ms_per_frame is not None else "")
+        if jax.default_backend() == "tpu":
+            # Honest K-frames-per-jit latency (same protocol as the
+            # pose-driven branch below; per-call timing is tunnel noise).
+            from .evaluate import make_r2l_givenrays_bench_fn
+            bench_fn = make_r2l_givenrays_bench_fn(
+                params, cfg, sampler, H, W, embed_L=args.multires,
+                plucker=args.plucker, use_pallas=args.use_pallas,
+                pallas_tile=args.pallas_tile, quantize=args.quantize,
+                calib_rays=(ro, rd), mesh=gr_mesh)
+            Kb = min(8, ro.shape[0])
+            ros = jnp.asarray(ro[:Kb])
+            rds = jnp.asarray(rd[:Kb])
+            float(bench_fn(ros, rds))  # compile + warmup
+            t0 = time.perf_counter()
+            float(bench_fn(ros, rds))
+            ms = (time.perf_counter() - t0) * 1e3 / Kb
+            ms_label = f"{ms:.1f} ms/frame ({Kb} frames/jit)"
         if res.test_psnr is not None:
+            lp = (f" LPIPS {res.test_lpips:.4f}"
+                  if res.test_lpips is not None else "")
             logger.print(f"given-rays: PSNR {res.test_psnr:.4f} "
-                         f"SSIM {res.test_ssim:.4f}")
+                         f"PSNRv2 {res.test_psnr_v2:.4f} "
+                         f"SSIM {res.test_ssim:.4f} "
+                         f"FLIP {res.test_flip:.4f}{lp} ({ms_label})")
         write_video(os.path.join(savedir, "video.mp4"), res.frames)
+        if gt is not None:
+            write_video(os.path.join(savedir, "video_error.mp4"),
+                        np.abs(res.frames - np.asarray(gt, np.float32)
+                               [:, :H, :W]))
         return res
 
     # Explicit --mesh shards each frame's rays over the 'data' axis
@@ -786,8 +829,18 @@ def run_distill(args, ns, logger):
                      f"SSIM {res.test_ssim:.4f}")
 
     timer = Timer(max((args.N_iters - start) // max(args.i_testset, 1), 1))
-    from .logging_ import LossLine
+    from .logging_ import AverageMeter, LossLine
     lossline = LossLine(ema=0.95)
+    # data_time: host batch assembly; batch_time: full-iteration host
+    # wall (reference AverageMeters, `main.py:1173-1174,1350,1407`).
+    # Dispatches are async, so batch_time is per-iter host-observed
+    # throughput (the backlog bound keeps it honest over a window).
+    data_time = AverageMeter("data_time")
+    batch_time = AverageMeter("batch_time")
+    # Live LR for the [TRAIN] line, computed host-side from the step
+    # (the schedule the optimizer applies on device, `main.py:1181-1195`).
+    lr_sched = make_lr_schedule(args.lrate, args.lrate_decay,
+                                dcfg.warmup_lr)
     pending_ms = []
     key = jax.random.key(args.seed + 1)
 
@@ -798,6 +851,7 @@ def run_distill(args, ns, logger):
         batch_shd_k = NamedSharding(mesh, P(None, "data"))
     i = start
     while i < args.N_iters:
+        t_iter = time.perf_counter()
         k = min(K, _next_event(i, (args.i_print, args.i_img,
                                    args.i_testset, args.i_weights,
                                    args.i_video, args.i_update_data),
@@ -810,6 +864,7 @@ def run_distill(args, ns, logger):
                 n_seen_img += 1
                 imgs.append(np.asarray(img))
                 poses_b.append(np.asarray(pose))
+            data_time.update((time.perf_counter() - t_iter) / k, n=k)
             if k == 1:
                 key, sub = jax.random.split(key)
                 state, ms = step_k(1)(state, jnp.asarray(imgs[0]),
@@ -821,19 +876,30 @@ def run_distill(args, ns, logger):
                                            key)
         else:
             if k == 1:
-                batch = next(loader)
-                batch = (jax.device_put(batch, batch_shd)
-                         if batch_shd is not None else jnp.asarray(batch))
+                host_batch = np.asarray(next(loader))
+            else:
+                host_batch = np.stack([np.asarray(next(loader))
+                                       for _ in range(k)])
+            if i == start and jax.process_count() > 1:
+                # device_put with a process-spanning sharding takes each
+                # process's addressable shard from ITS local copy — the
+                # loop below is only correct if every process drew the
+                # IDENTICAL global batch. Pin that contract loudly.
+                _assert_multihost_batch_identical(host_batch, logger)
+            data_time.update((time.perf_counter() - t_iter) / k, n=k)
+            if k == 1:
+                batch = (jax.device_put(host_batch, batch_shd)
+                         if batch_shd is not None
+                         else jnp.asarray(host_batch))
                 key, sub = jax.random.split(key)
                 state, ms = step_k(1)(state, batch, sub)
             else:
-                batches = np.stack([np.asarray(next(loader))
-                                    for _ in range(k)])
-                batches = (jax.device_put(batches, batch_shd_k)
+                batches = (jax.device_put(host_batch, batch_shd_k)
                            if batch_shd is not None
-                           else jnp.asarray(batches))
+                           else jnp.asarray(host_batch))
                 state, ms, key = step_k(k)(state, batches, key)
         i += k
+        batch_time.update((time.perf_counter() - t_iter) / k, n=k)
         # Buffer the [k]-stacked metrics; folded into the EMA per
         # iteration at print time (reference updates hist every
         # iteration, `main.py:1383-1386` — reading back here would
@@ -854,8 +920,14 @@ def run_distill(args, ns, logger):
             if images_mode and n_seen_img:
                 # pseudo_img_ratio log line (reference `main.py:1250-1252`).
                 extra = f" pseudo_img_ratio {n_pseudo_img / n_seen_img:.4f}"
-            logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
-                         f"psnr {psnr:.4f}{extra}")
+            # Reference [TRAIN] line shape (`main.py:1429-1431`):
+            # data/batch timing meters + smoothed loss metrics + live LR.
+            logger.print(
+                f"[TRAIN] Iter {i}/{args.N_iters} "
+                f"data_time {data_time.val:.4f} ({data_time.avg:.4f}) "
+                f"batch_time {batch_time.val:.4f} ({batch_time.avg:.4f}) "
+                f"loss {loss:.6f} hist_psnr {psnr:.4f} "
+                f"LR {float(lr_sched(i)):.10f}{extra}")
 
         if (_fires(i, args.i_img) or _fires(i, args.i_testset)
                 or _fires(i, args.i_video) or i == args.N_iters):
@@ -878,16 +950,47 @@ def run_distill(args, ns, logger):
 
         if _fires(i, args.i_testset) or i == args.N_iters:
             frame_fn = _student_frame_fn()
-            res = render_path(frame_fn, test_poses, gt_images=test_gt)
-            logger.print(
-                f"[eval] iter {i} PSNR {res.test_psnr:.4f} "
-                f"PSNRv2 {res.test_psnr_v2:.4f} SSIM {res.test_ssim:.4f} "
-                f"FLIP {res.test_flip:.4f} ETA {timer()}")
-            if res.test_psnr_v2 > best_psnr:  # best on v2 (`main.py:1458`)
-                best_psnr, best_step = res.test_psnr_v2, i
+            testsavedir = None
+            if args.save_testset:
+                # Write every rendered test frame (+gt/err) like the
+                # reference's testset_<ExpID>_iter<i> dir
+                # (`main.py:1443-1454`) — the debug-a-long-run-by-its-
+                # renders capability.
+                testsavedir = os.path.join(logger.gen_img_dir,
+                                           f"testset_iter{i}")
+                os.makedirs(testsavedir, exist_ok=True)
+            t_eval = time.perf_counter()
+            res = render_path(frame_fn, test_poses, gt_images=test_gt,
+                              savedir=testsavedir,
+                              flip_rescale=args.flip_rescale)
+            t_eval = time.perf_counter() - t_eval
+            psnr_v2 = float(res.test_psnr_v2)
+            if jax.process_count() > 1:
+                # The best-save below reaches a collective (_save's pool
+                # allgather) through this float gate: broadcast process
+                # 0's value so every process takes the SAME branch (a
+                # cross-process eval divergence must not deadlock).
+                from jax.experimental import multihost_utils
+                psnr_v2 = float(multihost_utils.broadcast_one_to_all(
+                    np.float32(psnr_v2)))
+            if psnr_v2 > best_psnr:  # best on v2 (`main.py:1458`)
+                best_psnr, best_step = psnr_v2, i
                 _save(logger, "ckpt_best.msgpack", state, i, best_psnr,
                       best_step, save_pool=dcfg.n_hard_out > 0)
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
+            # Reference [TEST] line shape (`main.py:1458-1468`).
+            logger.print(
+                f"[TEST] Iter {i} TestPSNR {res.test_psnr:.4f} "
+                f"TestPSNRv2 {res.test_psnr_v2:.4f} "
+                f"BestPSNRv2 {best_psnr:.4f} (Iter {best_step}) "
+                f"TestSSIM {res.test_ssim:.4f} "
+                f"TestFLIP {res.test_flip:.4f} "
+                f"TrainHistPSNR {lossline.vals.get('train_psnr', 0.0):.4f} "
+                f"LR {float(lr_sched(i)):.8f} Time {t_eval:.1f}s "
+                f"ETA {timer()}")
+            if testsavedir is not None:
+                logger.print(
+                    f'Saved rendered test images: "{testsavedir}"')
 
         if _fires(i, args.i_weights) or i == args.N_iters:
             name = (f"ckpt_{i:07d}.msgpack"
@@ -924,6 +1027,29 @@ def run_distill(args, ns, logger):
     if loader is not None:
         loader.close()
     return state, best_psnr
+
+
+def _assert_multihost_batch_identical(batch_np: np.ndarray, logger) -> None:
+    """Pin the multihost data contract: ``run_distill`` feeds
+    ``jax.device_put(batch, NamedSharding(mesh, P('data')))`` where the
+    mesh spans processes — correct ONLY if every process drew the
+    IDENTICAL global batch (same seed, same shard files). One tiny
+    allgather of a batch checksum at the first step turns a silent
+    inconsistent-data run (reordered listdir, per-process seed skew)
+    into a loud error."""
+    import zlib
+
+    from jax.experimental import multihost_utils
+    h = np.uint32(zlib.crc32(np.ascontiguousarray(batch_np).tobytes()))
+    all_h = np.asarray(multihost_utils.process_allgather(h))
+    if not np.all(all_h == all_h.ravel()[0]):
+        raise RuntimeError(
+            "multihost data contract violated: per-process first-batch "
+            f"checksums differ ({[int(x) for x in all_h.ravel()]}). Every "
+            "process must draw the IDENTICAL global batch — check for "
+            "per-process --seed skew or unsynced --datadir_kd contents.")
+    logger.print("multihost data contract OK: first-batch checksums agree "
+                 f"across {jax.process_count()} processes")
 
 
 def _save(logger, name: str, state: TrainState, step: int,
@@ -1010,6 +1136,7 @@ def run_teacher_train(args, ns, logger):
     vcfg = vol_config(args, ns)
     tcfg = TeacherTrainConfig(
         n_rand=args.N_rand, lrate=args.lrate, lrate_decay=args.lrate_decay,
+        warmup_lr=args.warmup_lr or None,
         precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
         select_pixel_mode=args.select_pixel_mode)
     mesh = None
@@ -1024,7 +1151,7 @@ def run_teacher_train(args, ns, logger):
                      "data-parallelize over virtual CPU devices "
                      "(automatic only on TPU/GPU backends)")
     state, tx = init_teacher_state(pc, pf, tcfg)
-    best_psnr = -1.0
+    best_psnr, best_step = -1.0, -1
     if start > 0:
         # step drives precrop gating and rides into the saved state; the
         # LR-schedule count is restored with opt_state below.
@@ -1033,6 +1160,7 @@ def run_teacher_train(args, ns, logger):
     if blob is not None:
         state = _restore_opt_state(state, blob, logger, label="teacher ")
         best_psnr = float(rmeta.get("best_psnr", -1.0))
+        best_step = int(rmeta.get("best_psnr_step", -1))
         if best_psnr > 0:
             logger.print(f"restored teacher best_psnr {best_psnr:.4f}")
         ckpt.drop_cached_checkpoint()
@@ -1083,8 +1211,16 @@ def run_teacher_train(args, ns, logger):
     test_poses = ns.poses[ns.i_test]
     test_gt = ns.images[ns.i_test]
 
-    from .logging_ import LossLine
+    from .logging_ import AverageMeter, LossLine
     lossline = LossLine(ema=0.95)
+    # Same meters + live-LR line as run_distill (reference
+    # `main.py:1173-1174,1429-1431`); in batched mode batch assembly is
+    # an on-device slice, so data_time measures the (tiny) host prep.
+    data_time = AverageMeter("data_time")
+    batch_time = AverageMeter("batch_time")
+    lr_sched = make_lr_schedule(args.lrate, args.lrate_decay,
+                                tcfg.warmup_lr)
+    timer = Timer(max((args.N_iters - start) // max(args.i_testset, 1), 1))
     pending_ms = []
     key = jax.random.key(args.seed)
     shuffle_rng = np.random.default_rng(args.seed + 17)
@@ -1104,6 +1240,7 @@ def run_teacher_train(args, ns, logger):
     K = _resolve_steps_per_dispatch(args)
     i = start
     while i < args.N_iters:
+        t_iter = time.perf_counter()
         # Chunk up to K steps into one dispatch, never crossing an event
         # boundary (print/eval/video/ckpt) or the epoch wrap.
         k = min(K, _next_event(i, (args.i_print, args.i_img,
@@ -1113,6 +1250,7 @@ def run_teacher_train(args, ns, logger):
             k = max(1, min(k, (ray_pool.shape[0] - i_batch)
                            // args.N_rand))
             fn = step_k_b(k)
+            data_time.update((time.perf_counter() - t_iter) / k, n=k)
             if k == 1:
                 key, sub = jax.random.split(key)
                 state, ms = fn(state, ray_pool,
@@ -1139,12 +1277,14 @@ def run_teacher_train(args, ns, logger):
                 i_batch = 0
         else:
             fn = step_k_i(k)
+            data_time.update((time.perf_counter() - t_iter) / k, n=k)
             if k == 1:
                 key, sub = jax.random.split(key)
                 state, ms = fn(state, images, poses, sub)
             else:
                 state, ms, key = fn(state, images, poses, key)
         i += k
+        batch_time.update((time.perf_counter() - t_iter) / k, n=k)
         # Buffer the [k]-stacked metrics; per-iteration EMA fold happens
         # at print time (reference `main.py:1383-1386`) so the hot loop
         # never blocks on a device readback.
@@ -1159,8 +1299,12 @@ def run_teacher_train(args, ns, logger):
             pending_ms.clear()
             loss = lossline.vals["loss"]
             psnr = lossline.vals["psnr"]
-            logger.print(f"iter {i}/{args.N_iters} loss {loss:.6f} "
-                         f"psnr {psnr:.4f}")
+            logger.print(
+                f"[TRAIN] Iter {i}/{args.N_iters} "
+                f"data_time {data_time.val:.4f} ({data_time.avg:.4f}) "
+                f"batch_time {batch_time.val:.4f} ({batch_time.avg:.4f}) "
+                f"loss {loss:.6f} hist_psnr {psnr:.4f} "
+                f"LR {float(lr_sched(i)):.10f}")
         if (_fires(i, args.i_img) or _fires(i, args.i_testset)
                 or _fires(i, args.i_video) or i == args.N_iters):
             # Same collective-vs-compile drain as run_distill (see there).
@@ -1178,20 +1322,42 @@ def run_teacher_train(args, ns, logger):
             logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
         if _fires(i, args.i_testset) or i == args.N_iters:
             # Full test split (subsampled by --testskip), as the
-            # reference's i_testset eval (`main.py:1442-1471`).
+            # reference's i_testset eval (`main.py:1442-1471`): the
+            # SHARED eval logs the full TestPSNR/v2/SSIM/FLIP line and
+            # best-selects on PSNRv2 for BOTH models.
+            testsavedir = None
+            if args.save_testset:
+                testsavedir = os.path.join(logger.gen_img_dir,
+                                           f"testset_iter{i}")
+                os.makedirs(testsavedir, exist_ok=True)
+            t_eval = time.perf_counter()
             res = render_path(_eval_frame_fn(), test_poses,
-                              gt_images=test_gt, compute_flip=False)
-            logger.print(f"[eval] iter {i} PSNR {res.test_psnr:.4f}")
-            if res.test_psnr > best_psnr:
-                best_psnr = res.test_psnr
+                              gt_images=test_gt, savedir=testsavedir,
+                              flip_rescale=args.flip_rescale)
+            t_eval = time.perf_counter() - t_eval
+            if res.test_psnr_v2 > best_psnr:
+                best_psnr, best_step = float(res.test_psnr_v2), i
                 ckpt.save_checkpoint(
                     os.path.join(logger.weights_dir,
                                  "teacher_best.msgpack"),
                     {"coarse": state.params_coarse,
                      "fine": state.params_fine,
                      "opt_state": state.opt_state},
-                    meta={"global_step": i, "best_psnr": best_psnr})
+                    meta={"global_step": i, "best_psnr": best_psnr,
+                          "best_psnr_step": best_step})
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
+            logger.print(
+                f"[TEST] Iter {i} TestPSNR {res.test_psnr:.4f} "
+                f"TestPSNRv2 {res.test_psnr_v2:.4f} "
+                f"BestPSNRv2 {best_psnr:.4f} (Iter {best_step}) "
+                f"TestSSIM {res.test_ssim:.4f} "
+                f"TestFLIP {res.test_flip:.4f} "
+                f"TrainHistPSNR {lossline.vals.get('psnr', 0.0):.4f} "
+                f"LR {float(lr_sched(i)):.8f} Time {t_eval:.1f}s "
+                f"ETA {timer()}")
+            if testsavedir is not None:
+                logger.print(
+                    f'Saved rendered test images: "{testsavedir}"')
         if _fires(i, args.i_video) and i < args.N_iters:
             # Periodic novel-view video + NeRF disparity video
             # (reference `main.py:1472-1497`).
@@ -1220,14 +1386,15 @@ def run_teacher_train(args, ns, logger):
             tree = {"coarse": state.params_coarse,
                     "fine": state.params_fine,
                     "opt_state": state.opt_state}
+            meta = {"global_step": i, "best_psnr": best_psnr,
+                    "best_psnr_step": best_step}
             ckpt.save_checkpoint(
-                os.path.join(logger.weights_dir, name), tree,
-                meta={"global_step": i, "best_psnr": best_psnr})
+                os.path.join(logger.weights_dir, name), tree, meta=meta)
             if args.save_intermediate_models:
                 # keep the stable name current too (tools expect it)
                 ckpt.save_checkpoint(
                     os.path.join(logger.weights_dir, "teacher.msgpack"),
-                    tree, meta={"global_step": i, "best_psnr": best_psnr})
+                    tree, meta=meta)
     if pending_ms:  # drain the metric backlog (N_iters % i_print != 0)
         _fold_lossline(lossline, pending_ms, {"loss": "loss",
                                               "psnr": "psnr"})

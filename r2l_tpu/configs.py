@@ -299,6 +299,18 @@ def build_parser() -> argparse.ArgumentParser:
              "reference's per-tensor min-max rescale to [-1,1] "
              "(main.py:361-364) so numbers are comparable to reference "
              "logs")
+    add('--flip_rescale', type=str, default='standard',
+        choices=['standard', 'minmax'],
+        help="FLIP input convention: 'standard' feeds [0,1] sRGB (the "
+             "FLIP spec); 'minmax' reproduces the reference, which "
+             "min-max rescales BOTH frame stacks to [-1,1] before "
+             "compute_flip (main.py:361-377) — use it when comparing "
+             "against reference log lines")
+    add('--save_testset', type=_bool, nargs='?', const=True, default=True,
+        help='write every rendered test frame (+gt and |err| images) to '
+             'gen_img/testset_iter<i>/ at each --i_testset eval, as the '
+             'reference does (main.py:1443-1454); --save_testset 0 '
+             'skips the disk writes for IO-constrained runs')
     add('--allow_random_teacher', type=_bool, nargs='?', const=True,
         default=False,
         help='create_data only: proceed WITHOUT --teacher_ckpt (random-'
@@ -395,7 +407,17 @@ def _check_n_pose(n_pose):
         raise SystemExit(
             f"--n_pose_kd/--n_pose_video expects an int, a comma list "
             f"like '4,2,1', or 'mode:value' items — got {s!r}")
-    return [int(p) if p.isdigit() else p for p in s.split(',')]
+    items = [int(p) if p.isdigit() else p for p in s.split(',')]
+    # A list value must name all three axes (theta, phi, radius) —
+    # get_novel_poses indexes n_pose[1]/n_pose[2], so a 1- or 2-item
+    # list (e.g. a lone 'fix:90') would IndexError deep inside pose
+    # synthesis instead of failing here.
+    if len(items) != 3:
+        raise SystemExit(
+            f"--n_pose_kd/--n_pose_video list form needs exactly 3 items "
+            f"(theta, phi, radius; ints or 'mode:value') — got "
+            f"{len(items)} in {s!r}")
+    return items
 
 
 def normalize_args(args: argparse.Namespace) -> argparse.Namespace:

@@ -49,23 +49,12 @@ class EvalResult:
 import functools
 
 
-@functools.lru_cache(maxsize=64)
-def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
-                   plucker: bool, pallas_tile: int, kind: str,
-                   dim_pts: int, mesh=None) -> Callable:
-    """Jitted (prepared_params, c2w) -> [H, W, 3], cached on the static
-    config so periodic in-training evals re-use ONE compilation (params
-    are a runtime argument, not a baked-in constant — a fresh jit per
-    eval would recompile 30-90 s each through this image's TPU tunnel).
-
-    ``mesh``: shard the frame's RAY axis over the mesh 'data' axis —
-    each device renders a ray tile (SURVEY.md §2.8's TPU-native
-    inference scaling; the reference renders on one GPU). The plain-XLA
-    path shards via a GSPMD constraint; the Pallas kinds run the fused
-    kernel per device shard under ``shard_map`` (params replicated).
-    """
-    n_dev = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
-
+def _r2l_net_fn(cfg: R2LConfig, embed_L: int, pallas_tile: int, kind: str,
+                dim_pts: int) -> Callable:
+    """The per-ray-batch forward for a prepared ``kind``: (prepared
+    params, pts [n, dim_pts*n_sample or 6]) -> rgb [n, >=3]. Shared by
+    the pose-driven frame path and the DONeRF given-rays path so every
+    entry point uses the same fast kernels."""
     def net(p, pts):
         if kind == "int8":
             # fold_requant + nobf16_inner: the round-3 epilogue winner —
@@ -82,6 +71,27 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
                                       tile=pallas_tile)
         return apply_r2l(p, cfg, r2l_embed(pts, embed_L))
 
+    return net
+
+
+@functools.lru_cache(maxsize=64)
+def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
+                   plucker: bool, pallas_tile: int, kind: str,
+                   dim_pts: int, mesh=None) -> Callable:
+    """Jitted (prepared_params, c2w) -> [H, W, 3], cached on the static
+    config so periodic in-training evals re-use ONE compilation (params
+    are a runtime argument, not a baked-in constant — a fresh jit per
+    eval would recompile 30-90 s each through this image's TPU tunnel).
+
+    ``mesh``: shard the frame's RAY axis over the mesh 'data' axis —
+    each device renders a ray tile (SURVEY.md §2.8's TPU-native
+    inference scaling; the reference renders on one GPU). The plain-XLA
+    path shards via a GSPMD constraint; the Pallas kinds run the fused
+    kernel per device shard under ``shard_map`` (params replicated).
+    """
+    n_dev = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
+    net = _r2l_net_fn(cfg, embed_L, pallas_tile, kind, dim_pts)
+
     def frame(p, c2w):
         pts = (sampler.sample_test_plucker(c2w) if plucker
                else sampler.sample_test(c2w))
@@ -93,6 +103,32 @@ def _r2l_frame_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
         # learn_depth models emit 4 channels; frames keep RGB
         # (reference `main.py:227-231`).
         return rgb[:, :3].reshape(sampler.H, sampler.W, 3)
+
+    return jax.jit(frame)
+
+
+@functools.lru_cache(maxsize=64)
+def _r2l_givenrays_jit(cfg: R2LConfig, sampler: PointSampler, embed_L: int,
+                       plucker: bool, pallas_tile: int, kind: str,
+                       dim_pts: int, H: int, W: int, mesh=None) -> Callable:
+    """Jitted (prepared_params, rays_o [H*W,3], rays_d [H*W,3]) ->
+    [H, W, 3] for the DONeRF precomputed-ray path (reference
+    `main.py:207-270`) — the same prepared kinds / mesh sharding as
+    ``_r2l_frame_jit``, with the points sampled from the given rays
+    instead of a camera pose."""
+    from .rays import plucker as plucker_fn
+    n_dev = 1 if mesh is None else int(dict(mesh.shape).get("data", 1))
+    net = _r2l_net_fn(cfg, embed_L, pallas_tile, kind, dim_pts)
+
+    def frame(p, ro, rd):
+        pts = (plucker_fn(ro, rd) if plucker
+               else sampler.sample_train(ro, rd))
+        if mesh is None or n_dev <= 1:
+            rgb = net(p, pts)
+        else:
+            rgb = _shard_rays(mesh, kind == "jnp", net, consts=(p,),
+                              arrays=(pts,), pads=(0.0,))
+        return rgb[:, :3].reshape(H, W, 3)
 
     return jax.jit(frame)
 
@@ -184,7 +220,8 @@ def _pe_kernel_tile_fit(cfg: R2LConfig, dim_pts: int, requested: int,
 
 def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
                  embed_L: int, plucker: bool, use_pallas: bool,
-                 quantize: str, calib_poses=None, pallas_tile: int = 512):
+                 quantize: str, calib_poses=None, pallas_tile: int = 512,
+                 calib_pts=None):
     """Pick the fastest supported path and pack params for it.
     Returns (prepared_params, kind, dim_pts, tile).
 
@@ -193,6 +230,10 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
     passes the scene's own poses). Without them the fallback assumes
     blender-convention radius-4 spherical cameras — wrong for scenes
     with other camera layouts, hence the warning.
+
+    ``calib_pts`` [M, dim_pts*n_sample]: precomputed calibration sample
+    points; wins over ``calib_poses`` (the given-rays path calibrates on
+    a subsample of its actual deployment rays).
     """
     from .kernels.r2l_pallas import fused_kernel_supported
     if not fused_kernel_supported(cfg):
@@ -245,7 +286,9 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
                            focal=sampler.focal / 8.0,
                            n_sample=sampler.n_sample,
                            near=sampler.near, far=sampler.far)
-        if calib_poses is not None and len(calib_poses) > 0:
+        if calib_pts is not None:
+            poses = []
+        elif calib_poses is not None and len(calib_poses) > 0:
             arr = np.asarray(calib_poses)
             pick = np.linspace(0, len(arr) - 1,
                                min(len(arr), 8)).astype(int)
@@ -260,8 +303,10 @@ def _prepare_r2l(params: dict, cfg: R2LConfig, sampler: PointSampler,
             poses = [pose_spherical(t, p, 4.0)[:3, :4]
                      for t in (0.0, 90.0, 180.0, 270.0)
                      for p in (-10.0, -70.0)]
-        calib = jnp.concatenate([
-            sub.sample_test(jnp.asarray(np.asarray(p))) for p in poses])
+        calib = (jnp.asarray(calib_pts) if calib_pts is not None
+                 else jnp.concatenate([
+                     sub.sample_test(jnp.asarray(np.asarray(p)))
+                     for p in poses]))
         prepared = calibrate_r2l_int8_pe(params, cfg, dim_pts, embed_L,
                                          calib_pts=calib,
                                          fold_requant=True)
@@ -313,6 +358,74 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     jit_fn = _r2l_frame_jit(cfg, sampler, embed_L, plucker, tile,
                             kind, dim_pts, mesh=mesh)
     return lambda c2w: jit_fn(prepared, c2w)
+
+
+def make_r2l_givenrays_frame_fn(params: dict, cfg: R2LConfig,
+                                sampler: PointSampler, H: int, W: int,
+                                embed_L: int = 10, plucker: bool = False,
+                                use_pallas: bool = True,
+                                pallas_tile: int = 512,
+                                quantize: str = "",
+                                calib_rays=None,
+                                mesh=None) -> Callable:
+    """Build the jitted (rays_o [H*W,3], rays_d [H*W,3]) -> [H, W, 3]
+    renderer for the DONeRF given-rays path, through the SAME fast paths
+    as ``make_r2l_frame_fn`` (Pallas PE-fused / int8 kernels, mesh ray
+    sharding) — reference `main.py:207-270` runs this branch on the
+    plain forward; here it gets the production machinery.
+
+    ``calib_rays``: (rays_o, rays_d) arrays spanning the deployment
+    rays; int8 activation scales are calibrated on a subsample of them
+    (the actual distribution — better than synthetic spherical poses).
+    """
+    calib_pts = None
+    if quantize == "int8" and not plucker and calib_rays is not None:
+        ro, rd = (np.asarray(calib_rays[0], np.float32).reshape(-1, 3),
+                  np.asarray(calib_rays[1], np.float32).reshape(-1, 3))
+        pick = np.linspace(0, ro.shape[0] - 1,
+                           min(ro.shape[0], 16384)).astype(int)
+        calib_pts = sampler.sample_train(jnp.asarray(ro[pick]),
+                                         jnp.asarray(rd[pick]))
+    prepared, kind, dim_pts, tile = _prepare_r2l(
+        params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
+        pallas_tile=pallas_tile, calib_pts=calib_pts)
+    jit_fn = _r2l_givenrays_jit(cfg, sampler, embed_L, plucker, tile,
+                                kind, dim_pts, H, W, mesh=mesh)
+    fn = lambda ro, rd: jit_fn(prepared, ro, rd)  # noqa: E731
+    fn.kind = kind  # introspection for tests / the app's path log line
+    return fn
+
+
+def make_r2l_givenrays_bench_fn(params: dict, cfg: R2LConfig,
+                                sampler: PointSampler, H: int, W: int,
+                                embed_L: int = 10, plucker: bool = False,
+                                use_pallas: bool = True,
+                                pallas_tile: int = 512, quantize: str = "",
+                                calib_rays=None, mesh=None) -> Callable:
+    """(rays_o [K,H*W,3], rays_d [K,H*W,3]) -> scalar checksum, K frames
+    per jit — the honest-latency protocol (see ``make_r2l_bench_fn``)
+    for the given-rays path."""
+    calib_pts = None
+    if quantize == "int8" and not plucker and calib_rays is not None:
+        ro, rd = (np.asarray(calib_rays[0], np.float32).reshape(-1, 3),
+                  np.asarray(calib_rays[1], np.float32).reshape(-1, 3))
+        pick = np.linspace(0, ro.shape[0] - 1,
+                           min(ro.shape[0], 16384)).astype(int)
+        calib_pts = sampler.sample_train(jnp.asarray(ro[pick]),
+                                         jnp.asarray(rd[pick]))
+    prepared, kind, dim_pts, tile = _prepare_r2l(
+        params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
+        pallas_tile=pallas_tile, calib_pts=calib_pts)
+    frame = _r2l_givenrays_jit(cfg, sampler, embed_L, plucker, tile,
+                               kind, dim_pts, H, W, mesh=mesh)
+
+    @jax.jit
+    def render_k(p, ros, rds):
+        return jnp.sum(jax.lax.map(
+            lambda ray: jnp.sum(frame(p, ray[0], ray[1])),
+            jnp.stack([ros, rds], axis=1)))
+
+    return lambda ros, rds: render_k(prepared, ros, rds)
 
 
 def make_r2l_bench_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
@@ -464,6 +577,7 @@ def render_path(frame_fn: Callable[[Array], Array],
                 lpips_params: dict | None = None,
                 compute_flip: bool = True,
                 lpips_rescale: str = "standard",
+                flip_rescale: str = "standard",
                 logger=None) -> EvalResult:
     """Render every pose; compute metrics vs ``gt_images`` when given.
 
@@ -480,9 +594,13 @@ def render_path(frame_fn: Callable[[Array], Array],
     frames, disps, mses, psnrs, ssims = [], [], [], [], []
     t_total, n_timed, t_first = 0.0, 0, 0.0
     for i, c2w in enumerate(poses):
-        c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
         t0 = time.perf_counter()
-        img = frame_fn(c2w)
+        if isinstance(c2w, tuple):
+            # generalized per-frame input (the given-rays path feeds
+            # (rays_o, rays_d) tuples instead of camera poses)
+            img = frame_fn(*(jnp.asarray(np.asarray(x)) for x in c2w))
+        else:
+            img = frame_fn(jnp.asarray(np.asarray(c2w)[:3, :4]))
         if isinstance(img, tuple):  # (rgb, disp) — teacher with_disp path
             img, disp = img
             disps.append(np.asarray(disp, dtype=np.float32))
@@ -537,9 +655,25 @@ def render_path(frame_fn: Callable[[Array], Array],
         result.test_psnr_v2 = float(np.mean(psnrs))
         result.test_ssim = float(np.mean(ssims))
         if compute_flip:
-            vals = [float(flip_metric(jnp.asarray(gt_images[i]),
-                                      jnp.asarray(frames[i])))
-                    for i in range(len(frames))]
+            if flip_rescale == "minmax":
+                # Reference convention (`main.py:361-377`): the SAME
+                # min-max rescale of both stacks to [-1,1] that feeds
+                # LPIPS also precedes compute_flip there. Its FLIP clamps
+                # sRGB inputs to [0,1] internally (flip_loss.py:306-307),
+                # so pre-clipping the rescaled values reproduces the
+                # reference numbers exactly. Spec-correct FLIP (sRGB in
+                # [0,1]) is the 'standard' default.
+                from .lpips_jax import minmax_rescale
+                gts = jnp.clip(minmax_rescale(jnp.asarray(
+                    np.asarray(gt_images, np.float32))), 0.0, 1.0)
+                recs = jnp.clip(minmax_rescale(jnp.asarray(
+                    np.stack(frames))), 0.0, 1.0)
+                vals = [float(flip_metric(gts[i], recs[i]))
+                        for i in range(len(frames))]
+            else:
+                vals = [float(flip_metric(jnp.asarray(gt_images[i]),
+                                          jnp.asarray(frames[i])))
+                        for i in range(len(frames))]
             result.test_flip = float(np.mean(vals))
         if lpips_params is not None:
             # Per-image LPIPS, averaged over images (a batch-mean would
@@ -590,47 +724,36 @@ def render_path_given_rays(params: dict, cfg: R2LConfig,
                            gt_images: np.ndarray | None = None,
                            savedir: str | None = None,
                            embed_L: int = 10, plucker: bool = False,
+                           use_pallas: bool = True, pallas_tile: int = 512,
+                           quantize: str = "", mesh=None,
+                           lpips_params: dict | None = None,
+                           lpips_rescale: str = "standard",
+                           flip_rescale: str = "standard",
+                           compute_flip: bool = True,
                            logger=None) -> EvalResult:
-    """DONeRF path: render frames from precomputed rays
-    (reference `main.py:207-270`)."""
-    from .rays import plucker as plucker_fn
-
-    @jax.jit
-    def frame(ro, rd):
-        pts = (plucker_fn(ro, rd) if plucker
-               else sampler.sample_train(ro, rd))
-        rgb = apply_r2l(params, cfg, r2l_embed(pts, embed_L))
-        return rgb[:, :3].reshape(H, W, 3)
-
-    frames, mses, psnrs, ssims = [], [], [], []
-    for i in range(all_rays_o.shape[0]):
-        img = frame(jnp.asarray(all_rays_o[i]), jnp.asarray(all_rays_d[i]))
-        img_np = np.asarray(img, np.float32)
-        frames.append(img_np)
-        if gt_images is not None:
-            m = jax.device_get(M.frame_metrics(
-                img, jnp.asarray(gt_images[i, :H, :W])))
-            mses.append(float(m["mse"]))
-            psnrs.append(float(m["psnr"]))
-            ssims.append(float(m["ssim"]))
-        if savedir is not None:
-            import imageio.v2 as imageio
-            imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"),
-                            to8b(img_np))
-            if gt_images is not None:
-                imageio.imwrite(
-                    os.path.join(savedir, f"{i:03d}_error.png"),
-                    to8b(np.abs(img_np - gt_images[i, :H, :W])))
-        if logger is not None:
-            logger.print(f"given-rays frame {i}"
-                         + (f" psnr {psnrs[-1]:.4f}" if psnrs else ""))
-    res = EvalResult(frames=np.stack(frames))
-    if mses:
-        res.per_frame_psnr = psnrs
-        res.test_psnr = float(M.mse2psnr(jnp.asarray(np.mean(mses))))
-        res.test_psnr_v2 = float(np.mean(psnrs))
-        res.test_ssim = float(np.mean(ssims))
-    return res
+    """DONeRF path: render frames from precomputed rays (reference
+    `main.py:207-270`) through the SAME production fast path and metric
+    set as the pose-driven ``render_path`` — Pallas PE-fused / int8
+    kernels, mesh ray sharding, PSNR/v2/SSIM/FLIP/LPIPS, error + gt
+    image dumps."""
+    frame_fn = make_r2l_givenrays_frame_fn(
+        params, cfg, sampler, H, W, embed_L=embed_L, plucker=plucker,
+        use_pallas=use_pallas, pallas_tile=pallas_tile, quantize=quantize,
+        calib_rays=(all_rays_o, all_rays_d), mesh=mesh)
+    if logger is not None:
+        logger.print(f"given-rays inference path: {frame_fn.kind}"
+                     + (f" (mesh {dict(mesh.shape)})" if mesh is not None
+                        else ""))
+    inputs = [(all_rays_o[i], all_rays_d[i])
+              for i in range(all_rays_o.shape[0])]
+    gt = None
+    if gt_images is not None:
+        gt = np.asarray(gt_images, np.float32)[:, :H, :W]
+    return render_path(frame_fn, inputs, gt_images=gt, savedir=savedir,
+                       lpips_params=lpips_params,
+                       lpips_rescale=lpips_rescale,
+                       flip_rescale=flip_rescale,
+                       compute_flip=compute_flip, logger=logger)
 
 
 def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:

@@ -331,7 +331,8 @@ def prepare_fused_nerf_t(params: dict, cfg: NeRFConfig, L_pts: int,
                                              "white_bkgd", "tile", "int8",
                                              "pe_ladder", "interpret",
                                              "fold_requant",
-                                             "sample_pairs"))
+                                             "sample_pairs",
+                                             "bf16_requant"))
 def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                         rays_o: Array, rays_d: Array, z_vals: Array,
                         L_pts: int = 10, L_views: int = 4,
@@ -339,12 +340,22 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                         int8: bool = False, pe_ladder: bool = True,
                         interpret: bool | None = None,
                         fold_requant: bool = False,
-                        sample_pairs: bool | int = False):
+                        sample_pairs: bool | int = False,
+                        bf16_requant: bool = False):
     """Transposed-layout volumetric pass; same contract as
     ``fused_nerf_render`` (rgb [N,3], acc [N], depth [N], weights [N,S]).
     ``fold_requant`` needs params packed with the same flag: activation
     requantizes become round+clip (scales pre-folded into the producers'
     dequant constants).
+
+    ``bf16_requant`` (int8 only): carry the inter-layer dequant·m+b
+    arithmetic and relu of INTERMEDIATE activations in bf16 instead of
+    f32 (halves the VPU element cost of the requant epilogue the r4
+    decomposition showed the kernel is bound on). Lossy: the bf16
+    product rounds at 2^-9 relative — comparable to the int8 LSB the
+    very next round/clip quantizes to, but it can flip which integer a
+    borderline value rounds to. Heads (sigma, rgb) stay f32 so the
+    compositing math is untouched. Measure, don't assume (PERF.md r5).
 
     ``sample_pairs`` processes P samples per grid step (True == 2; 2/4/8
     accepted, must divide 8) as P INDEPENDENT interleaved MLP chains
@@ -414,10 +425,17 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
         d3 = rd_ref[0:3, :]                              # [3, T]
         d_norm = jnp.sqrt(jnp.sum(d3 * d3, axis=0, keepdims=True))
 
-        def mmT(w_r, x, m_r, b_r):
+        def mmT(w_r, x, m_r, b_r, f32_out=False):
             if int8:
                 acc = jnp.dot(w_r[...], x,
                               preferred_element_type=jnp.int32)
+                if bf16_requant and not f32_out:
+                    # intermediate dequant in bf16 (docstring above):
+                    # the following round/clip re-quantizes to int8
+                    # anyway; heads pass f32_out=True.
+                    return (acc.astype(jnp.bfloat16)
+                            * m_r[...].astype(jnp.bfloat16)
+                            + b_r[...].astype(jnp.bfloat16))
                 return acc.astype(jnp.float32) * m_r[...] + b_r[...]
             # f32 weights must honor cfg.precision (XLA's _linear does).
             # Mosaic's dot lowering supports only DEFAULT and HIGHEST —
@@ -506,7 +524,7 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
 
             hq = q8n(h, h_inv[...]) if int8 else h.astype(cd)
             if cfg.use_viewdirs:
-                sigma = mmT(aw, hq, am, ab)[0:1, :]      # [1, T]
+                sigma = mmT(aw, hq, am, ab, f32_out=True)[0:1, :]  # [1,T]
                 feat = mmT(fw, hq, fm, fb)               # [W, T]
                 if int8:
                     fq = q8n(feat, hv_inv[...][:W, :])
@@ -515,9 +533,9 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
                 hv_in = jnp.concatenate([fq, views_ref[...]], axis=0)
                 hv = jnp.maximum(mmT(vw, hv_in, vm, vb), 0.0)
                 hvq = q8n(hv, hr_inv[...]) if int8 else hv.astype(cd)
-                rgb_raw = mmT(rw, hvq, rm, rb)           # [8, T]
+                rgb_raw = mmT(rw, hvq, rm, rb, f32_out=True)  # [8, T]
             else:
-                rgb_raw = mmT(ow, hq, om, ob)            # [8, T]
+                rgb_raw = mmT(ow, hq, om, ob, f32_out=True)   # [8, T]
                 sigma = rgb_raw[3:4, :]
             return sigma, rgb_raw
 

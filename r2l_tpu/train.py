@@ -473,6 +473,9 @@ class TeacherTrainConfig:
     n_rand: int = 1024               # rays per step (--N_rand for nerf)
     lrate: float = 5e-4
     lrate_decay: int = 250
+    warmup_lr: str | None = None     # 'start,end_iter' — the reference's
+    #                                  --warmup_lr applies to whichever
+    #                                  model trains (`main.py:1184-1191`)
     precrop_iters: int = 0
     precrop_frac: float = 0.5
     select_pixel_mode: str = "rand_pixel"  # or 'rand_patch'
@@ -490,7 +493,7 @@ class TeacherState(NamedTuple):
 
 def init_teacher_state(params_coarse: Any, params_fine: Any,
                        tcfg: TeacherTrainConfig):
-    tx = make_optimizer(tcfg.lrate, tcfg.lrate_decay)
+    tx = make_optimizer(tcfg.lrate, tcfg.lrate_decay, tcfg.warmup_lr)
     both = {"coarse": params_coarse, "fine": params_fine}
     return TeacherState(params_coarse, params_fine, tx.init(both),
                         jnp.zeros((), jnp.int32)), tx

@@ -68,6 +68,24 @@ state, ms = step(state, batch, jax.random.key(1))
 print(f"MULTIHOST_OK pid={pid} loss={float(ms['loss']):.8f} "
       f"psnr={float(ms['psnr']):.6f}", flush=True)
 
+# --- multihost data contract (r4 verdict Next #3) --------------------------
+# run_distill asserts at step 0 that every process drew the IDENTICAL
+# global batch (the device_put-with-spanning-sharding invariant). Both
+# the agreeing case and an injected per-process seed skew are exercised
+# (the allgather is a collective: both processes call it both times).
+from types import SimpleNamespace as _NS  # noqa: E402
+
+from r2l_tpu import app as app_mod  # noqa: E402
+
+_quiet = _NS(print=lambda *a, **k: None)
+app_mod._assert_multihost_batch_identical(rec, _quiet)
+print(f"CONTRACT_OK pid={pid}", flush=True)
+try:
+    app_mod._assert_multihost_batch_identical(rec + np.float32(pid), _quiet)
+    print(f"CONTRACT_SKEW_MISSED pid={pid}", flush=True)
+except RuntimeError:
+    print(f"CONTRACT_SKEW_CAUGHT pid={pid}", flush=True)
+
 # --- hard-pool checkpoint across processes --------------------------------
 # The pjit'd step leaves pool.rays sharded over 'data' (spanning both
 # processes -> NOT fully addressable); app._save must allgather it

@@ -86,6 +86,31 @@ def test_flip_golden_parity_vs_reference():
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+def test_flip_minmax_golden_parity_vs_reference():
+    """--flip_rescale minmax reproduces the reference's FLIP-on-
+    rescaled-inputs convention (`main.py:361-377`: both [N,3,H,W]
+    stacks min-max rescaled to [-1,1] before compute_flip; the torch
+    FLIP clamps sRGB inputs to [0,1] internally, flip_loss.py:306-307).
+    Frozen per-image values from the patched reference torch code —
+    regenerate with tools/gen_metric_fixtures.py."""
+    import os
+
+    from r2l_tpu.lpips_jax import minmax_rescale
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "metrics_golden.npz")
+    data = np.load(fx)
+    # Same pipeline as evaluate.render_path's minmax branch: rescale the
+    # WHOLE stack, clip to [0,1] (the reference's internal clamp), then
+    # per-image FLIP.
+    gts = jnp.clip(minmax_rescale(jnp.asarray(data["gts"])), 0.0, 1.0)
+    recs = jnp.clip(minmax_rescale(jnp.asarray(data["imgs"])), 0.0, 1.0)
+    for i, want in enumerate(data["flip_minmax"]):
+        got = float(flip(gts[i], recs[i]))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+    # and the two conventions genuinely differ on these fixtures
+    assert not np.allclose(data["flip_minmax"], data["flip"], atol=1e-3)
+
+
 def test_ssim_golden_parity_vs_reference():
     """Numeric parity with the reference torch SSIM
     (`/root/reference/utils/ssim_torch.py`) on frozen fixtures."""

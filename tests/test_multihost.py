@@ -96,6 +96,13 @@ def test_two_process_multihost_distill_step(tmp_path):
     # ...and it matches the single-process step on the same data/keys.
     ref = _single_process_loss()
     np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
+    # data contract: identical batches pass the step-0 checksum; an
+    # injected per-process seed skew is CAUGHT (r4 verdict Next #3)
+    for i, out in enumerate(outs):
+        assert f"CONTRACT_OK pid={i}" in out, out
+        assert f"CONTRACT_SKEW_CAUGHT pid={i}" in out, \
+            f"worker {i} did not catch the skewed batch:\n{out}"
+        assert "CONTRACT_SKEW_MISSED" not in out
     # hard-pool save: _save must allgather the cross-process-sharded
     # pool.rays (not raise), and both processes see the same global pool
     pool_lines = []

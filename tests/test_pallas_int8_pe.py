@@ -144,3 +144,40 @@ def test_int8_pe_chains_bitwise_matches_single(key):
         out = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts, L,
                                       chains=C, **kw)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+def test_int8_epilogue_canary_frozen():
+    """Headline guard (r4 verdict Next #7): the deployed fold_requant +
+    nobf16_inner epilogue must reproduce the frozen fixture BIT-EXACTLY
+    (interpret mode, CPU-deterministic in this image). The two measured-
+    negative "simplifications" (relu-as-clip, f32-inner requant,
+    PERF.md) change these bits — any epilogue rewrite must regenerate
+    the fixture CONSCIOUSLY via tools/gen_int8_epilogue_canary.py and
+    re-A/B on the TPU per the PERF.md interleaved protocol."""
+    import os
+
+    from tools.gen_int8_epilogue_canary import build_case
+    cfg, params, calib, pts = build_case()
+    fp = calibrate_r2l_int8_pe(params, cfg, dim_pts=6, L=4,
+                               calib_pts=calib, fold_requant=True)
+    got = fused_r2l_apply_int8_pe(fp, cfg, pts, dim_pts=6, L=4, tile=32,
+                                  fold_requant=True, nobf16_inner=True,
+                                  interpret=True)
+    fx = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                              "int8_epilogue_canary.npz"))
+    np.testing.assert_array_equal(np.asarray(got, np.float32), fx["rgb"])
+
+
+def test_bench_tile_set_matches_vmem_fit_model():
+    """bench.py's autotune tile candidates must stay in sync with the
+    VMEM fit model (r4 verdict Next #7): at the canonical int8 config,
+    640/800 fit unclamped and the 2000 candidate clamps to exactly 1792
+    (the modeled ceiling with ~4 MB headroom, PERF.md r4)."""
+    import bench
+    from r2l_tpu.evaluate import _pe_kernel_tile_fit
+    cfg = R2LConfig(compute_dtype=jnp.bfloat16, precision="default")
+    fits = {t: _pe_kernel_tile_fit(cfg, 48, t, quantized=True)
+            for t in bench.PALLAS_TILES}
+    assert set(bench.PALLAS_TILES) == {640, 800, 2000}, bench.PALLAS_TILES
+    assert fits[640] == 640 and fits[800] == 800, fits
+    assert fits[2000] == 1792, fits

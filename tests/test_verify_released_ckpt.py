@@ -84,6 +84,27 @@ def test_verify_passes_on_faithful_conversion(synthetic_release, capsys):
     # PNG-quantization-limited self-render: comfortably above 45 dB
     assert rep["results"]["xla"]["psnr"] > 45.0
     assert "PASS" in out
+    # the paper-comparable table columns (r4 verdict Next #4): SSIM and
+    # FLIP always; LPIPS null without weights (env-blocked offline)
+    assert rep["results"]["xla"]["ssim"] > 0.99
+    assert rep["results"]["xla"]["flip"] is not None
+    assert rep["results"]["xla"]["lpips"] is None
+    assert "FLIP" in out and "LPIPS" in out
+
+
+def test_report_only_all_skipped_is_not_pass(synthetic_release, capsys):
+    """Report-only mode (no --expect_psnr) where every path is skipped
+    must NOT read as success (advisor r4 finding)."""
+    tar, scene = synthetic_release
+    rc = verify_main(["--ckpt", tar, "--datadir", scene,
+                      "--paths", "pallas", "--act", "lrelu",
+                      "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    rep = json.loads([l for l in out.splitlines()
+                      if l.startswith("{")][-1])
+    assert rep["pass"] is False
+    assert "nothing was verified" in out
 
 
 def test_verify_fails_loudly_when_off(synthetic_release, capsys):

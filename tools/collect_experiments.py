@@ -7,7 +7,7 @@ per-experiment summary table (last / best / mean).
 
 Usage:
   python tools/collect_experiments.py --exps_dir Experiments \
-      --name 'lego*' --pattern '\\[eval\\]' --metric PSNR --mode max
+      --name 'lego*' --pattern '\\[TEST\\]' --metric TestPSNRv2 --mode max
 """
 from __future__ import annotations
 

@@ -67,13 +67,30 @@ def main():
         flip_vals.append(float(model.forward(img_t, gt_t)))
         ssim_vals.append(float(ssim_mod.ssim(img_t, gt_t)))
 
+    # minmax-convention FLIP (reference `main.py:361-377`): min-max
+    # rescale the WHOLE [N,3,H,W] stacks (renders and gts, each with its
+    # own global lo/hi) to [-1,1], then compute_flip on the rescaled
+    # stacks; per-image means frozen for --flip_rescale minmax parity.
+    rec = torch.from_numpy(
+        np.stack([p[1] for p in pairs]).transpose(0, 3, 1, 2)).float()
+    ref = torch.from_numpy(
+        np.stack([p[0] for p in pairs]).transpose(0, 3, 1, 2)).float()
+    rescale = lambda x, ymin, ymax: (ymax - ymin) / (x.max() - x.min()) * (  # noqa: E731
+        x - x.min()) + ymin
+    rec_s, ref_s = rescale(rec, -1, 1), rescale(ref, -1, 1)
+    ppd = 0.7 * (3840 / 0.7) * (np.pi / 180)
+    flips = model.compute_flip(rec_s, ref_s, ppd)          # [N, 1, H, W]
+    flip_minmax = flips.mean(dim=(1, 2, 3)).numpy().astype(np.float64)
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez(OUT,
              gts=np.stack([p[0] for p in pairs]),
              imgs=np.stack([p[1] for p in pairs]),
              flip=np.asarray(flip_vals, np.float64),
+             flip_minmax=flip_minmax,
              ssim=np.asarray(ssim_vals, np.float64))
     print("flip:", flip_vals)
+    print("flip_minmax:", list(flip_minmax))
     print("ssim:", ssim_vals)
     print("wrote", OUT)
 

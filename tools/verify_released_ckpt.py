@@ -11,10 +11,13 @@ THE parity command to run the moment a released reference checkpoint
 It converts the torch ``.tar`` (reference save_ckpt schema,
 `/root/reference/main.py:1516-1542`) to native params, renders the blender
 test split through every supported inference path — plain XLA, the fused
-bf16 Pallas kernel, the int8 Pallas kernel — prints PSNR/SSIM per path and
-a PASS/FAIL verdict vs ``--expect_psnr`` at ``--tol`` dB (the reference
-table: Blender R2L pseudo+real 31.87 dB / pseudo-only 30.48 dB,
-BASELINE.md). Exit code 1 on FAIL so it can gate CI.
+bf16 Pallas kernel, the int8 Pallas kernel — prints the paper-comparable
+PSNR/PSNRv2/SSIM/FLIP (+LPIPS when ``--lpips_weights`` is given) table
+per path, using the reference's min-max input conventions by default
+(``--lpips_rescale/--flip_rescale minmax``, `main.py:361-377`), and a
+PASS/FAIL verdict vs ``--expect_psnr`` at ``--tol`` dB (the reference
+table: Blender R2L pseudo+real 31.87 dB / 0.9950 SSIM, pseudo-only
+30.48 dB / 0.9939, BASELINE.md). Exit code 1 on FAIL so it can gate CI.
 
 CI exercises this end-to-end against a synthetic ``.tar`` built by
 ``checkpoint.params_to_torch_r2l`` (tests/test_verify_released_ckpt.py) —
@@ -70,6 +73,21 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pseudo-only. Omit for report-only mode")
     p.add_argument("--tol", type=float, default=0.05,
                    help="PSNR tolerance in dB (north star: 0.05)")
+    p.add_argument("--flip_rescale", type=str, default="minmax",
+                   choices=["standard", "minmax"],
+                   help="FLIP input convention; 'minmax' (default here) "
+                        "reproduces the reference's rescaled-input FLIP "
+                        "(main.py:361-377) so the table is comparable to "
+                        "the paper logs")
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help="torch LPIPS state_dict (.pt) — omit to skip "
+                        "LPIPS (weights are env-blocked offline)")
+    p.add_argument("--lpips_net", type=str, default="alex",
+                   choices=["alex", "vgg", "squeeze"])
+    p.add_argument("--lpips_rescale", type=str, default="minmax",
+                   choices=["standard", "minmax"],
+                   help="'minmax' (default here) = the reference's "
+                        "min-max [-1,1] rescale (main.py:361-364)")
     p.add_argument("--paths", type=str, default="auto",
                    help="comma list of inference paths to verify: "
                         "xla, pallas, int8. 'auto' = all on TPU, "
@@ -159,6 +177,22 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from r2l_tpu.kernels.r2l_pallas import fused_kernel_supported
+    lpips_params = None
+    if args.lpips_weights:
+        import torch
+
+        from r2l_tpu.lpips_jax import load_torch_lpips
+        sd = torch.load(args.lpips_weights, map_location="cpu",
+                        weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        lpips_params = load_torch_lpips(sd, net=args.lpips_net)
+        print(f"LPIPS: {args.lpips_net} weights from {args.lpips_weights} "
+              f"(rescale={args.lpips_rescale})")
+    else:
+        print("LPIPS: SKIPPED (no --lpips_weights; the torchvision-"
+              "derived weights cannot ship offline — export once on a "
+              "connected machine, see README)")
     results = {}
     for path in paths:
         if path == "xla":
@@ -189,15 +223,28 @@ def main(argv=None) -> int:
                                      use_pallas=use_pallas,
                                      quantize=quantize, calib_poses=poses)
         res = render_path(frame_fn, poses, gt_images=gt,
-                          compute_flip=False)
+                          lpips_params=lpips_params,
+                          lpips_rescale=args.lpips_rescale,
+                          flip_rescale=args.flip_rescale)
         results[path] = {"psnr": res.test_psnr,
                          "psnr_v2": res.test_psnr_v2,
-                         "ssim": res.test_ssim}
+                         "ssim": res.test_ssim,
+                         "flip": res.test_flip,
+                         "lpips": res.test_lpips}
+        lp = (f" LPIPS {res.test_lpips:.4f}"
+              if res.test_lpips is not None else " LPIPS —")
         print(f"[{path:7s}] PSNR {res.test_psnr:.4f} "
-              f"PSNRv2 {res.test_psnr_v2:.4f} SSIM {res.test_ssim:.4f}")
+              f"PSNRv2 {res.test_psnr_v2:.4f} SSIM {res.test_ssim:.4f} "
+              f"FLIP {res.test_flip:.4f}{lp}")
 
     # --- verdict ------------------------------------------------------------
     ok = True
+    if not any("psnr" in r for r in results.values()):
+        # Every selected path was skipped: a no-op run must not read as
+        # success even in report-only mode (no --expect_psnr).
+        ok = False
+        print("FAIL: no selected path produced a PSNR (all skipped) — "
+              "nothing was verified")
     if args.expect_psnr is not None:
         if not any("psnr" in r for r in results.values()):
             raise SystemExit("no selected path produced a PSNR to check "
