@@ -407,6 +407,11 @@ def fused_nerf_render_t(fp: FusedNeRFParamsT, cfg: NeRFConfig,
     def q8n(x, inv):
         """Requantize of a produced activation: with fold_requant the
         producer's dequant constants already carry ``inv``."""
+        # Mosaic cannot legalize math.roundeven on bf16 vectors (same
+        # gap PERF.md r3 recorded for the student kernel) — under
+        # bf16_requant the dequant/relu arithmetic stays bf16 and only
+        # this final round/clip upcasts to f32.
+        x = x.astype(jnp.float32)
         if fold_requant:
             return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
         return q8r(x, inv)
