@@ -184,6 +184,23 @@ def _render_downsample(args, H, W, focal):
     return H, W, focal
 
 
+def _eval_render_setup(args, ns, test_gt):
+    """(H, W, focal, gt) for the IN-TRAINING i_testset/i_img/i_video
+    evals: the reference passes ``--render_factor`` into render_path
+    inside the train loop too (`main.py:1443-1454`) — render downsampled
+    for speed. The reference compares the small render against the
+    top-left CROP of the full-res gt (`main.py:330-335`); we resize
+    (INTER_AREA), same documented deviation as ``run_render_only``."""
+    H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
+    if test_gt is not None and (H, W) != (ns.H, ns.W):
+        import cv2
+        test_gt = np.stack([
+            cv2.resize(np.asarray(g), (W, H),
+                       interpolation=cv2.INTER_AREA)
+            for g in np.asarray(test_gt)])
+    return H, W, focal, test_gt
+
+
 # ---------------------------------------------------------------------------
 # Model factories (reference create_nerf, main.py:407-553)
 # ---------------------------------------------------------------------------
@@ -491,7 +508,8 @@ def run_render_only(args, ns, logger) -> EvalResult:
 
     res = render_path(frame_fn, poses, gt_images=gt, savedir=savedir,
                       lpips_params=_load_lpips(args, logger),
-                      lpips_rescale=args.lpips_rescale, logger=logger)
+                      lpips_rescale=args.lpips_rescale,
+                      flip_rescale=args.flip_rescale, logger=logger)
     # Per-call frame timing measures the host dispatch path; through this
     # image's TPU tunnel that is ~30 ms RTT of pure noise, so on TPU the
     # summary reports the honest K-frames-per-jit latency instead
@@ -810,11 +828,16 @@ def run_distill(args, ns, logger):
     # Eval renderer rebuilt whenever params change materially (cheap jit
     # cache; params are donated so pass them explicitly).
     test_poses = ns.poses[ns.i_test]
-    test_gt = ns.images[ns.i_test]
+    eval_H, eval_W, eval_focal, test_gt = _eval_render_setup(
+        args, ns, ns.images[ns.i_test])
+    eval_sampler = sampler if (eval_H, eval_W) == (ns.H, ns.W) else (
+        PointSampler(H=eval_H, W=eval_W, focal=eval_focal,
+                     n_sample=args.n_sample_per_ray,
+                     near=ns.near, far=ns.far))
 
     def _student_frame_fn():
         return make_r2l_frame_fn(
-            state.params, cfg, sampler, embed_L=args.multires,
+            state.params, cfg, eval_sampler, embed_L=args.multires,
             plucker=args.plucker, use_pallas=args.use_pallas,
             pallas_tile=args.pallas_tile, quantize=args.quantize,
             calib_poses=ns.poses)
@@ -823,7 +846,8 @@ def run_distill(args, ns, logger):
         # Evaluate the loaded checkpoint before training
         # (reference `main.py:1035-1046`).
         frame_fn = _student_frame_fn()
-        res = render_path(frame_fn, test_poses, gt_images=test_gt)
+        res = render_path(frame_fn, test_poses, gt_images=test_gt,
+                          flip_rescale=args.flip_rescale)
         logger.print(f"[test_pretrained] PSNR {res.test_psnr:.4f} "
                      f"PSNRv2 {res.test_psnr_v2:.4f} "
                      f"SSIM {res.test_ssim:.4f}")
@@ -1209,7 +1233,8 @@ def run_teacher_train(args, ns, logger):
     images = jnp.asarray(ns.images[ns.i_train])
     poses = jnp.asarray(ns.poses[ns.i_train][:, :3, :4])
     test_poses = ns.poses[ns.i_test]
-    test_gt = ns.images[ns.i_test]
+    eval_H, eval_W, eval_focal, test_gt = _eval_render_setup(
+        args, ns, ns.images[ns.i_test])
 
     from .logging_ import AverageMeter, LossLine
     lossline = LossLine(ema=0.95)
@@ -1227,10 +1252,10 @@ def run_teacher_train(args, ns, logger):
     i_batch = 0
 
     def _eval_frame_fn(with_disp: bool = False):
-        sampler = PointSampler(H=ns.H, W=ns.W, focal=ns.focal,
+        sampler = PointSampler(H=eval_H, W=eval_W, focal=eval_focal,
                                n_sample=args.N_samples,
                                near=ns.near, far=ns.far)
-        ndc_params = (ns.H, ns.W, ns.focal) if ns.ndc else None
+        ndc_params = (eval_H, eval_W, eval_focal) if ns.ndc else None
         return make_nerf_frame_fn(
             state.params_coarse, state.params_fine or None, ncfg,
             vcfg, sampler, ndc_params, ncfg_fine=ncfg_fine,

@@ -139,6 +139,22 @@ def build_parser() -> argparse.ArgumentParser:
     add('--data_mode', type=str, default='images', choices=['images', 'rays'])
     add('--rm_existing_data', type=_bool, nargs='?', const=True,
         default=False)
+    # offline ray-converter options (reference
+    # `utils/convert_original_data_to_rays_{blender,llff}.py:101-110`;
+    # consumed by tools/create_data.py --create_data convert_rays)
+    add('--splits', type=str, default='train',
+        help="convert_rays: comma list of splits to convert "
+             "(train,val,test). Shard prefix is ''.join(splits) — only "
+             "'train_'-prefixed shards count as REAL rays in rays-mode "
+             "training, matching the reference's naming rule")
+    add('--ignore', type=str, default='',
+        help='convert_rays: comma list of frame index tokens to skip '
+             "(blender: the file_path suffix, './train/r_3' -> '3'); "
+             "auto-set for ficus like the reference")
+    add('--donerf', type=_bool, nargs='?', const=True, default=False,
+        help='convert_rays: generate rays in the DONeRF direction '
+             'convention (half-pixel-centered, unit-norm) so shards '
+             'line up with --given_render_path_rays eval rays')
     add('--num_workers', type=int, default=8)
     add('--hard_ratio', type=str, default='')
     add('--hard_mul', type=float, default=1)

@@ -515,16 +515,27 @@ def generate_pseudo_images(params_coarse: dict, params_fine: dict | None,
 
 def images_to_ray_records(images: np.ndarray, poses: np.ndarray,
                           H: int, W: int, focal: float,
-                          ndc: bool = False) -> np.ndarray:
+                          ndc: bool = False,
+                          donerf: bool = False) -> np.ndarray:
     """Real train images -> [N*H*W, 9] ray records (the offline converter,
     reference `utils/convert_original_data_to_rays_blender.py:96-235` /
     `..._llff.py:59-136`). ``ndc=True`` stores NDC-warped rays (LLFF
-    forward-facing; the student then samples in [0, 1] depth)."""
-    from .rays import ndc_rays
+    forward-facing; the student then samples in [0, 1] depth).
+    ``donerf=True`` generates rays in the DONeRF direction convention
+    (half-pixel-centered, unit-norm — reference ``--donerf``,
+    `convert_original_data_to_rays_blender.py:185-211`) so converted
+    shards line up with `--given_render_path_rays` eval rays."""
+    from .rays import donerf_ray_dirs, ndc_rays
 
+    dirs_cam = donerf_ray_dirs(H, W, focal) if donerf else None
     records = []
     for img, c2w in zip(images, poses):
-        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        if donerf:
+            c2w = np.asarray(c2w, np.float32)
+            rd = dirs_cam @ c2w[:3, :3].T            # [H, W, 3]
+            ro = np.broadcast_to(c2w[:3, -1], rd.shape)
+        else:
+            ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
         if ndc:
             ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
         records.append(np.concatenate([

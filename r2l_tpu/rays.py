@@ -34,6 +34,28 @@ def camera_ray_dirs(H: int, W: int, focal: float) -> Array:
     return dirs  # [H, W, 3]
 
 
+def donerf_ray_dirs(H: int, W: int, focal: float) -> np.ndarray:
+    """DONeRF-convention per-pixel UNIT ray directions [H, W, 3] in the
+    camera frame (reference `utils/convert_original_data_to_rays_blender
+    .py:35-57`, itself lifted from DONeRF util/raygeneration.py). Two
+    deltas vs the NeRF grid (``camera_ray_dirs``): pixel centers sit at
+    the half-pixel offset, and directions are NORMALIZED before the c2w
+    rotation. The reference parametrizes by (fov, focal), but with
+    ``focal = W/(2 tan(fov/2))`` the grid collapses to a pure function
+    of (H, W, focal): x_dist = tan(fov/2)*focal = W/2, step 1 px.
+    """
+    i = np.arange(W, dtype=np.float64)
+    j = np.arange(H, dtype=np.float64)
+    d = np.stack(np.broadcast_arrays(
+        (i - W / 2 + 0.5)[None, :],
+        (j - H / 2 + 0.5)[:, None],
+        np.full((H, W), float(focal))), axis=-1)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    d[..., 1] *= -1.0
+    d[..., 2] *= -1.0
+    return d.astype(np.float32)
+
+
 # --trans_origin applies at EVERY get_rays call in the reference (the
 # hack lives inside helpers.get_rays reading the global args singleton,
 # `helpers:214-227, 248-252`). Mirror that with one module default set

@@ -762,3 +762,90 @@ def test_align_hard_counts_invariants():
     # tiny draw that can't absorb the remainder: batch shrinks too
     b, ni, no = _align_hard_counts(1002, 1, 1, 8, log=lambda *a: None)
     assert (ni, no) == (1, 1) and (b - no) % 8 == 0 and b == 1001
+
+
+def test_eval_render_setup_honors_render_factor():
+    """In-training i_testset evals honor --render_factor (reference
+    passes it to render_path inside the train loop, main.py:1443-1454):
+    downsampled dims + INTER_AREA-resized gt (the reference corner-crops
+    gt, main.py:330-335 — documented deviation, same as
+    run_render_only)."""
+    from types import SimpleNamespace
+
+    from r2l_tpu.app import _eval_render_setup
+
+    ns = SimpleNamespace(H=32, W=48, focal=40.0)
+    gt = np.random.default_rng(0).random((3, 32, 48, 3)).astype(np.float32)
+
+    args = SimpleNamespace(render_factor=0)
+    H, W, f, out = _eval_render_setup(args, ns, gt)
+    assert (H, W, f) == (32, 48, 40.0) and out is gt  # untouched
+
+    args = SimpleNamespace(render_factor=2)
+    H, W, f, out = _eval_render_setup(args, ns, gt)
+    assert (H, W, f) == (16, 24, 20.0)
+    assert out.shape == (3, 16, 24, 3)
+    # INTER_AREA of a constant image is constant: spot-check channel means
+    assert np.allclose(out.mean(axis=(1, 2)), gt.mean(axis=(1, 2)),
+                       atol=5e-3)
+
+    # gt=None (video-pose eval) passes through
+    H, W, f, out = _eval_render_setup(args, ns, None)
+    assert out is None and (H, W) == (16, 24)
+
+
+def test_teacher_eval_honors_render_factor(tiny_scene, tmp_path):
+    """--render_factor reaches the IN-TRAINING i_testset eval (reference
+    main.py:1443-1454): rendered testset dumps come out at H/f x W/f."""
+    import imageio.v2 as imageio
+
+    exps = str(tmp_path / "Experiments")
+    train(parse_args(COMMON + [
+        "--model_name", "nerf", "--datadir", tiny_scene,
+        "--N_samples", "4", "--N_importance", "0",
+        "--N_rand", "32", "--N_iters", "2", "--i_testset", "2",
+        "--i_weights", "2", "--no_batching", "--render_factor", "2",
+        "--experiment_name", "rf", "--experiments_dir", exps]))
+    tdir = None
+    for root, dirs, _ in os.walk(exps):
+        for d in dirs:
+            if d == "testset_iter2":
+                tdir = os.path.join(root, d)
+    assert tdir, "testset dump dir missing"
+    img = imageio.imread(os.path.join(tdir, "000.png"))
+    assert img.shape[:2] == (8, 8), img.shape      # 16/2 x 16/2
+    gt = imageio.imread(os.path.join(tdir, "000_gt.png"))
+    assert gt.shape[:2] == (8, 8), gt.shape        # gt resized, not cropped
+
+
+def test_convert_rays_splits_ignore_donerf(tiny_scene, tmp_path):
+    """convert_rays parity options (reference converter CLI,
+    `convert_original_data_to_rays_blender.py:101-121`): --splits picks
+    the frame sets (shard prefix = ''.join(splits)), --ignore drops
+    frames by filename token, --donerf emits unit-norm DONeRF-convention
+    ray dirs."""
+    import sys
+
+    import tools.create_data as cd
+
+    exps = str(tmp_path / "ExpCV")
+    raydir = str(tmp_path / "rays_cv")
+    argv = sys.argv
+    try:
+        sys.argv = ["create_data.py"] + COMMON + [
+            "--model_name", "nerf", "--datadir", tiny_scene,
+            "--create_data", "convert_rays", "--datadir_kd", raydir,
+            "--splits", "train,val", "--ignore", "1", "--donerf",
+            "--experiment_name", "cv", "--experiments_dir", exps]
+        cd.main()
+    finally:
+        sys.argv = argv
+    files = sorted(os.listdir(raydir))
+    assert files and all(f.startswith("trainval_") for f in files), files
+    rays = np.concatenate([np.load(os.path.join(raydir, f))
+                           for f in files])
+    # 3 train + 1 val frames, minus train r_1 (val only has r_0) = 3
+    assert rays.shape == (3 * 16 * 16, 9), rays.shape
+    # DONeRF convention: direction rows are unit-norm (NeRF's grid is not)
+    np.testing.assert_allclose(np.linalg.norm(rays[:, 3:6], axis=-1),
+                               1.0, atol=1e-5)

@@ -132,3 +132,40 @@ def test_get_novel_poses_mode_value_items():
                                 ).shape == (6, 4, 4)
     # mixing plain ints with mode:value items also works
     assert rays.get_novel_poses([4, "fix:-30", 1]).shape == (4, 4, 4)
+
+
+def test_donerf_ray_dirs_golden():
+    """donerf_ray_dirs vs an independent transcription of the DONeRF
+    formula exactly as the reference converter computes it
+    (generate_ray_directions, `utils/convert_original_data_to_rays_
+    blender.py:35-57`: fov/focal parametrization, normalize, negate
+    y/z)."""
+    from r2l_tpu.rays import camera_ray_dirs, donerf_ray_dirs
+
+    H, W = 12, 20
+    cax = 0.6911112070083618
+    focal = 0.5 * W / np.tan(0.5 * cax)
+
+    # reference formula, fov/focal parametrization
+    x_dist = np.tan(cax / 2) * focal
+    y_dist = x_dist * (H / W)
+    x_pp, y_pp = x_dist / (W / 2), y_dist / (H / 2)
+    start = np.array([-(x_dist - x_pp / 2), -(y_dist - y_pp / 2), focal])
+    ray_d = np.repeat(start[None], W * H, axis=0).reshape((H, W, -1))
+    w_range = np.repeat(np.arange(W)[None], H, axis=0)
+    h_range = np.repeat(np.arange(H)[None], W, axis=0).T
+    ray_d[:, :, 0] += x_pp * w_range
+    ray_d[:, :, 1] += y_pp * h_range
+    ref = ray_d / np.linalg.norm(ray_d, axis=2, keepdims=True)
+    ref[:, :, 1] *= -1.0
+    ref[:, :, 2] *= -1.0
+
+    got = donerf_ray_dirs(H, W, focal)
+    np.testing.assert_allclose(got, ref.astype(np.float32), atol=1e-6)
+    # unit-norm (the convention delta vs the NeRF grid)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
+                               atol=1e-6)
+    # and NOT the NeRF grid: the half-pixel offset shows up
+    nerf = np.asarray(camera_ray_dirs(H, W, focal))
+    nerf = nerf / np.linalg.norm(nerf, axis=-1, keepdims=True)
+    assert np.abs(got - nerf).max() > 1e-3

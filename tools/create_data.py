@@ -37,6 +37,40 @@ from r2l_tpu.logging_ import Logger  # noqa: E402
 from r2l_tpu.sampler import PointSampler  # noqa: E402
 
 
+def _frame_keep_mask(args, ns, splits, split_ix, ignore_csv, logger):
+    """Boolean keep-mask over the concatenated split indices, the
+    reference's --ignore semantics: drop frames whose file_path index
+    token is listed (`convert_original_data_to_rays_blender.py:106-121,
+    133-141`, e.g. './train/r_3' -> token '3'). Blender datasets match
+    the filename token; other dataset types fall back to the position
+    within the split."""
+    import json
+
+    tokens = {t.strip() for t in ignore_csv.split(",") if t.strip()}
+    masks = []
+    for s in splits:
+        n = len(split_ix[s])
+        tj = os.path.join(args.datadir, f"transforms_{s}.json")
+        if args.dataset_type == "blender" and os.path.isfile(tj):
+            with open(tj) as f:
+                frames = json.load(f)["frames"]
+            # same subsampling as the loader (data/blender.py:63-64)
+            skip = (1 if s == "train" or args.testskip == 0
+                    else args.testskip)
+            frames = frames[::skip]
+            assert len(frames) == n, (s, len(frames), n)
+            m = np.array([fr["file_path"].split("_")[-1] not in tokens
+                          for fr in frames], bool)
+        else:
+            m = np.array([str(i) not in tokens for i in range(n)], bool)
+        masks.append(m)
+    mask = np.concatenate(masks)
+    if not mask.all():
+        logger.print(f"--ignore: dropped {int((~mask).sum())} of "
+                     f"{mask.size} frames")
+    return mask
+
+
 def main() -> None:
     args = parse_args()
     from r2l_tpu.app import apply_platform
@@ -52,12 +86,38 @@ def main() -> None:
         # reference converter never NDC-warps
         # (`convert_original_data_to_rays_llff.py:114-118`); the warp
         # lives only inside the teacher's volumetric render.
+        split_ix = {"train": ns.i_train, "val": ns.i_val,
+                    "test": ns.i_test}
+        splits = [s.strip() for s in (args.splits or "train").split(",")
+                  if s.strip()]
+        bad = [s for s in splits if s not in split_ix]
+        if bad:
+            raise SystemExit(f"ERROR: unknown --splits entries {bad} "
+                             "(choose from train,val,test)")
+        ignore = args.ignore
+        if not ignore and "ficus" in args.datadir:
+            # The reference hand-codes this phi>=0 exclusion list for
+            # ficus (`convert_original_data_to_rays_blender.py:114-115`).
+            ignore = ("10,13,14,24,26,30,31,37,39,40,41,47,48,49,52,54,"
+                      "55,57,58,66,67,74,75,76,77,79,81,82,87,88,89,94,"
+                      "97,99")
+        idx = np.concatenate([np.asarray(split_ix[s]) for s in splits])
+        if ignore:
+            keep = _frame_keep_mask(args, ns, splits, split_ix, ignore,
+                                    logger)
+            idx = idx[keep]
         records = images_to_ray_records(
-            ns.images[ns.i_train], ns.poses[ns.i_train],
-            ns.H, ns.W, ns.focal, ndc=False)
-        paths = write_ray_shards(datadir_kd, records, prefix="train",
+            ns.images[idx], ns.poses[idx],
+            ns.H, ns.W, ns.focal, ndc=False, donerf=args.donerf)
+        # shard prefix = ''.join(splits), same naming rule as the
+        # reference (`...blender.py:119-121`; only 'train_'-prefixed
+        # shards count as REAL rays in the rays-mode dataset).
+        paths = write_ray_shards(datadir_kd, records,
+                                 prefix="".join(splits),
                                  rng=np.random.default_rng(args.seed))
         logger.print(f"wrote {records.shape[0]} real rays "
+                     f"({'+'.join(splits)}"
+                     f"{', DONeRF ray convention' if args.donerf else ''}) "
                      f"to {len(paths)} shards in {datadir_kd}")
         return
 
