@@ -413,35 +413,52 @@ def run_render_only(args, ns, logger) -> EvalResult:
         # routed through the SAME fast path (Pallas/int8/--mesh) and full
         # metric set as the pose-driven renderer.
         from .evaluate import (load_given_render_path_rays,
+                               make_r2l_givenrays_frame_fn,
                                render_path_given_rays)
         cfg, params, _ = build_r2l(args, logger)
+        ro, rd, gt = load_given_render_path_rays(args.given_render_path_rays)
+        # The ray file FIXES the frame resolution — --render_factor
+        # cannot downsample precomputed rays (a mismatched H*W would
+        # trace a bad reshape and corner-crop gt).
+        if ro.shape[1] != H * W:
+            if ro.shape[1] == ns.H * ns.W:
+                logger.print("WARNING: --render_factor ignored — "
+                             "--given_render_path_rays fixes the "
+                             f"resolution at {ns.H}x{ns.W}")
+                H, W, focal = ns.H, ns.W, ns.focal
+            else:
+                raise SystemExit(
+                    f"ERROR: --given_render_path_rays has {ro.shape[1]} "
+                    f"rays/frame but the dataset frame is {H}x{W} = "
+                    f"{H * W} rays — wrong ray file for this scene "
+                    "(check --half_res/--render_factor)")
         sampler = PointSampler(H=H, W=W, focal=focal,
                                n_sample=args.n_sample_per_ray,
                                near=ns.near, far=ns.far)
-        ro, rd, gt = load_given_render_path_rays(args.given_render_path_rays)
         gr_mesh = _inference_mesh(args, logger, "given-rays")
+        frame_fn = make_r2l_givenrays_frame_fn(
+            params, cfg, sampler, H, W, embed_L=args.multires,
+            plucker=args.plucker, use_pallas=args.use_pallas,
+            pallas_tile=args.pallas_tile, quantize=args.quantize,
+            calib_rays=(ro, rd), mesh=gr_mesh)
         res = render_path_given_rays(params, cfg, sampler, ro, rd, H, W,
                                      gt_images=gt, savedir=savedir,
                                      embed_L=args.multires,
                                      plucker=args.plucker,
-                                     use_pallas=args.use_pallas,
-                                     pallas_tile=args.pallas_tile,
-                                     quantize=args.quantize, mesh=gr_mesh,
                                      lpips_params=_load_lpips(args, logger),
                                      lpips_rescale=args.lpips_rescale,
                                      flip_rescale=args.flip_rescale,
-                                     logger=logger)
+                                     logger=logger, frame_fn=frame_fn)
         ms_label = (f"{res.ms_per_frame:.1f} ms/frame (per-dispatch)"
                     if res.ms_per_frame is not None else "")
         if jax.default_backend() == "tpu":
             # Honest K-frames-per-jit latency (same protocol as the
             # pose-driven branch below; per-call timing is tunnel noise).
+            # Reuses frame_fn.parts — no second int8 calibration.
             from .evaluate import make_r2l_givenrays_bench_fn
             bench_fn = make_r2l_givenrays_bench_fn(
                 params, cfg, sampler, H, W, embed_L=args.multires,
-                plucker=args.plucker, use_pallas=args.use_pallas,
-                pallas_tile=args.pallas_tile, quantize=args.quantize,
-                calib_rays=(ro, rd), mesh=gr_mesh)
+                plucker=args.plucker, mesh=gr_mesh, parts=frame_fn.parts)
             Kb = min(8, ro.shape[0])
             ros = jnp.asarray(ro[:Kb])
             rds = jnp.asarray(rd[:Kb])
@@ -457,6 +474,10 @@ def run_render_only(args, ns, logger) -> EvalResult:
                          f"PSNRv2 {res.test_psnr_v2:.4f} "
                          f"SSIM {res.test_ssim:.4f} "
                          f"FLIP {res.test_flip:.4f}{lp} ({ms_label})")
+        else:
+            # gt-less ray files still get the measured latency
+            logger.print(f"given-rays: rendered {len(res.frames)} frames "
+                         f"({ms_label})")
         write_video(os.path.join(savedir, "video.mp4"), res.frames)
         if gt is not None:
             write_video(os.path.join(savedir, "video_error.mp4"),
@@ -888,6 +909,13 @@ def run_distill(args, ns, logger):
                 n_seen_img += 1
                 imgs.append(np.asarray(img))
                 poses_b.append(np.asarray(pose))
+            if i == start and jax.process_count() > 1:
+                # Same identical-global-input contract as the rays
+                # branch below: the pjit step sharding assumes every
+                # process drew the SAME (frame, pose) sequence.
+                _assert_multihost_batch_identical(
+                    np.concatenate([np.stack(imgs).ravel(),
+                                    np.stack(poses_b).ravel()]), logger)
             data_time.update((time.perf_counter() - t_iter) / k, n=k)
             if k == 1:
                 key, sub = jax.random.split(key)
@@ -973,6 +1001,13 @@ def run_distill(args, ns, logger):
             logger.print(f"[i_img] iter {i} PSNR {res.test_psnr:.4f}")
 
         if _fires(i, args.i_testset) or i == args.N_iters:
+            if pending_ms:
+                # [TEST]'s TrainHistPSNR reads the EMA — fold the metric
+                # backlog first or it prints i_print-stale values when
+                # i_testset isn't aligned with i_print.
+                _fold_lossline(lossline, pending_ms,
+                               {"loss": "loss", "psnr": "train_psnr"})
+                pending_ms.clear()
             frame_fn = _student_frame_fn()
             testsavedir = None
             if args.save_testset:
@@ -1098,7 +1133,7 @@ def _save(logger, name: str, state: TrainState, step: int,
     ckpt.save_checkpoint(
         os.path.join(logger.weights_dir, name), tree,
         meta={"global_step": step, "best_psnr": best_psnr,
-              "best_psnr_step": best_step})
+              "best_psnr_step": best_step, "best_metric": "psnr_v2"})
 
 
 def _native_resume_blob(args, logger, path_attr: str = "pretrained_ckpt"):
@@ -1187,6 +1222,17 @@ def run_teacher_train(args, ns, logger):
         best_step = int(rmeta.get("best_psnr_step", -1))
         if best_psnr > 0:
             logger.print(f"restored teacher best_psnr {best_psnr:.4f}")
+            if rmeta.get("best_metric") != "psnr_v2":
+                # Checkpoints from before the teacher best-gate moved to
+                # PSNRv2 recorded the (systematically lower) mse-based
+                # PSNR: the first resumed eval can overwrite teacher_best
+                # even when it is genuinely worse. Nothing to recompute
+                # offline — warn so the selection jump is explicable.
+                logger.print(
+                    "WARNING: restored best_psnr was recorded on plain "
+                    "TestPSNR (pre-PSNRv2 checkpoint); best-ckpt "
+                    "selection now compares TestPSNRv2 against it, so "
+                    "the first eval may replace teacher_best.msgpack.")
         ckpt.drop_cached_checkpoint()
 
     # use_batching (reference default for LLFF): pre-generate the global
@@ -1350,6 +1396,11 @@ def run_teacher_train(args, ns, logger):
             # reference's i_testset eval (`main.py:1442-1471`): the
             # SHARED eval logs the full TestPSNR/v2/SSIM/FLIP line and
             # best-selects on PSNRv2 for BOTH models.
+            if pending_ms:
+                # fold before [TEST] reads TrainHistPSNR (see run_distill)
+                _fold_lossline(lossline, pending_ms,
+                               {"loss": "loss", "psnr": "psnr"})
+                pending_ms.clear()
             testsavedir = None
             if args.save_testset:
                 testsavedir = os.path.join(logger.gen_img_dir,
@@ -1369,7 +1420,8 @@ def run_teacher_train(args, ns, logger):
                      "fine": state.params_fine,
                      "opt_state": state.opt_state},
                     meta={"global_step": i, "best_psnr": best_psnr,
-                          "best_psnr_step": best_step})
+                          "best_psnr_step": best_step,
+                          "best_metric": "psnr_v2"})
                 logger.print(f"[eval] new best {best_psnr:.4f} @ {i}")
             logger.print(
                 f"[TEST] Iter {i} TestPSNR {res.test_psnr:.4f} "
@@ -1412,7 +1464,8 @@ def run_teacher_train(args, ns, logger):
                     "fine": state.params_fine,
                     "opt_state": state.opt_state}
             meta = {"global_step": i, "best_psnr": best_psnr,
-                    "best_psnr_step": best_step}
+                    "best_psnr_step": best_step,
+                    "best_metric": "psnr_v2"}
             ckpt.save_checkpoint(
                 os.path.join(logger.weights_dir, name), tree, meta=meta)
             if args.save_intermediate_models:

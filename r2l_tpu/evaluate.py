@@ -360,6 +360,21 @@ def make_r2l_frame_fn(params: dict, cfg: R2LConfig, sampler: PointSampler,
     return lambda c2w: jit_fn(prepared, c2w)
 
 
+def _givenrays_calib_pts(sampler: PointSampler, plucker: bool,
+                         quantize: str, calib_rays):
+    """int8 calibration points from a linspace subsample of the actual
+    deployment rays (better than the synthetic spherical fallback), or
+    None when the path doesn't calibrate."""
+    if quantize != "int8" or plucker or calib_rays is None:
+        return None
+    ro, rd = (np.asarray(calib_rays[0], np.float32).reshape(-1, 3),
+              np.asarray(calib_rays[1], np.float32).reshape(-1, 3))
+    pick = np.linspace(0, ro.shape[0] - 1,
+                       min(ro.shape[0], 16384)).astype(int)
+    return sampler.sample_train(jnp.asarray(ro[pick]),
+                                jnp.asarray(rd[pick]))
+
+
 def make_r2l_givenrays_frame_fn(params: dict, cfg: R2LConfig,
                                 sampler: PointSampler, H: int, W: int,
                                 embed_L: int = 10, plucker: bool = False,
@@ -377,15 +392,13 @@ def make_r2l_givenrays_frame_fn(params: dict, cfg: R2LConfig,
     ``calib_rays``: (rays_o, rays_d) arrays spanning the deployment
     rays; int8 activation scales are calibrated on a subsample of them
     (the actual distribution — better than synthetic spherical poses).
+
+    The returned fn carries ``.kind`` (path introspection) and
+    ``.parts`` — pass the latter to ``make_r2l_givenrays_bench_fn`` to
+    reuse the prepared/calibrated params instead of re-calibrating.
     """
-    calib_pts = None
-    if quantize == "int8" and not plucker and calib_rays is not None:
-        ro, rd = (np.asarray(calib_rays[0], np.float32).reshape(-1, 3),
-                  np.asarray(calib_rays[1], np.float32).reshape(-1, 3))
-        pick = np.linspace(0, ro.shape[0] - 1,
-                           min(ro.shape[0], 16384)).astype(int)
-        calib_pts = sampler.sample_train(jnp.asarray(ro[pick]),
-                                         jnp.asarray(rd[pick]))
+    calib_pts = _givenrays_calib_pts(sampler, plucker, quantize,
+                                     calib_rays)
     prepared, kind, dim_pts, tile = _prepare_r2l(
         params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
         pallas_tile=pallas_tile, calib_pts=calib_pts)
@@ -393,6 +406,7 @@ def make_r2l_givenrays_frame_fn(params: dict, cfg: R2LConfig,
                                 kind, dim_pts, H, W, mesh=mesh)
     fn = lambda ro, rd: jit_fn(prepared, ro, rd)  # noqa: E731
     fn.kind = kind  # introspection for tests / the app's path log line
+    fn.parts = (prepared, kind, dim_pts, tile)
     return fn
 
 
@@ -401,21 +415,20 @@ def make_r2l_givenrays_bench_fn(params: dict, cfg: R2LConfig,
                                 embed_L: int = 10, plucker: bool = False,
                                 use_pallas: bool = True,
                                 pallas_tile: int = 512, quantize: str = "",
-                                calib_rays=None, mesh=None) -> Callable:
+                                calib_rays=None, mesh=None,
+                                parts=None) -> Callable:
     """(rays_o [K,H*W,3], rays_d [K,H*W,3]) -> scalar checksum, K frames
     per jit — the honest-latency protocol (see ``make_r2l_bench_fn``)
-    for the given-rays path."""
-    calib_pts = None
-    if quantize == "int8" and not plucker and calib_rays is not None:
-        ro, rd = (np.asarray(calib_rays[0], np.float32).reshape(-1, 3),
-                  np.asarray(calib_rays[1], np.float32).reshape(-1, 3))
-        pick = np.linspace(0, ro.shape[0] - 1,
-                           min(ro.shape[0], 16384)).astype(int)
-        calib_pts = sampler.sample_train(jnp.asarray(ro[pick]),
-                                         jnp.asarray(rd[pick]))
-    prepared, kind, dim_pts, tile = _prepare_r2l(
-        params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
-        pallas_tile=pallas_tile, calib_pts=calib_pts)
+    for the given-rays path. Pass ``parts`` (a frame fn's ``.parts``)
+    to reuse already-prepared params — int8 calibration is a multi-
+    dispatch forward over 16k rays, not worth running twice."""
+    if parts is None:
+        calib_pts = _givenrays_calib_pts(sampler, plucker, quantize,
+                                         calib_rays)
+        parts = _prepare_r2l(
+            params, cfg, sampler, embed_L, plucker, use_pallas, quantize,
+            pallas_tile=pallas_tile, calib_pts=calib_pts)
+    prepared, kind, dim_pts, tile = parts
     frame = _r2l_givenrays_jit(cfg, sampler, embed_L, plucker, tile,
                                kind, dim_pts, H, W, mesh=mesh)
 
@@ -730,16 +743,20 @@ def render_path_given_rays(params: dict, cfg: R2LConfig,
                            lpips_rescale: str = "standard",
                            flip_rescale: str = "standard",
                            compute_flip: bool = True,
-                           logger=None) -> EvalResult:
+                           logger=None, frame_fn=None) -> EvalResult:
     """DONeRF path: render frames from precomputed rays (reference
     `main.py:207-270`) through the SAME production fast path and metric
     set as the pose-driven ``render_path`` — Pallas PE-fused / int8
     kernels, mesh ray sharding, PSNR/v2/SSIM/FLIP/LPIPS, error + gt
-    image dumps."""
-    frame_fn = make_r2l_givenrays_frame_fn(
-        params, cfg, sampler, H, W, embed_L=embed_L, plucker=plucker,
-        use_pallas=use_pallas, pallas_tile=pallas_tile, quantize=quantize,
-        calib_rays=(all_rays_o, all_rays_d), mesh=mesh)
+    image dumps. Pass a prebuilt ``frame_fn`` (from
+    ``make_r2l_givenrays_frame_fn``) to share its prepared params with
+    other consumers (the caller's bench fn)."""
+    if frame_fn is None:
+        frame_fn = make_r2l_givenrays_frame_fn(
+            params, cfg, sampler, H, W, embed_L=embed_L, plucker=plucker,
+            use_pallas=use_pallas, pallas_tile=pallas_tile,
+            quantize=quantize, calib_rays=(all_rays_o, all_rays_d),
+            mesh=mesh)
     if logger is not None:
         logger.print(f"given-rays inference path: {frame_fn.kind}"
                      + (f" (mesh {dict(mesh.shape)})" if mesh is not None

@@ -849,3 +849,63 @@ def test_convert_rays_splits_ignore_donerf(tiny_scene, tmp_path):
     # DONeRF convention: direction rows are unit-norm (NeRF's grid is not)
     np.testing.assert_allclose(np.linalg.norm(rays[:, 3:6], axis=-1),
                                1.0, atol=1e-5)
+
+
+def test_given_rays_render_factor_guard(tiny_scene, tmp_path):
+    """--render_factor cannot downsample precomputed rays: the given-rays
+    branch warns and renders at the ray file's fixed resolution; a ray
+    file that matches neither resolution is a clean error."""
+    import sys
+
+    exps = str(tmp_path / "Experiments")
+    raydir = str(tmp_path / "shards")
+    os.makedirs(raydir)
+    rng = np.random.default_rng(0)
+    np.save(os.path.join(raydir, "pseudo_000000.npy"),
+            rng.uniform(-1, 1, (4096, 9)).astype(np.float32))
+    common = COMMON + [
+        "--model_name", "R2L", "--datadir", tiny_scene,
+        "--n_sample_per_ray", "4", "--netwidth", "32", "--netdepth", "6",
+        "--use_residual", "--trial.ON", "--trial.body_arch", "resmlp",
+        "--experiments_dir", exps]
+    train(parse_args(common + [
+        "--data_mode", "rays", "--datadir_kd", raydir,
+        "--N_rand", "256", "--N_iters", "2", "--i_testset", "2",
+        "--i_weights", "2", "--experiment_name", "gq"]))
+    ck = None
+    for root, _, files in os.walk(exps):
+        if "ckpt.msgpack" in files:
+            ck = os.path.join(root, "ckpt.msgpack")
+    assert ck
+
+    H = W = 16
+    ro = np.zeros((2, H * W, 3), np.float32)
+    rd = rng.normal(size=(2, H * W, 3)).astype(np.float32)
+    rays = str(tmp_path / "given.npz")
+    np.savez(rays, all_rays_o=ro, all_rays_d=rd)
+    train(parse_args(common + [
+        "--render_only", "--given_render_path_rays", rays,
+        "--render_factor", "2", "--pretrained_ckpt", ck,
+        "--experiment_name", "gr"]))
+    # factor ignored: frames at the ray file's 16x16, not 8x8
+    import imageio.v2 as imageio
+    png, log = None, None
+    for root, _, files in os.walk(exps):
+        if "gr-" not in root:
+            continue
+        if "000.png" in files:
+            png = imageio.imread(os.path.join(root, "000.png"))
+        if "log.txt" in files:
+            log = open(os.path.join(root, "log.txt")).read()
+    assert png is not None and png.shape[:2] == (H, W), png
+    assert log and "--render_factor ignored" in log
+    # gt-less file still reports the per-dispatch latency line
+    assert "given-rays: rendered 2 frames" in log
+
+    # mismatched ray file (8x8 rays on a 16x16 scene): clean error
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, all_rays_o=ro[:, :64], all_rays_d=rd[:, :64])
+    with pytest.raises(SystemExit, match="wrong ray file"):
+        train(parse_args(common + [
+            "--render_only", "--given_render_path_rays", bad,
+            "--pretrained_ckpt", ck, "--experiment_name", "gb"]))

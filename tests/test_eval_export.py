@@ -307,3 +307,25 @@ def test_prepare_r2l_f32_canonical_falls_back_to_xla(key, capsys):
                                  pallas_tile=800)
     assert kind == "jnp"
     assert "VMEM" in capsys.readouterr().err
+
+
+def test_givenrays_bench_fn_reuses_parts(key):
+    """make_r2l_givenrays_bench_fn(parts=frame_fn.parts) reuses the
+    already-prepared params (no second int8 calibration) and its K-frame
+    checksum matches summing the frame fn's outputs."""
+    from r2l_tpu.evaluate import (make_r2l_givenrays_bench_fn,
+                                  make_r2l_givenrays_frame_fn)
+    cfg, params, sampler = _tiny(key)
+    H = W = sampler.H
+    rng = np.random.default_rng(3)
+    ro = np.zeros((2, H * W, 3), np.float32)
+    rd = rng.normal(size=(2, H * W, 3)).astype(np.float32)
+    fn = make_r2l_givenrays_frame_fn(params, cfg, sampler, H, W,
+                                     use_pallas=False)
+    assert fn.parts is not None and fn.parts[1] == "jnp"
+    bench = make_r2l_givenrays_bench_fn(params, cfg, sampler, H, W,
+                                        parts=fn.parts)
+    total = float(bench(jnp.asarray(ro), jnp.asarray(rd)))
+    expect = sum(float(jnp.sum(fn(jnp.asarray(ro[i]), jnp.asarray(rd[i]))))
+                 for i in range(2))
+    np.testing.assert_allclose(total, expect, rtol=1e-5)

@@ -37,7 +37,7 @@ from r2l_tpu.logging_ import Logger  # noqa: E402
 from r2l_tpu.sampler import PointSampler  # noqa: E402
 
 
-def _frame_keep_mask(args, ns, splits, split_ix, ignore_csv, logger):
+def _frame_keep_mask(args, splits, split_ix, ignore_csv, logger):
     """Boolean keep-mask over the concatenated split indices, the
     reference's --ignore semantics: drop frames whose file_path index
     token is listed (`convert_original_data_to_rays_blender.py:106-121,
@@ -103,7 +103,7 @@ def main() -> None:
                       "97,99")
         idx = np.concatenate([np.asarray(split_ix[s]) for s in splits])
         if ignore:
-            keep = _frame_keep_mask(args, ns, splits, split_ix, ignore,
+            keep = _frame_keep_mask(args, splits, split_ix, ignore,
                                     logger)
             idx = idx[keep]
         records = images_to_ray_records(
