@@ -460,6 +460,13 @@ def normalize_args(args: argparse.Namespace) -> argparse.Namespace:
         for k, v in dotted.items():
             setattr(trial, k.split('.', 1)[1], v)
         args.trial = trial
+    if dotted.get('sl.ON'):
+        # smilelogging's own dotted namespace: the reference collapses it
+        # too but nothing in R2L ever reads args.sl (grep: only the
+        # definitions, smilelogging/__init__.py:36-40) — vestigial.
+        print("WARNING: --sl.ON/--sl.config are accepted for reference "
+              "CLI parity but are vestigial (the reference never reads "
+              "args.sl) — they have NO effect.", file=sys.stderr)
     _warn_vestigial(args)
     return args
 

@@ -188,3 +188,16 @@ def test_vestigial_flags_warn(capsys):
     assert "shuffle_input" in err
     parse_args([])  # defaults stay silent
     assert "NO effect" not in capsys.readouterr().err
+
+
+def test_sl_flags_warn_vestigial(capsys):
+    """--sl.ON is accepted (reference smilelogging surface) but warns:
+    nothing in R2L reads args.sl (smilelogging/__init__.py:36-40)."""
+    from r2l_tpu.configs import parse_args
+
+    parse_args(["--sl.ON"])
+    err = capsys.readouterr().err
+    assert "--sl.ON" in err and "vestigial" in err
+    # default-off parses silently
+    parse_args([])
+    assert "--sl.ON" not in capsys.readouterr().err
