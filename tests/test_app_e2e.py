@@ -909,3 +909,26 @@ def test_given_rays_render_factor_guard(tiny_scene, tmp_path):
         train(parse_args(common + [
             "--render_only", "--given_render_path_rays", bad,
             "--pretrained_ckpt", ck, "--experiment_name", "gb"]))
+
+
+def test_create_data_datadir_kd_colon_form(tiny_scene, tmp_path):
+    """The reference create_data CLI passes --datadir_kd 'old:new'
+    (README.md:79, create_data.py:744); the output goes to the NEW half."""
+    import sys
+
+    import tools.create_data as cd
+
+    exps = str(tmp_path / "ExpCol")
+    new = str(tmp_path / "out_pseudo")
+    argv = sys.argv
+    try:
+        sys.argv = ["create_data.py"] + COMMON + [
+            "--model_name", "nerf", "--datadir", tiny_scene,
+            "--create_data", "convert_rays",
+            "--datadir_kd", f"{tiny_scene}:{new}",
+            "--experiment_name", "col", "--experiments_dir", exps]
+        cd.main()
+    finally:
+        sys.argv = argv
+    assert os.path.isdir(new)
+    assert any(f.startswith("train_") for f in os.listdir(new))

@@ -80,6 +80,16 @@ def main() -> None:
                     args=args)
     ns = load_dataset(args, logger)
     datadir_kd = args.datadir_kd or (args.datadir + "_pseudo")
+    if ":" in datadir_kd:
+        # Reference create_data CLI form 'old:new' (README.md:79;
+        # `create_data.py:744` splits it): old seeds the new dir with the
+        # real train frames because the reference's BlenderDataset reads
+        # ONE dir. Here the images-mode dataset mixes real frames from
+        # --datadir directly, so only the OUTPUT half is needed.
+        old, datadir_kd = datadir_kd.split(":", 1)
+        logger.print(f"--datadir_kd 'old:new' reference form: writing to "
+                     f"{datadir_kd!r} (real frames stay in --datadir; "
+                     f"the {old!r} copy-seed step is unnecessary here)")
 
     if args.create_data == "convert_rays":
         # Student records store RAW camera rays even for LLFF — the
