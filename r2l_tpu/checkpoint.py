@@ -206,6 +206,31 @@ def torch_nerf_to_params(state_dict: dict, cfg: NeRFConfig) -> dict:
     return params
 
 
+def keras_nerf_to_params(weights, cfg: NeRFConfig) -> dict:
+    """Original TF-NeRF (Keras) weight list -> teacher param pytree
+    (reference ``NeRF.load_weights_from_keras``,
+    `model/nerf_raybased.py:403-440`: flat [w0, b0, w1, b1, ...] in the
+    order pts_linears*D, feature, views, rgb, alpha). Keras stores
+    Linear weights [in, out] — the same layout this framework uses, so
+    unlike the torch converters there is NO transpose."""
+    if not cfg.use_viewdirs:
+        raise ValueError("Keras NeRF weights require use_viewdirs "
+                         "(reference nerf_raybased.py:404)")
+    w = [np.asarray(x, np.float32) for x in weights]
+
+    def lin(i):
+        return {"w": w[i], "b": w[i + 1].reshape(-1)}
+
+    params: dict = {
+        "pts_linears": [lin(2 * i) for i in range(cfg.D)],
+        "feature_linear": lin(2 * cfg.D),
+        "views_linears": [lin(2 * cfg.D + 2)],
+        "rgb_linear": lin(2 * cfg.D + 4),
+        "alpha_linear": lin(2 * cfg.D + 6),
+    }
+    return params
+
+
 def params_to_torch_nerf(params: dict, cfg: NeRFConfig) -> dict:
     """Inverse of ``torch_nerf_to_params`` (numpy arrays, reference
     ``NeRF`` naming `model/nerf_raybased.py:337-375`; torch Linears are

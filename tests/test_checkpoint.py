@@ -250,3 +250,46 @@ def test_infer_r2l_config_from_params_mlp_body(key):
     inferred = ckpt.infer_r2l_config_from_params(params)
     assert inferred.body_arch == "mlp"
     assert inferred.netdepth == 6 and inferred.netwidth == 32
+
+
+def test_keras_nerf_to_params_matches_torch_layout():
+    """keras_nerf_to_params (reference NeRF.load_weights_from_keras,
+    nerf_raybased.py:403-440): the flat Keras list [w,b]*(D pts_linears),
+    feature, views, rgb, alpha — Keras weights are [in, out], no
+    transpose. Cross-checked against torch_nerf_to_params fed the same
+    tensors under the reference's state_dict naming ([out, in])."""
+    from r2l_tpu.checkpoint import keras_nerf_to_params, torch_nerf_to_params
+    from r2l_tpu.models.nerf import NeRFConfig, init_nerf
+
+    cfg = NeRFConfig(D=4, W=16, skips=(2,), use_viewdirs=True,
+                     input_ch=9, input_ch_views=6, output_ch=5)
+    ref = init_nerf(jax.random.key(0), cfg)
+    host = jax.tree.map(np.asarray, ref)
+
+    flat = []
+    for lin in host["pts_linears"]:
+        flat += [lin["w"], lin["b"]]
+    flat += [host["feature_linear"]["w"], host["feature_linear"]["b"]]
+    flat += [host["views_linears"][0]["w"], host["views_linears"][0]["b"]]
+    flat += [host["rgb_linear"]["w"], host["rgb_linear"]["b"]]
+    flat += [host["alpha_linear"]["w"], host["alpha_linear"]["b"]]
+
+    got = keras_nerf_to_params(flat, cfg)
+
+    sd = {}
+    for i, lin in enumerate(host["pts_linears"]):
+        sd[f"pts_linears.{i}.weight"] = lin["w"].T
+        sd[f"pts_linears.{i}.bias"] = lin["b"]
+    sd["views_linears.0.weight"] = host["views_linears"][0]["w"].T
+    sd["views_linears.0.bias"] = host["views_linears"][0]["b"]
+    for name in ("feature_linear", "alpha_linear", "rgb_linear"):
+        sd[name + ".weight"] = host[name]["w"].T
+        sd[name + ".bias"] = host[name]["b"]
+    via_torch = torch_nerf_to_params(sd, cfg)
+
+    jax.tree.map(np.testing.assert_array_equal, got, via_torch)
+    # no-viewdirs is a hard error, as in the reference (:404)
+    with pytest.raises(ValueError, match="use_viewdirs"):
+        keras_nerf_to_params(flat, NeRFConfig(
+            D=4, W=16, skips=(2,), use_viewdirs=False,
+            input_ch=9, input_ch_views=0, output_ch=4))
