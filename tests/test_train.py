@@ -285,3 +285,47 @@ def test_scanned_ema_matches_per_iter_loop(key, rng):
     for name in ("loss", "psnr"):
         np.testing.assert_allclose(ll4.vals[name], ll1.vals[name],
                                    rtol=1e-6)
+
+
+def test_distill_step_learn_depth_loss(key, rng):
+    """--learn_depth distillation: 10-column records carry a depth
+    target; the loss adds lw_depth * MSE(pred[:, 3:], depth) on top of
+    the rgb term and the logged psnr stays RGB-only (reference
+    `main.py:1389-1396`, rgb slice at `:1377`)."""
+    cfg = R2LConfig(input_dim=8 * 3 * 21, netwidth=16, netdepth=4,
+                    output_dim=4)
+    params = init_r2l(key, cfg)
+    sampler = PointSampler(H=4, W=4, focal=5.0, n_sample=8,
+                           near=2.0, far=6.0)
+    n = 64
+    o = np.zeros((n, 3), np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    depth = rng.uniform(2, 6, size=(n, 1)).astype(np.float32)
+    batch = jnp.asarray(np.concatenate([o, d, rgb, depth], 1))
+
+    def run(lw):
+        dcfg = DistillConfig(batch_size=n, perturb=False,
+                             learn_depth=True, lw_depth=lw)
+        # fresh param copy per run: the jitted step DONATES state
+        fresh = jax.tree.map(jnp.array, params)
+        state, tx = init_train_state(key, fresh, dcfg)
+        step = make_distill_step(cfg, dcfg, sampler, tx)
+        _, m = step(state, batch, jax.random.key(0))
+        return float(m["loss"]), float(m["psnr"])
+
+    loss0, psnr0 = run(0.0)
+    loss1, psnr1 = run(0.5)
+    assert loss1 > loss0, (loss1, loss0)       # depth term engaged
+    np.testing.assert_allclose(psnr0, psnr1, rtol=1e-5)  # psnr rgb-only
+    # and the depth term is exactly lw * MSE on the 4th channel of the
+    # same prediction (first step, identical params/key)
+    dcfg = DistillConfig(batch_size=n, perturb=False, learn_depth=True,
+                         lw_depth=0.5)
+    from r2l_tpu.encoding import r2l_embed
+    from r2l_tpu.models import apply_r2l
+    pts = sampler.sample_train(batch[:, :3], batch[:, 3:6])
+    pred = apply_r2l(params, cfg, r2l_embed(pts, dcfg.embed_L))
+    want = loss0 + 0.5 * float(np.mean(
+        (np.asarray(pred[:, 3:]) - depth) ** 2))
+    np.testing.assert_allclose(loss1, want, rtol=1e-4)
