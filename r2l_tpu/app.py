@@ -192,7 +192,8 @@ def _eval_render_setup(args, ns, test_gt):
     top-left CROP of the full-res gt (`main.py:330-335`); we resize
     (INTER_AREA), same documented deviation as ``run_render_only``."""
     H, W, focal = _render_downsample(args, ns.H, ns.W, ns.focal)
-    if test_gt is not None and (H, W) != (ns.H, ns.W):
+    if (test_gt is not None and len(test_gt) > 0
+            and (H, W) != (ns.H, ns.W)):
         import cv2
         test_gt = np.stack([
             cv2.resize(np.asarray(g), (W, H),
